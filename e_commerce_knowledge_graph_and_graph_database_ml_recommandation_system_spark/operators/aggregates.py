@@ -1,0 +1,144 @@
+"""Aggregation operators (SURVEY §2.6 A5-A11).
+
+Each replaces a reference loop over collected dicts/Counters with one
+groupBy (map-side combinable) or one window — the O(|C|·|P|) target-rate
+loops in ``xgboost_training_for_big_data.py:185-229`` become O(n) aggregates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def preferred_category(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """A5 + X10: per-customer modal category of purchased products
+    (reference ``category_enrichement.py:46-55``: Counter.most_common(1)).
+
+    2-hop to product categories, count per (customer, category), then
+    row_number()=1 with a deterministic tiebreak (category asc) so results
+    hash-match any engine.
+    """
+    purchased = edges.filter(F.col("type") == "PURCHASED").select(
+        F.col("src").alias("customer_id"), F.col("dst").alias("order_id")
+    )
+    contains = edges.filter(F.col("type") == "CONTAINS").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("product_id")
+    )
+    prod_cat = nodes.filter(F.col("label") == "Product").select(
+        F.col("id").alias("product_id"), "category"
+    )
+    counts = (
+        purchased.join(contains, "order_id")
+        .join(prod_cat, "product_id")
+        .groupBy("customer_id", "category")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("customer_id").orderBy(F.desc("cnt"), F.asc("category"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("customer_id", F.col("category").alias("preferred_category"), F.col("cnt").alias("purchase_cnt"))
+    )
+
+
+def recency_frequency(edges: DataFrame, as_of: str, node_col: str = "src") -> DataFrame:
+    """A8: per-node temporal recency (days since last PURCHASED edge ≤ as_of)
+    and frequency (count of such edges).
+    (reference ``xgboost_model_training.py:147-160``)
+    """
+    return (
+        edges.filter((F.col("type") == "PURCHASED") & (F.col("ts") <= F.lit(as_of)))
+        .groupBy(F.col(node_col).alias("id"))
+        .agg(
+            F.datediff(F.lit(as_of).cast("date"), F.max(F.col("ts")).cast("date")).alias("recency_days"),
+            F.count("*").alias("frequency"),
+        )
+    )
+
+
+def knn_aggregates(sim_edges: DataFrame) -> DataFrame:
+    """A7: per-customer aggregates over similarity-edge weights
+    (reference ``xgboost_training_for_big_data.py:298-318``).
+
+    sim_edges: (src, dst, similarity). One groupBy; stddev_pop with 0 fill
+    matches the reference's np.std over a node's neighbor weights.
+    """
+    return sim_edges.groupBy(F.col("src").alias("id")).agg(
+        F.avg("similarity").alias("knn_avg_similarity"),
+        F.max("similarity").alias("knn_max_similarity"),
+        F.min("similarity").alias("knn_min_similarity"),
+        F.coalesce(F.stddev_pop("similarity"), F.lit(0.0)).alias("knn_std_similarity"),
+    )
+
+
+def target_rates(positives: DataFrame, n_customers_col: str, n_products: int) -> DataFrame:
+    """A9: per-customer positive rate = purchases / |products|.
+
+    Replaces the reference's O(|C|·|P|) membership loop
+    (``xgboost_training_for_big_data.py:185-199``) with one aggregate.
+    """
+    return positives.groupBy(F.col("customer_id").alias("id")).agg(
+        (F.count("*") / F.lit(n_products)).alias("target_rate")
+    )
+
+
+def kfold_target_encoding(
+    df: DataFrame, key: str, label_col: str, id_col: str, n_folds: int = 5
+) -> DataFrame:
+    """A10: K-fold (leakage-free) target encoding of ``key``.
+
+    fold = id % n_folds (deterministic, oracle-reproducible); for each row,
+    encoding = mean(label) of same-key rows in OTHER folds, global-mean
+    fallback. Reference loops sklearn KFold splits
+    (``xgboost_training_for_big_data.py:178-238``); here it is one
+    (key, fold) aggregate + window arithmetic: leave-one-fold-out mean =
+    (sum_all - sum_fold) / (cnt_all - cnt_fold), i.e. NO per-fold self-join
+    — a single shuffle on key regardless of n_folds.
+    """
+    with_fold = df.withColumn("fold", F.pmod(F.col(id_col).cast("long"), F.lit(n_folds)))
+    per_kf = with_fold.groupBy(key, "fold").agg(
+        F.sum(label_col).alias("s"), F.count("*").alias("c")
+    )
+    w_key = Window.partitionBy(key)
+    w_all = Window.partitionBy()
+    enc = per_kf.select(
+        key,
+        "fold",
+        ((F.sum("s").over(w_key) - F.col("s")) / F.nullif(F.sum("c").over(w_key) - F.col("c"), F.lit(0))).alias("loo_mean"),
+        ((F.sum("s").over(w_all) - F.col("s")) / (F.sum("c").over(w_all) - F.col("c"))).alias("global_loo_mean"),
+    )
+    return (
+        with_fold.join(enc, [key, "fold"], "left")
+        .withColumn("target_enc", F.coalesce("loo_mean", "global_loo_mean"))
+        .drop("loo_mean", "global_loo_mean")
+    )
+
+
+def threshold_sweep(scored: DataFrame, prob_col: str, label_col: str, grid=None) -> DataFrame:
+    """W8: F1/precision/recall across a threshold grid in ONE pass.
+
+    Reference iterates thresholds in Python recomputing predictions each time
+    (``xgboost_training_for_big_data.py:662-691``); here the grid is exploded
+    against the scored rows (9× row multiplier, map-side) and one groupBy
+    computes TP/FP/FN counts per threshold.
+    """
+    grid = grid or [round(0.1 * i, 1) for i in range(1, 10)]
+    g = F.explode(F.array(*[F.lit(t) for t in grid])).alias("threshold")
+    e = scored.select(F.col(prob_col).alias("p"), F.col(label_col).alias("y"), g)
+    agg = e.groupBy("threshold").agg(
+        F.sum(F.when((F.col("p") >= F.col("threshold")) & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("p") >= F.col("threshold")) & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("p") < F.col("threshold")) & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+    )
+    prec = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
+    rec = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))
+    return agg.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        F.coalesce(prec, F.lit(0.0)).alias("prec"),
+        F.coalesce(rec, F.lit(0.0)).alias("rec"),
+        F.coalesce(2 * prec * rec / F.nullif(prec + rec, F.lit(0)), F.lit(0.0)).alias("f1"),
+    )

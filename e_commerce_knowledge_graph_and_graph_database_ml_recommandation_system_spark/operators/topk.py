@@ -1,0 +1,144 @@
+"""Top-k / ranking / stochastic selection operators (SURVEY §2.7 W4-W7, §2.12 R1-R5).
+
+The reference serves recommendations with per-customer Python loops: sort by
+probability, greedy category-diversity constraints, temperature-softmax
+sampling (``topk_recommandations_*.py``). Here:
+
+- deterministic top-k          -> one ranking window per customer (W4)
+- category-diverse top-k       -> two stacked windows (W6)
+- weighted sampling w/o repl.  -> Gumbel-top-k: argmax of logit + Gumbel noise
+  over a window — the exact distributional equivalent of the reference's
+  sequential ``np.random.choice`` softmax loop, but embarrassingly parallel
+  (R1-R4; seeded, reproducible)
+- exact sequential greedy      -> applyInPandas escape hatch (R5), grouped by
+  customer so state never exceeds one customer's candidate list
+
+All windows partition by customer — a single shuffle on customer_id; at
+100 TB the candidate table is the big input and this is its only shuffle.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def topk_per_customer(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
+    """W4: plain top-k by score per customer, deterministic tiebreak."""
+    w = Window.partitionBy("customer_id").orderBy(F.desc(score_col), F.asc("product_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def diverse_topk(scored: DataFrame, k: int, score_col: str = "score", per_category: int = 1) -> DataFrame:
+    """W6: category-diverse top-k — at most ``per_category`` picks per
+    (customer, category), then best k overall.
+
+    Declarative contract for the reference's greedy skip-if-category-seen
+    loop (``topk_recommandations_diverse_nodiscounts.py:279-296``; ≤2 variant
+    ``took_recommandations_adamsampling_discount.py:283-288``).
+    """
+    w_cat = Window.partitionBy("customer_id", "category").orderBy(
+        F.desc(score_col), F.asc("product_id")
+    )
+    w_all = Window.partitionBy("customer_id").orderBy(F.desc(score_col), F.asc("product_id"))
+    return (
+        scored.withColumn("cat_rank", F.row_number().over(w_cat))
+        .filter(F.col("cat_rank") <= per_category)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .drop("cat_rank")
+    )
+
+
+def median_per_category(scored: DataFrame, score_col: str = "score") -> DataFrame:
+    """W7: the middle-probability item per (customer, category) — the
+    reference's category-fallback pick
+    (``took_recommandations_adamsampling_discount.py:295-317``).
+    """
+    w = Window.partitionBy("customer_id", "category").orderBy(F.asc(score_col), F.asc("product_id"))
+    cnt = Window.partitionBy("customer_id", "category")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .withColumn("n", F.count("*").over(cnt))
+        .filter(F.col("rn") == (F.col("n") + 1) / 2)  # lower median
+        .drop("rn", "n")
+    )
+
+
+def gumbel_topk(
+    scored: DataFrame,
+    k: int,
+    temperature: float = 2.5,
+    seed: int = 42,
+    score_col: str = "score",
+    noise_scale: float = 0.0,
+    uniform_mix: float = 0.0,
+) -> DataFrame:
+    """R1-R4: temperature-softmax sampling WITHOUT replacement, vectorized.
+
+    Sampling k items with probability ∝ softmax(logit/T) without replacement
+    is equivalent to taking the top-k of ``logit/T + Gumbel(0,1)`` (the
+    Gumbel-top-k trick) — replacing the reference's sequential
+    ``np.random.choice`` loops:
+      R1 T=2.5 (``topk_recommandations_diverse_nodiscounts.py:266-296``)
+      R2 logit+noise T=3-4 (``took_recommandations_softmaxsampling_discount.py:213-241``)
+      R3 T=5 noise=0.15 (``topk_recommandations_stochasticsoftmaxsampling_discount.py:193-228``)
+      R4 0.3·uniform+0.7·p mixture (``took_recommandations_adamsampling_discount.py:58-100``)
+
+    ``rand(seed)`` is seeded per-partition by Spark, deterministic for a fixed
+    plan + partitioning; exact cross-engine parity is intentionally out of
+    scope (distributional invariants are tested instead, SURVEY §5).
+    """
+    p = F.col(score_col)
+    if uniform_mix > 0.0:
+        # R4 mixture: renormalization is monotone per customer -> fold into p
+        w_sum = Window.partitionBy("customer_id")
+        p = uniform_mix / F.count("*").over(w_sum) + (1 - uniform_mix) * p / F.sum(p).over(w_sum)
+    eps = F.lit(1e-10)
+    clipped = F.greatest(F.least(p, F.lit(1 - 1e-10)), eps)
+    logit = F.log(clipped / (F.lit(1.0) - clipped)) / F.lit(temperature)
+    if noise_scale > 0.0:
+        logit = logit + F.randn(seed + 1) * noise_scale
+    gumbel = -F.log(-F.log(F.rand(seed) + eps) + eps)
+    out = scored.withColumn("sample_key", logit + gumbel)
+    w = Window.partitionBy("customer_id").orderBy(F.desc("sample_key"), F.asc("product_id"))
+    return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("sample_key")
+
+
+def greedy_diverse_topk_exact(
+    scored: DataFrame, k: int, score_col: str = "score", max_per_category: int = 1
+) -> DataFrame:
+    """R5: EXACT sequential greedy semantics of the reference's selection loop
+    (``topk_recommandations_diverse_nodiscounts.py:273-296``): walk candidates
+    in score order, skip if the category quota is hit, stop at k.
+
+    Grouped-map Pandas UDF: one Arrow batch per customer (candidate lists are
+    capped ~2k rows, so per-group state is tiny); the only Python on the
+    serving path, used when the windowed contract (diverse_topk) isn't exact
+    enough.
+    """
+    schema_cols = [f.name for f in scored.schema.fields]
+    out_schema = scored.schema.add("rank", "integer") if "rank" not in schema_cols else scored.schema
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([score_col, "product_id"], ascending=[False, True])
+        seen: dict[str, int] = {}
+        rows = []
+        for _, row in pdf.iterrows():
+            cat = row["category"]
+            if seen.get(cat, 0) >= max_per_category:
+                continue
+            seen[cat] = seen.get(cat, 0) + 1
+            r = row.to_dict()
+            r["rank"] = len(rows) + 1
+            rows.append(r)
+            if len(rows) >= k:
+                break
+        return pd.DataFrame(rows, columns=[*schema_cols, "rank"])
+
+    return scored.groupBy("customer_id").applyInPandas(pick, schema=out_schema)

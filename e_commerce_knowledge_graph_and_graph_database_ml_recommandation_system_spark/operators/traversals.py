@@ -1,0 +1,114 @@
+"""Graph traversals as joins (SURVEY §2.5 J1-J7).
+
+The reference walks edges imperatively (``xgboost_model_training.py:85-141``,
+``topk_recommandations_diverse_nodiscounts.py:217-249``). Every traversal here
+is an equi-join on edge endpoints so Catalyst picks the physical strategy
+(shuffle-hash / sort-merge; broadcast when a side is a dim). 2-hop =
+self-join of the edges table on the shared Order endpoint.
+
+Scale notes: the PURCHASED⋈CONTAINS join keys on order id — uniformly
+distributed, shuffle-partitioned, no skew. Candidate generation avoids a
+blind |C|×|P| cross join by deterministic hash-sampling BEFORE the join, the
+declarative analog of the reference's 1500-2000 candidate cap.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Knuth multiplicative hash constant: deterministic pseudo-random selection
+# expressible in any SQL engine (no engine-specific hash()), so the DuckDB
+# oracle reproduces sampling exactly.
+_KNUTH = 2654435761
+
+
+def det_hash(col, modulus: int):
+    """Deterministic pseudo-random bucket in [0, modulus) from a BIGINT key.
+
+    The key is reduced mod 2^31-1 before the Knuth multiply so the product
+    stays under 2^63 — BIGINT overflow is undefined across engines (Spark
+    wraps, DuckDB raises), so the oracle must never hit it.
+    """
+    reduced = F.pmod(col.cast("long"), F.lit(2147483647))
+    return F.pmod(reduced * F.lit(_KNUTH), F.lit(modulus))
+
+
+def positive_pairs(edges: DataFrame) -> DataFrame:
+    """J1: Customer→Order→Product 2-hop, dedup → (customer_id, product_id).
+
+    reference: ``xgboost_model_training.py:85-103`` (nested edge scans).
+    """
+    purchased = edges.filter(F.col("type") == "PURCHASED").select(
+        F.col("src").alias("customer_id"), F.col("dst").alias("order_id")
+    )
+    contains = edges.filter(F.col("type") == "CONTAINS").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("product_id")
+    )
+    return (
+        purchased.join(contains, "order_id")
+        .select("customer_id", "product_id")
+        .distinct()
+    )
+
+
+def positive_pairs_after(edges: DataFrame, cutoff: str) -> DataFrame:
+    """J3: temporally filtered 2-hop — only PURCHASED edges newer than cutoff
+    (reference ``Neural_network_multi_towered_training.py:330-375``).
+    The ts filter is applied before the join → pushed to the scan."""
+    purchased = (
+        edges.filter((F.col("type") == "PURCHASED") & (F.col("ts") > F.lit(cutoff)))
+        .select(F.col("src").alias("customer_id"), F.col("dst").alias("order_id"))
+    )
+    contains = edges.filter(F.col("type") == "CONTAINS").select(
+        F.col("src").alias("order_id"), F.col("dst").alias("product_id")
+    )
+    return purchased.join(contains, "order_id").select("customer_id", "product_id").distinct()
+
+
+def negative_pairs(edges: DataFrame, nodes: DataFrame, modulus: int = 7) -> DataFrame:
+    """J4: negative sampling — (customer, product) pairs NOT purchased.
+
+    The reference draws random pairs and rejects hits
+    (``xgboost_model_training.py:124-141``). Distributed + reproducible
+    version: deterministic-hash-select a subset of the cross space, then one
+    LEFT ANTI join against positives. No rejection loop, no driver round
+    trips; the pair space is sampled *before* materialization so the cross
+    join never exceeds |C|·|P|/modulus rows.
+    """
+    customers = nodes.filter(F.col("label") == "Customer").select(F.col("id").alias("customer_id"))
+    products = nodes.filter(F.col("label") == "Product").select(F.col("id").alias("product_id"))
+    pos = positive_pairs(edges)
+
+    # numeric keys back out of the string ids for deterministic hashing;
+    # small-prime mix keeps every intermediate far below 2^63 at any scale
+    pairs = (
+        customers.crossJoin(products)
+        .withColumn("ckey", F.split(F.col("customer_id"), "_").getItem(1).try_cast("long"))
+        .withColumn("pkey", F.split(F.col("product_id"), "_").getItem(1).try_cast("long"))
+        .filter(F.pmod(F.col("ckey") * F.lit(131) + F.col("pkey") * F.lit(7919), F.lit(modulus)) == 0)
+        .select("customer_id", "product_id")
+    )
+    return pairs.join(pos, ["customer_id", "product_id"], "left_anti")
+
+
+def purchased_exclusion_candidates(edges: DataFrame, nodes: DataFrame) -> DataFrame:
+    """J6+J7: candidate (customer, valid product) pairs excluding already-
+    purchased products (reference ``topk_recommandations_diverse_nodiscounts.py:
+    189-249``: validity filter + per-customer exclusion loop).
+
+    valid product = category/brand present and stock > 0 (P10).
+    """
+    customers = nodes.filter(F.col("label") == "Customer").select(F.col("id").alias("customer_id"))
+    valid_products = nodes.filter(
+        (F.col("label") == "Product")
+        & F.col("category").isNotNull()
+        & (F.col("category") != "")
+        & F.col("brand").isNotNull()
+        & (F.col("stock") > 0)
+    ).select(F.col("id").alias("product_id"), "category", "price")
+    pos = positive_pairs(edges)
+    return (
+        customers.crossJoin(valid_products)
+        .join(pos, ["customer_id", "product_id"], "left_anti")
+    )

@@ -1,0 +1,115 @@
+"""Flagship query: top-k diverse recommendations by popularity×recency.
+
+The reference's core retrieval shape (EP3, SURVEY §3) without the learned
+model: candidate generation with purchased-exclusion, popularity/recency
+scoring, category-diverse top-k per customer. Pure DataFrame ops — scans,
+broadcast + anti joins, aggregation, stacked windows — and DuckDB-oracle
+checkable end to end.
+
+reference trace: valid-product filter ``topk_recommandations_diverse_
+nodiscounts.py:189-201`` → exclusion ``:217-226`` → scoring ``:256-262``
+(model prob; here popularity×recency proxy) → greedy diverse pick ``:279-296``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_tables
+
+AS_OF = "2002-01-01"
+
+
+def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k diverse recommendations per customer.
+
+    Works directly on the relational tables (graph edge semantics inlined:
+    orders≡PURCHASED, lineitem≡CONTAINS) so the whole plan is one Catalyst
+    DAG — scans prune to the consumed columns only, `part` broadcasts, and
+    the only big shuffles are the positive-pair distinct and the final
+    per-customer window.
+    """
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem", "part"))
+    customer, orders, lineitem, part = t["customer"], t["orders"], t["lineitem"], t["part"]
+
+    # product popularity + recency from CONTAINS (lineitem) — one aggregate
+    prod_stats = lineitem.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
+        F.count("*").alias("popularity"),
+        F.datediff(F.lit(AS_OF).cast("date"), F.max("l_shipdate").cast("date")).alias("recency_days"),
+    )
+
+    # valid products (P10 analog) scored by popularity × recency decay
+    valid = (
+        part.filter((F.col("p_size") > 0) & F.col("p_type").isNotNull())
+        .join(prod_stats, "p_partkey", "left")
+        .na.fill({"popularity": 0, "recency_days": 3650})
+        .select(
+            F.col("p_partkey"),
+            F.col("p_name"),
+            F.col("p_type").alias("category"),
+            F.round(F.col("popularity") / (F.lit(1.0) + F.col("recency_days") / F.lit(365.0)), 6).alias("score"),
+        )
+    )
+
+    # purchased (customer, product) pairs via the 2-hop join (J1)
+    purchased = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_partkey"), orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
+
+    # candidates: every (customer, valid product) minus purchased (J6/J7)
+    candidates = (
+        customer.select("c_custkey")
+        .crossJoin(F.broadcast(valid))
+        .join(purchased, ["c_custkey", "p_partkey"], "left_anti")
+    )
+
+    # category-diverse top-k (W6): ≤1 per category, best k overall
+    w_cat = Window.partitionBy("c_custkey", "category").orderBy(F.desc("score"), F.asc("p_partkey"))
+    w_all = Window.partitionBy("c_custkey").orderBy(F.desc("score"), F.asc("p_partkey"))
+    return (
+        candidates.withColumn("cat_rank", F.row_number().over(w_cat))
+        .filter(F.col("cat_rank") == 1)
+        .withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .select("c_custkey", "rank", "p_partkey", "p_name", "category", "score")
+    )
+
+
+FLAGSHIP_ORACLE_SQL = f"""
+WITH prod_stats AS (
+    SELECT l_partkey AS p_partkey,
+           COUNT(*) AS popularity,
+           datediff('day', CAST(MAX(l_shipdate) AS DATE), DATE '{AS_OF}') AS recency_days
+    FROM lineitem GROUP BY l_partkey
+),
+valid AS (
+    SELECT p.p_partkey, p.p_name, p.p_type AS category,
+           ROUND(COALESCE(s.popularity, 0) / (1.0 + COALESCE(s.recency_days, 3650) / 365.0), 6) AS score
+    FROM part p LEFT JOIN prod_stats s ON p.p_partkey = s.p_partkey
+    WHERE p.p_size > 0 AND p.p_type IS NOT NULL
+),
+purchased AS (
+    SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+candidates AS (
+    SELECT c.c_custkey, v.*
+    FROM customer c CROSS JOIN valid v
+    ANTI JOIN purchased p ON p.c_custkey = c.c_custkey AND p.p_partkey = v.p_partkey
+),
+cat_ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY c_custkey, category ORDER BY score DESC, p_partkey ASC) AS cat_rank
+    FROM candidates
+),
+ranked AS (
+    SELECT c_custkey, p_partkey, p_name, category, score,
+           ROW_NUMBER() OVER (PARTITION BY c_custkey ORDER BY score DESC, p_partkey ASC) AS rank
+    FROM cat_ranked WHERE cat_rank = 1
+)
+SELECT c_custkey, rank, p_partkey, p_name, category, score
+FROM ranked WHERE rank <= 3
+"""

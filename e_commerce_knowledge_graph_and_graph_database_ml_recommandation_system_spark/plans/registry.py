@@ -1,0 +1,474 @@
+"""Named query registry: every implemented operator from SURVEY.md §2 is
+registered here as (spark callable, DuckDB oracle SQL | None).
+
+Conventions for cross-engine hash parity:
+- every computed column aliased identically in Spark and SQL
+- doubles rounded to 6 dp on output (rounding is monotone, so orderings
+  used for ranking never invert; summation-order ULP noise disappears)
+- all sampling is deterministic arithmetic (Knuth multiplicative hash),
+  never engine RNG
+- ranking windows always carry a total deterministic ORDER BY (score desc,
+  id asc)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph.build import build_edges, build_graph, build_nodes, graph_stats
+from ..operators import aggregates as agg_ops
+from ..operators import degrees as deg_ops
+from ..operators import traversals as trav
+from ..sources.tables import load_tables
+from .flagship import FLAGSHIP_ORACLE_SQL, flagship
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]  # DuckDB SQL, None -> rows-only check
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    def deco(fn):
+        _REGISTRY[name] = QuerySpec(fn, oracle)
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: spec.oracle for name, spec in _REGISTRY.items() if spec.oracle is not None}
+
+
+# --------------------------------------------------------------------------
+# Shared SQL prelude: the property graph as CTEs, mirroring graph/build.py
+# exactly (same ids, same dvid derivation). Prepended to graph-query oracles.
+# --------------------------------------------------------------------------
+
+GRAPH_EDGES_CTE = """
+edges AS (
+    SELECT concat_ws('_', 'cust', o_custkey) AS src,
+           concat_ws('_', 'order', o_orderkey) AS dst,
+           'PURCHASED' AS type, o_orderdate AS ts,
+           CAST(NULL AS DOUBLE) AS qty, CAST(NULL AS DOUBLE) AS rate,
+           CAST(o_orderkey % 5 + 1 AS INT) AS dvid
+    FROM orders
+    UNION ALL
+    SELECT concat_ws('_', 'order', l_orderkey),
+           concat_ws('_', 'prod', l_partkey),
+           'CONTAINS', l_shipdate, l_quantity, l_extendedprice,
+           CAST(l_orderkey % 5 + 1 AS INT)
+    FROM lineitem
+    UNION ALL
+    SELECT concat_ws('_', 'order', o_orderkey),
+           concat_ws('_', 'loc', c_nationkey),
+           'SHIPPED_TO', o_orderdate, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(o_orderkey % 5 + 1 AS INT)
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    UNION ALL
+    SELECT DISTINCT concat_ws('_', 'prod', p_partkey),
+           concat_ws('_', 'cat', p_type),
+           'BELONGS_TO', CAST(NULL AS TIMESTAMP), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+           CAST(1 AS INT)
+    FROM part
+)
+"""
+
+GRAPH_NODES_CTE = """
+nodes AS (
+    SELECT concat_ws('_', 'cust', c_custkey) AS id, 'Customer' AS label,
+           1 AS dvid, c_name AS name, NULL AS category
+    FROM customer
+    UNION ALL
+    SELECT concat_ws('_', 'prod', p_partkey), 'Product', 1, p_name, p_type
+    FROM part
+    UNION ALL
+    SELECT concat_ws('_', 'order', o_orderkey), 'Order',
+           CAST(o_orderkey % 5 + 1 AS INT), NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT concat_ws('_', 'loc', n_nationkey), 'Location', 1, n_name, NULL
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    UNION ALL
+    SELECT DISTINCT concat_ws('_', 'cat', p_type), 'Category', 1, p_type, NULL
+    FROM part
+)
+"""
+
+
+GRAPH_TABLES = ("customer", "orders", "lineitem", "part", "nation", "region")
+
+
+def _graph(spark: SparkSession, sf_dir: str):
+    return build_graph(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+
+
+# --------------------------------------------------------------------------
+# Flagship (EP3 retrieval shape)
+# --------------------------------------------------------------------------
+
+register("flagship_diverse_topk", FLAGSHIP_ORACLE_SQL)(flagship)
+
+
+# --------------------------------------------------------------------------
+# G5: graph stats
+# --------------------------------------------------------------------------
+
+
+@register(
+    "graph_stats",
+    f"""
+WITH {GRAPH_NODES_CTE.strip()},
+{GRAPH_EDGES_CTE.strip()}
+SELECT 'node' AS kind, label AS key, COUNT(*) AS cnt FROM nodes GROUP BY label
+UNION ALL
+SELECT 'edge', type, COUNT(*) FROM edges GROUP BY type
+""",
+)
+def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _graph(spark, sf_dir)
+    return graph_stats(nodes, edges)
+
+
+# --------------------------------------------------------------------------
+# A1: node degrees
+# --------------------------------------------------------------------------
+
+
+@register(
+    "node_degrees",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+both_ends AS (
+    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges
+)
+SELECT id, COUNT(*) AS degree FROM both_ends GROUP BY id
+""",
+)
+def q_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return deg_ops.node_degrees(edges)
+
+
+@register(
+    "in_out_degrees",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+o AS (SELECT src AS id, COUNT(*) AS out_degree FROM edges GROUP BY src),
+i AS (SELECT dst AS id, COUNT(*) AS in_degree FROM edges GROUP BY dst)
+SELECT COALESCE(o.id, i.id) AS id,
+       COALESCE(out_degree, 0) AS out_degree,
+       COALESCE(in_degree, 0) AS in_degree
+FROM o FULL OUTER JOIN i ON o.id = i.id
+""",
+)
+def q_in_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return deg_ops.in_out_degrees(edges)
+
+
+# --------------------------------------------------------------------------
+# A1-A3 + W1-W3: degree feature block
+# --------------------------------------------------------------------------
+
+
+@register(
+    "degree_features",
+    f"""
+WITH {GRAPH_NODES_CTE.strip()},
+{GRAPH_EDGES_CTE.strip()},
+both_ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (SELECT id, COUNT(*) AS degree FROM both_ends GROUP BY id),
+d AS (
+    SELECT n.id, n.label, COALESCE(deg.degree, 0) AS degree
+    FROM nodes n LEFT JOIN deg ON n.id = deg.id
+)
+SELECT id, label, degree,
+       ROUND(ln(1 + degree), 6) AS log_degree,
+       ROUND(cume_dist() OVER (ORDER BY degree), 6) AS degree_percentile,
+       ROUND(COALESCE((degree - avg(degree) OVER ()) / NULLIF(stddev_pop(degree) OVER (), 0), 0), 6) AS degree_zscore,
+       ROUND(COALESCE((degree - avg(degree) OVER (PARTITION BY label))
+             / NULLIF(stddev_pop(degree) OVER (PARTITION BY label), 0), 0), 6) AS type_degree_zscore
+FROM d
+""",
+)
+def q_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _graph(spark, sf_dir)
+    df = deg_ops.degree_features(nodes, edges)
+    return df.select(
+        "id",
+        "label",
+        "degree",
+        F.round("log_degree", 6).alias("log_degree"),
+        F.round("degree_percentile", 6).alias("degree_percentile"),
+        F.round("degree_zscore", 6).alias("degree_zscore"),
+        F.round("type_degree_zscore", 6).alias("type_degree_zscore"),
+    )
+
+
+# --------------------------------------------------------------------------
+# J1/J3: traversals
+# --------------------------------------------------------------------------
+
+
+@register(
+    "positive_pairs",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()}
+SELECT DISTINCT p.src AS customer_id, c.dst AS product_id
+FROM edges p JOIN edges c ON p.dst = c.src
+WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
+""",
+)
+def q_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return trav.positive_pairs(edges)
+
+
+@register(
+    "positive_pairs_after_cutoff",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()}
+SELECT DISTINCT p.src AS customer_id, c.dst AS product_id
+FROM edges p JOIN edges c ON p.dst = c.src
+WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
+  AND p.ts > TIMESTAMP '1999-01-01 00:00:00'
+""",
+)
+def q_positive_pairs_after_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return trav.positive_pairs_after(edges, "1999-01-01")
+
+
+@register(
+    "negative_pairs",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+pos AS (
+    SELECT DISTINCT p.src AS customer_id, c.dst AS product_id
+    FROM edges p JOIN edges c ON p.dst = c.src
+    WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
+),
+pairs AS (
+    SELECT concat_ws('_', 'cust', c_custkey) AS customer_id,
+           concat_ws('_', 'prod', p_partkey) AS product_id
+    FROM customer CROSS JOIN part
+    WHERE (c_custkey * 131 + p_partkey * 7919) % 7 = 0
+)
+SELECT customer_id, product_id FROM pairs
+ANTI JOIN pos USING (customer_id, product_id)
+""",
+)
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _graph(spark, sf_dir)
+    return trav.negative_pairs(edges, nodes)
+
+
+# --------------------------------------------------------------------------
+# A5/X10: preferred category
+# --------------------------------------------------------------------------
+
+
+@register(
+    "preferred_category",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+prod_cat AS (
+    SELECT concat_ws('_', 'prod', p_partkey) AS product_id, p_type AS category FROM part
+),
+counts AS (
+    SELECT p.src AS customer_id, pc.category, COUNT(*) AS cnt
+    FROM edges p
+    JOIN edges c ON p.dst = c.src AND c.type = 'CONTAINS'
+    JOIN prod_cat pc ON c.dst = pc.product_id
+    WHERE p.type = 'PURCHASED'
+    GROUP BY p.src, pc.category
+)
+SELECT customer_id, category AS preferred_category, cnt AS purchase_cnt
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id ORDER BY cnt DESC, category ASC) AS rn
+      FROM counts)
+WHERE rn = 1
+""",
+)
+def q_preferred_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges = _graph(spark, sf_dir)
+    return agg_ops.preferred_category(edges, nodes)
+
+
+# --------------------------------------------------------------------------
+# A8: recency / frequency
+# --------------------------------------------------------------------------
+
+
+@register(
+    "recency_frequency",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()}
+SELECT src AS id,
+       datediff('day', CAST(MAX(ts) AS DATE), DATE '2000-01-01') AS recency_days,
+       COUNT(*) AS frequency
+FROM edges
+WHERE type = 'PURCHASED' AND ts <= TIMESTAMP '2000-01-01 00:00:00'
+GROUP BY src
+""",
+)
+def q_recency_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return agg_ops.recency_frequency(edges, "2000-01-01")
+
+
+# --------------------------------------------------------------------------
+# A10: K-fold target encoding over positive/negative training pairs
+# --------------------------------------------------------------------------
+
+
+@register(
+    "kfold_target_encoding",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+pos AS (
+    SELECT DISTINCT p.src AS customer_id, c.dst AS product_id
+    FROM edges p JOIN edges c ON p.dst = c.src
+    WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
+),
+neg AS (
+    SELECT customer_id, product_id FROM (
+        SELECT concat_ws('_', 'cust', c_custkey) AS customer_id,
+               concat_ws('_', 'prod', p_partkey) AS product_id
+        FROM customer CROSS JOIN part
+        WHERE (c_custkey * 131 + p_partkey * 7919) % 7 = 0
+    ) ANTI JOIN pos USING (customer_id, product_id)
+),
+train AS (
+    SELECT customer_id, product_id, 1 AS label,
+           CAST(string_split(product_id, '_')[2] AS BIGINT) AS pkey FROM pos
+    UNION ALL
+    SELECT customer_id, product_id, 0,
+           CAST(string_split(product_id, '_')[2] AS BIGINT) FROM neg
+),
+tf AS (
+    SELECT t.*, p.p_type AS category, pkey % 5 AS fold
+    FROM train t JOIN part p ON t.pkey = p.p_partkey
+),
+per_kf AS (
+    SELECT category, fold, SUM(label) AS s, COUNT(*) AS c
+    FROM tf GROUP BY category, fold
+),
+enc AS (
+    SELECT category, fold,
+           (SUM(s) OVER (PARTITION BY category) - s)
+             / NULLIF(SUM(c) OVER (PARTITION BY category) - c, 0) AS loo_mean,
+           (SUM(s) OVER () - s) / (SUM(c) OVER () - c) AS global_loo_mean
+    FROM per_kf
+)
+SELECT tf.customer_id, tf.product_id, tf.label, tf.category, tf.fold,
+       ROUND(COALESCE(enc.loo_mean, enc.global_loo_mean), 6) AS target_enc
+FROM tf JOIN enc ON tf.category = enc.category AND tf.fold = enc.fold
+""",
+)
+def q_kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    nodes, edges = build_nodes(tables), build_edges(tables)
+    pos = trav.positive_pairs(edges).withColumn("label", F.lit(1))
+    neg = trav.negative_pairs(edges, nodes).withColumn("label", F.lit(0))
+    train = pos.unionByName(neg).withColumn(
+        "pkey", F.split(F.col("product_id"), "_").getItem(1).try_cast("long")
+    )
+    part = tables["part"].select(
+        F.col("p_partkey").alias("pkey"), F.col("p_type").alias("category")
+    )
+    tf = train.join(part, "pkey")
+    enc = agg_ops.kfold_target_encoding(tf, key="category", label_col="label", id_col="pkey")
+    return enc.select(
+        "customer_id",
+        "product_id",
+        "label",
+        "category",
+        "fold",
+        F.round("target_enc", 6).alias("target_enc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# W8: threshold sweep over a deterministic pseudo-score
+# --------------------------------------------------------------------------
+
+_SCORE_SQL = "((c_custkey * 131 + p_partkey * 7919) % 1000) / 1000.0"
+
+
+@register(
+    "threshold_sweep",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+pos AS (
+    SELECT DISTINCT p.src AS customer_id, c.dst AS product_id
+    FROM edges p JOIN edges c ON p.dst = c.src
+    WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
+),
+scored AS (
+    SELECT {_SCORE_SQL} AS p,
+           CASE WHEN pos.customer_id IS NOT NULL THEN 1 ELSE 0 END AS y
+    FROM customer CROSS JOIN part
+    LEFT JOIN pos ON pos.customer_id = concat_ws('_', 'cust', c_custkey)
+                 AND pos.product_id = concat_ws('_', 'prod', p_partkey)
+    WHERE ((c_custkey * 7 + p_partkey) % 13) = 0
+),
+grid AS (SELECT UNNEST([0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS threshold),
+agg AS (
+    SELECT threshold,
+           CAST(SUM(CASE WHEN p >= threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN p >= threshold AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN p < threshold AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM scored CROSS JOIN grid GROUP BY threshold
+)
+SELECT ROUND(threshold, 1) AS threshold, tp, fp, fn,
+       ROUND(COALESCE(tp / NULLIF(tp + fp, 0), 0), 6) AS prec,
+       ROUND(COALESCE(tp / NULLIF(tp + fn, 0), 0), 6) AS rec,
+       ROUND(COALESCE(2.0 * (tp / NULLIF(tp + fp, 0)) * (tp / NULLIF(tp + fn, 0))
+             / NULLIF(tp / NULLIF(tp + fp, 0) + tp / NULLIF(tp + fn, 0), 0), 0), 6) AS f1
+FROM agg
+""",
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    edges = build_edges(tables)
+    pos = trav.positive_pairs(edges)
+    cp = (
+        tables["customer"].select("c_custkey")
+        .crossJoin(tables["part"].select("p_partkey"))
+        .filter(F.pmod(F.col("c_custkey") * 7 + F.col("p_partkey"), F.lit(13)) == 0)
+        .withColumn("customer_id", F.concat_ws("_", F.lit("cust"), F.col("c_custkey")))
+        .withColumn("product_id", F.concat_ws("_", F.lit("prod"), F.col("p_partkey")))
+    )
+    scored = (
+        cp.join(pos.withColumn("hit", F.lit(1)), ["customer_id", "product_id"], "left")
+        .select(
+            (
+                F.pmod(F.col("c_custkey") * 131 + F.col("p_partkey") * 7919, F.lit(1000))
+                / F.lit(1000.0)
+            ).alias("p"),
+            F.coalesce(F.col("hit"), F.lit(0)).alias("y"),
+        )
+    )
+    out = agg_ops.threshold_sweep(scored, "p", "y")
+    return out.select(
+        F.round("threshold", 1).alias("threshold"),
+        "tp",
+        "fp",
+        "fn",
+        F.round("prec", 6).alias("prec"),
+        F.round("rec", 6).alias("rec"),
+        F.round("f1", 6).alias("f1"),
+    )

@@ -1,0 +1,40 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[$SPARK_GRAFT_CPUS]``; the conf below is chosen so
+the same logical plans survive a 1000-executor / 100-TB deployment:
+AQE handles skew + runtime coalesce, broadcast threshold keeps dim/feature
+joins shuffle-free, Arrow makes the few pandas-grouped ops batch-transfer.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "ekg-spark", shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``shuffle_partitions`` defaults to the local core count; on a real
+    cluster it should be ~2-3x total executor cores (set via submit conf,
+    which wins because we only set defaults here when absent).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
