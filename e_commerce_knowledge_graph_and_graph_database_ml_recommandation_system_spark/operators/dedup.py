@@ -1,0 +1,181 @@
+"""Document deduplication operators for the 100-TB training-data pipeline.
+
+Beyond-reference scope (BASELINE.json north star): exact dedup, MinHash+LSH,
+SimHash, and n-gram Jaccard near-dup over the ``documents`` table. All
+variants are pure DataFrame ops with engine-agnostic hashing (md5-based, see
+functions/text.py) so every one of them is DuckDB-oracle-checkable.
+
+Scale design notes:
+- exact dedup: one hash aggregate on the normalized text (at 100 TB, group
+  by md5 fingerprint instead of the full text to keep shuffle rows narrow).
+- MinHash-LSH: signatures are per-doc aggregates over exploded shingles
+  (shuffle keyed by doc — uniform); candidate pairs come from BAND BUCKET
+  equi-joins, never an all-pairs cross join. Hot buckets (boilerplate docs)
+  are the skew risk — AQE skew-join handles moderate cases; a bucket-size
+  cap is the documented escape hatch.
+- SimHash: 4 bands × 8 bits; hamming ≤ 3 ⟹ at least one intact band
+  (pigeonhole), so the banded equi-join finds EXACTLY the brute-force pair
+  set — verified against the brute-force oracle.
+- n-gram Jaccard: shared-shingle equi-join with per-shingle frequency
+  implicit; intersection counts via groupBy, union via |A|+|B|-∩.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int32, normalize_text, word_ngrams, words
+
+# MinHash permutation constants: a_i * h + b_i mod P (P = prime > 2^32).
+# a_i < 2^30 keeps a_i * h < 2^62 — no BIGINT overflow in any engine.
+MINHASH_PRIME = 4294967311
+_A = [832871433, 559922389, 183334913, 979034803, 468068743, 119344951,
+      722110437, 642435901, 305427481, 871923247, 64913367, 421560389,
+      991230931, 235394093, 789023871, 342898247]
+_B = [453975931, 898523291, 123873189, 678203437, 982365101, 321587093,
+      564738291, 789012347, 234567891, 876543211, 135792467, 246813579,
+      369125847, 481736259, 592847361, 603958473]
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact duplicate groups on normalized text: canonical (min) doc_id,
+    group size. One hash aggregate; only groups with >1 member returned."""
+    return (
+        docs.select("doc_id", normalize_text(F.col("text")).alias("norm"))
+        .groupBy("norm")
+        .agg(F.min("doc_id").alias("canonical_doc_id"), F.count("*").alias("dup_count"))
+        .filter(F.col("dup_count") > 1)
+        .select("canonical_doc_id", "dup_count")
+    )
+
+
+def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the base relation for Jaccard and
+    MinHash. Explode is map-side; distinct shuffles on (doc, shingle)."""
+    return (
+        docs.select("doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (a < b, jaccard >= t).
+
+    intersection via self-join on shingle + groupBy pair; union = |A|+|B|-∩.
+    """
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 16) -> DataFrame:
+    """MinHash signature per doc: sig_i = min over shingles of
+    (a_i * h32(shingle) + b_i) mod P. Columns: doc_id, sig_0..sig_{k-1}.
+
+    One explode + one groupBy(doc_id) with k min-aggregates (map-side
+    combinable — the shuffle carries k longs per doc, not the shingles).
+    Docs with no shingles (< n words) are kept with sentinel P (max)."""
+    sh = doc_shingles(docs, n).withColumn("h", md5_int32(F.col("shingle")))
+    aggs = [
+        F.min(F.pmod(F.lit(_A[i]) * F.col("h") + F.lit(_B[i]), F.lit(MINHASH_PRIME))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    sigs = sh.groupBy("doc_id").agg(*aggs)
+    all_docs = docs.select("doc_id")
+    fill = {f"sig_{i}": MINHASH_PRIME for i in range(num_hashes)}
+    return all_docs.join(sigs, "doc_id", "left").na.fill(fill)
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one full signature band
+    (bands × rows = num_hashes). Equi-join per band on the band key — the
+    scale path for near-dup at 100 TB (no cross join anywhere)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(docs, n, num_hashes)
+    band_cols = [
+        F.concat_ws("_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    stacked = banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band_key"),
+    )
+    a = stacked.select(F.col("doc_id").alias("doc_a"), "band_key")
+    b = stacked.select(F.col("doc_id").alias("doc_b"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc from distinct-token hashes: bit j of the
+    fingerprint is 1 iff sum over tokens of (2*bit_j(h)-1) > 0.
+
+    Explode (doc, token) × 32 bits → one groupBy(doc) — entirely JVM-side
+    integer arithmetic."""
+    toks = (
+        docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+        .withColumn("h", md5_int32(F.col("tok")))
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(31))).alias("j")
+    contrib = toks.select("doc_id", "h", bit).withColumn(
+        "v", F.expr("shiftright(h, j) & 1") * 2 - 1
+    )
+    return (
+        contrib.groupBy("doc_id", "j")
+        .agg(F.sum("v").alias("w"))
+        .withColumn("bitval", F.when(F.col("w") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0).cast("long")))
+        .groupBy("doc_id")
+        .agg(F.sum("bitval").alias("simhash"))
+    )
+
+
+def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4-band LSH.
+
+    With 4 bands of 8 bits, any pair within hamming 3 shares an intact band
+    (pigeonhole) — so the banded equi-join returns EXACTLY the brute-force
+    answer while scaling as an equi-join."""
+    sh = simhash(docs)
+    stacked = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.concat_ws("_", F.lit(b), F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)))
+                for b in range(4)
+            ])
+        ).alias("band_key"),
+    )
+    a = stacked.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"), "band_key")
+    b = stacked.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"), "band_key")
+    return (
+        a.join(b, "band_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

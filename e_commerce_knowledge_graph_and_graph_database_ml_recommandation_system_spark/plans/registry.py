@@ -472,3 +472,8 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rec", 6).alias("rec"),
         F.round("f1", 6).alias("f1"),
     )
+
+
+# late import: registers dedup/text/similarity queries (avoids circularity —
+# registry_text pulls `register` from this module, which exists by now)
+from . import registry_text  # noqa: E402,F401  isort:skip

@@ -1,0 +1,363 @@
+"""Registry entries: dedup / text-analysis / similarity operators over the
+``documents`` and ``embeddings`` tables (the 100-TB training-data-pipeline
+surface). Imported by plans/registry for side-effect registration.
+
+Oracle-parity notes: shingling, MinHash and SimHash use the md5-based 32-bit
+hash (functions/text.py) so DuckDB reproduces signatures bit-for-bit; all
+SQL is generated from the same constants as the Spark code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import SQL_MD5_INT32, SQL_NORMALIZE, SQL_WORDS, sql_word_ngrams
+from ..operators import dedup as dd
+from ..operators import similarity as sim
+from ..operators import text_analysis as ta
+from ..operators.dedup import MINHASH_PRIME, _A, _B
+from ..sources.tables import load_table
+from .registry import register
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+_NORM = SQL_NORMALIZE.format(c="text")
+
+
+@register(
+    "dedup_exact",
+    f"""
+SELECT canonical_doc_id, dup_count FROM (
+    SELECT MIN(doc_id) AS canonical_doc_id, COUNT(*) AS dup_count
+    FROM (SELECT doc_id, {_NORM} AS norm FROM documents)
+    GROUP BY norm
+) WHERE dup_count > 1
+""",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+_SHINGLES_CTE = f"""
+sh AS (
+    SELECT DISTINCT doc_id, unnest({sql_word_ngrams("text", 3)}) AS shingle
+    FROM documents
+)
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH {_SHINGLES_CTE.strip()},
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+""",
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), n=3, threshold=0.5)
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash signatures + LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+_N_HASHES = 16
+_SIG_EXPRS = ",\n           ".join(
+    f"MIN(({_A[i]} * h + {_B[i]}) % {MINHASH_PRIME}) AS sig_{i}" for i in range(_N_HASHES)
+)
+_SIG_COALESCE = ",\n       ".join(
+    f"COALESCE(sig_{i}, {MINHASH_PRIME}) AS sig_{i}" for i in range(_N_HASHES)
+)
+
+_MINHASH_CTE = f"""
+{_SHINGLES_CTE.strip()},
+hashed AS (
+    SELECT doc_id, {SQL_MD5_INT32.format(c="shingle")} AS h FROM sh
+),
+rawsigs AS (
+    SELECT doc_id,
+           {_SIG_EXPRS}
+    FROM hashed GROUP BY doc_id
+),
+sigs AS (
+    SELECT d.doc_id,
+       {_SIG_COALESCE}
+    FROM documents d LEFT JOIN rawsigs USING (doc_id)
+)
+"""
+
+
+@register(
+    "minhash_signatures",
+    f"""
+WITH {_MINHASH_CTE.strip()}
+SELECT * FROM sigs
+""",
+)
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_signatures(load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES)
+
+
+_BANDS = 4
+_ROWS = _N_HASHES // _BANDS
+_BAND_SELECTS = "\n    UNION ALL\n    ".join(
+    "SELECT doc_id, concat_ws('_', '{b}', {cols}) AS band_key FROM sigs".format(
+        b=b, cols=", ".join(f"sig_{b * _ROWS + r}" for r in range(_ROWS))
+    )
+    for b in range(_BANDS)
+)
+
+
+@register(
+    "minhash_lsh_pairs",
+    f"""
+WITH {_MINHASH_CTE.strip()},
+banded AS (
+    {_BAND_SELECTS}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b
+  ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+""",
+)
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES, bands=_BANDS)
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash + banded near-dup
+# ---------------------------------------------------------------------------
+
+_SIMHASH_CTE = f"""
+toks AS (
+    SELECT DISTINCT doc_id, unnest({SQL_WORDS.format(c="text")}) AS tok FROM documents
+),
+th AS (
+    SELECT doc_id, {SQL_MD5_INT32.format(c="tok")} AS h FROM toks WHERE tok <> ''
+),
+bitw AS (
+    SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS w
+    FROM th CROSS JOIN (SELECT unnest(range(0, 32)) AS j)
+    GROUP BY doc_id, j
+),
+sims AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN w > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bitw GROUP BY doc_id
+)
+"""
+
+
+@register(
+    "simhash",
+    f"""
+WITH {_SIMHASH_CTE.strip()}
+SELECT * FROM sims
+""",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "simhash_near_dup",
+    f"""
+WITH {_SIMHASH_CTE.strip()}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.simhash_near_dup(load_table(spark, "documents", sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_stats",
+    f"""
+WITH w AS (SELECT doc_id, text, {SQL_WORDS.format(c="text")} AS ws FROM documents)
+SELECT doc_id,
+       CAST(len(ws) AS BIGINT) AS ws_tokens,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS bpe_est_tokens,
+       CAST(len(list_distinct(ws)) AS BIGINT) AS distinct_tokens,
+       ROUND(len(list_distinct(ws)) / NULLIF(len(ws), 0), 6) AS ttr
+FROM w
+""",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ta.token_stats(load_table(spark, "documents", sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("ws_tokens").cast("long").alias("ws_tokens"),
+        "bpe_est_tokens",
+        F.col("distinct_tokens").cast("long").alias("distinct_tokens"),
+        "ttr",
+    )
+
+
+_EN_SW = ", ".join(f"'{s}'" for s in ta.LANG_STOPWORDS["en"])
+
+
+@register(
+    "quality_scores",
+    f"""
+WITH base AS (
+    SELECT doc_id, text,
+           {SQL_WORDS.format(c="text")} AS ws,
+           length(text) AS n_chars,
+           length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS punct,
+           len(list_intersect(list_distinct({SQL_WORDS.format(c="text")}), [{_EN_SW}])) AS stop_hits,
+           length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha
+    FROM documents
+)
+SELECT doc_id,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(len(ws) AS INTEGER) AS n_words,
+       ROUND(punct / NULLIF(CAST(n_chars AS DOUBLE), 0), 6) AS punct_ratio,
+       ROUND(stop_hits / NULLIF(CAST(len(ws) AS DOUBLE), 0), 6) AS stopword_ratio,
+       ROUND((length({_NORM}) - (len(ws) - 1)) / NULLIF(len(ws), 0), 6) AS mean_word_len,
+       ROUND(n_alpha / NULLIF(CAST(n_chars AS DOUBLE), 0), 6) AS alpha_ratio,
+       ROUND(LEAST(len(ws) / 20.0, 1.0) * 0.3
+             + (1.0 - LEAST(punct / NULLIF(CAST(n_chars AS DOUBLE), 0), 1.0)) * 0.2
+             + LEAST(stop_hits / 3.0, 1.0) * 0.3
+             + COALESCE(n_alpha / NULLIF(CAST(n_chars AS DOUBLE), 0), 0.0) * 0.2, 6) AS quality_score
+FROM base
+""",
+)
+def q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ta.quality_scores(load_table(spark, "documents", sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("int").alias("n_words"),
+        "punct_ratio",
+        "stopword_ratio",
+        "mean_word_len",
+        "alpha_ratio",
+        "quality_score",
+    )
+
+
+_LANGS = sorted(ta.LANG_STOPWORDS)
+_HIT_SQL = ",\n       ".join(
+    "CAST(len(list_intersect(list_distinct({ws}), [{sw}])) AS INTEGER) AS hits_{lang}".format(
+        ws=SQL_WORDS.format(c="text"),
+        sw=", ".join(f"'{s}'" for s in ta.LANG_STOPWORDS[lang]),
+        lang=lang,
+    )
+    for lang in _LANGS
+)
+_BEST_SQL = "GREATEST({})".format(", ".join(f"hits_{lang}" for lang in _LANGS))
+_PRED_SQL = "CASE "
+for lang in _LANGS:
+    _PRED_SQL += f"WHEN best > 0 AND hits_{lang} = best THEN '{lang}' "
+_PRED_SQL += "ELSE 'und' END"
+
+
+@register(
+    "lang_id",
+    f"""
+WITH hits AS (
+    SELECT doc_id,
+       {_HIT_SQL}
+    FROM documents
+),
+best AS (SELECT *, {_BEST_SQL} AS best FROM hits)
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _LANGS)}, {_PRED_SQL} AS pred_lang
+FROM best
+""",
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = ta.lang_id(load_table(spark, "documents", sf_dir))
+    return df.select(
+        "doc_id",
+        *[F.col(f"hits_{lang}").cast("int").alias(f"hits_{lang}") for lang in _LANGS],
+        "pred_lang",
+    )
+
+
+@register(
+    "fingerprints",
+    f"""
+SELECT doc_id, md5({_NORM}) AS fingerprint,
+       {SQL_MD5_INT32.format(c=_NORM)} AS fingerprint32
+FROM documents
+""",
+)
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.fingerprints(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_brute_topk",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pairs
+)
+SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
+""",
+)
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.brute_topk(load_table(spark, "embeddings", sf_dir), k=5)
+
+
+@register(
+    "embedding_near_dup",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.35
+""",
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.embedding_near_dup(load_table(spark, "embeddings", sf_dir), threshold=0.35)
+
+
+# approximate path: rows-only (recall-vs-brute is a pytest invariant)
+@register("ann_lsh_topk", None)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.lsh_topk(load_table(spark, "embeddings", sf_dir), k=5, n_planes=8, dim=64)
+
+
+@register("knn_similarity_graph", None)
+def q_knn_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)

@@ -30,9 +30,20 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy parquet scan)."""
+    """Load one testdata table as a DataFrame (lazy parquet scan).
+
+    ``events`` carries TIMESTAMP(NANOS) which the vectorized parquet reader
+    rejects; it is read with nanos-as-long and converted to a microsecond
+    timestamp (truncation, matching Spark's native precision).
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
