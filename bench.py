@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query runs its full plan to completion; results are consumed with
+count() (no driver-side materialization of row-scale data, mirroring how a
+sink would drain the query at cluster scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: one per operator family (graph build+stats, traversal,
+# degree features, encoding, serving top-k, dedup x3, text, ANN)
+HEADLINE = [
+    "flagship_diverse_topk",
+    "graph_stats",
+    "degree_features",
+    "positive_pairs",
+    "preferred_category",
+    "kfold_target_encoding",
+    "threshold_sweep",
+    "dedup_exact",
+    "minhash_lsh_pairs",
+    "simhash_near_dup",
+    "token_stats",
+    "quality_scores",
+    "ann_brute_topk",
+]
+
+
+def main() -> None:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # warm the JVM + parquet footers so per-query numbers measure the plans
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,6 +50,7 @@ def build_nodes(tables: dict[str, DataFrame]) -> DataFrame:
 
     customers = customer.select(
         F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id"),
+        F.col("c_custkey").alias("key"),
         F.lit("Customer").alias("label"),
         F.lit(1).alias("dvid"),
         F.col("c_name").alias("name"),
@@ -60,6 +61,7 @@ def build_nodes(tables: dict[str, DataFrame]) -> DataFrame:
 
     products = part.select(
         F.concat_ws("_", F.lit("prod"), F.col("p_partkey")).alias("id"),
+        F.col("p_partkey").alias("key"),
         F.lit("Product").alias("label"),
         F.lit(1).alias("dvid"),
         F.col("p_name").alias("name"),
@@ -71,6 +73,7 @@ def build_nodes(tables: dict[str, DataFrame]) -> DataFrame:
 
     order_nodes = orders.select(
         F.concat_ws("_", F.lit("order"), F.col("o_orderkey")).alias("id"),
+        F.col("o_orderkey").alias("key"),
         F.lit("Order").alias("label"),
         _dvid(F.col("o_orderkey")).alias("dvid"),
         F.col("o_orderstatus").alias("order_status"),

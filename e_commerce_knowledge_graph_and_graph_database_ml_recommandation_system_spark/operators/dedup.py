@@ -52,11 +52,21 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
 
 def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the base relation for Jaccard and
-    MinHash. Explode is map-side; distinct shuffles on (doc, shingle)."""
-    return (
-        docs.select("doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("shingle"))
-        .distinct()
-    )
+    MinHash. Explode is map-side; distinct shuffles on (doc, shingle).
+
+    The word array is materialized ONCE per row before the n-gram transform:
+    inlining ``words(text)`` inside the lambda makes Catalyst re-evaluate
+    normalize+split per output element (O(words²) regex work per doc — 5×
+    slower at sf0.1)."""
+    w = docs.select("doc_id", words(F.col("text")).alias("w"))
+    ngrams = F.when(
+        F.size("w") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("w") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("w", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return w.select("doc_id", F.explode(ngrams).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5) -> DataFrame:
@@ -108,7 +118,9 @@ def minhash_lsh_pairs(
     (bands × rows = num_hashes). Equi-join per band on the band key — the
     scale path for near-dup at 100 TB (no cross join anywhere)."""
     rows = num_hashes // bands
-    sigs = minhash_signatures(docs, n, num_hashes)
+    # signature table is one narrow row per doc — cache it so the self-join
+    # below doesn't recompute the whole shingle+hash pipeline per side
+    sigs = minhash_signatures(docs, n, num_hashes).cache()
     band_cols = [
         F.concat_ws("_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -159,7 +171,7 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     With 4 bands of 8 bits, any pair within hamming 3 shares an intact band
     (pigeonhole) — so the banded equi-join returns EXACTLY the brute-force
     answer while scaling as an equi-join."""
-    sh = simhash(docs)
+    sh = simhash(docs).cache()  # one row per doc; avoids recompute per join side
     stacked = sh.select(
         "doc_id",
         "simhash",

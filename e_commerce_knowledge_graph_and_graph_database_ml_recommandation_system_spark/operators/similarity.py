@@ -58,6 +58,51 @@ def brute_topk(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str 
     )
 
 
+def brute_topk_blas(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul (FAISS-flat shape).
+
+    Semantics identical to brute_topk (same rounding, same tiebreak); the
+    physical strategy differs: the index side (all vectors) is collected to
+    a numpy matrix and broadcast (~1 MB per 2k×64 — a dim table), and each
+    Arrow batch of queries computes one BLAS gemm + argpartition. No |N|²
+    row join materializes anywhere. This is the justified Pandas-path
+    exception (SURVEY §2.13): a dense matmul has no efficient built-in
+    expression. For index sides too big to broadcast, use lsh_topk.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = emb.sparkSession
+    local = emb.select(id_col, _as_double(F.col(vec_col)).alias("v")).toPandas()
+    ids = local[id_col].to_numpy()
+    mat = np.stack(local["v"].to_numpy())
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    def batches(it):
+        for pdf in it:
+            ids_l = b_ids.value
+            m = b_mat.value
+            q = np.stack(pdf["v"].to_numpy())
+            q = q / np.linalg.norm(q, axis=1, keepdims=True)
+            sims = np.round(q @ m.T, 6)
+            qids = pdf[id_col].to_numpy()
+            out = []
+            for row, qid in zip(sims, qids):
+                row = row.copy()
+                row[ids_l == qid] = -np.inf  # exclude self
+                # lexsort: primary -cosine, secondary id asc — the exact
+                # deterministic tiebreak the SQL oracle uses
+                order = np.lexsort((ids_l, -row))[:k]
+                for r, j in enumerate(order, 1):
+                    out.append((int(qid), r, int(ids_l[j]), float(row[j])))
+            yield pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id", "cosine"])
+
+    src = emb.select(id_col, _as_double(F.col(vec_col)).alias("v"))
+    return src.mapInPandas(batches, schema="query_id long, rank int, neighbor_id long, cosine double")
+
+
 def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cosine >= t)."""
     u = with_unit_vectors(emb, vec_col).select(id_col, "unit")

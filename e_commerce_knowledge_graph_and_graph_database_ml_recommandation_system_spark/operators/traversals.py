@@ -66,26 +66,31 @@ def positive_pairs_after(edges: DataFrame, cutoff: str) -> DataFrame:
     return purchased.join(contains, "order_id").select("customer_id", "product_id").distinct()
 
 
-def negative_pairs(edges: DataFrame, nodes: DataFrame, modulus: int = 7) -> DataFrame:
+def negative_pairs(edges: DataFrame, nodes: DataFrame, modulus: int = 50) -> DataFrame:
     """J4: negative sampling — (customer, product) pairs NOT purchased.
 
     The reference draws random pairs and rejects hits
-    (``xgboost_model_training.py:124-141``). Distributed + reproducible
-    version: deterministic-hash-select a subset of the cross space, then one
-    LEFT ANTI join against positives. No rejection loop, no driver round
-    trips; the pair space is sampled *before* materialization so the cross
-    join never exceeds |C|·|P|/modulus rows.
+    (``xgboost_model_training.py:124-141``; target ratio ~1:1 with
+    positives). Distributed + reproducible version: deterministic-hash-select
+    a subset of the cross space on the NUMERIC node keys (the id strings are
+    built only for surviving rows — string work on |C|·|P| rows dominated
+    the old plan), then one LEFT ANTI join against positives. No rejection
+    loop, no driver round trips.
+
+    modulus=50 yields ≈1:1 with positives at the testdata shape; scale it
+    with |C|·|P| / |positives| to hold the reference's 1:1 target.
     """
-    customers = nodes.filter(F.col("label") == "Customer").select(F.col("id").alias("customer_id"))
-    products = nodes.filter(F.col("label") == "Product").select(F.col("id").alias("product_id"))
+    customers = nodes.filter(F.col("label") == "Customer").select(
+        F.col("id").alias("customer_id"), F.col("key").alias("ckey")
+    )
+    products = nodes.filter(F.col("label") == "Product").select(
+        F.col("id").alias("product_id"), F.col("key").alias("pkey")
+    )
     pos = positive_pairs(edges)
 
-    # numeric keys back out of the string ids for deterministic hashing;
     # small-prime mix keeps every intermediate far below 2^63 at any scale
     pairs = (
         customers.crossJoin(products)
-        .withColumn("ckey", F.split(F.col("customer_id"), "_").getItem(1).try_cast("long"))
-        .withColumn("pkey", F.split(F.col("product_id"), "_").getItem(1).try_cast("long"))
         .filter(F.pmod(F.col("ckey") * F.lit(131) + F.col("pkey") * F.lit(7919), F.lit(modulus)) == 0)
         .select("customer_id", "product_id")
     )

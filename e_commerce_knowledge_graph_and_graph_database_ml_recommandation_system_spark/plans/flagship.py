@@ -60,10 +60,32 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .distinct()
     )
 
-    # candidates: every (customer, valid product) minus purchased (J6/J7)
+    # EXACT candidate pruning: the score is customer-independent, so a
+    # customer's per-category winner (cat_rank=1 among their unpurchased
+    # products) always sits within the category's global top (c_max + 1),
+    # where c_max = max products any single customer purchased in one
+    # category. Pruning each category to that prefix shrinks the candidate
+    # join from |C|×|P| (300M rows at sf0.1, ~340s) to |C|×(|cats|·(c_max+1))
+    # (~4M rows) with PROVABLY identical output — the physical-plan analog
+    # of the reference's 1500-2000 candidate cap, but lossless.
+    cmax = (
+        purchased.join(F.broadcast(part.select("p_partkey", F.col("p_type").alias("category"))), "p_partkey")
+        .groupBy("c_custkey", "category")
+        .agg(F.count("*").alias("n"))
+        .agg(F.max("n").alias("c_max"))
+    )
+    w_prune = Window.partitionBy("category").orderBy(F.desc("score"), F.asc("p_partkey"))
+    pruned = (
+        valid.withColumn("cat_pos", F.row_number().over(w_prune))
+        .crossJoin(F.broadcast(cmax))
+        .filter(F.col("cat_pos") <= F.col("c_max") + 1)
+        .drop("cat_pos", "c_max")
+    )
+
+    # candidates: every (customer, pruned product) minus purchased (J6/J7)
     candidates = (
         customer.select("c_custkey")
-        .crossJoin(F.broadcast(valid))
+        .crossJoin(F.broadcast(pruned))
         .join(purchased, ["c_custkey", "p_partkey"], "left_anti")
     )
 

@@ -265,7 +265,7 @@ pairs AS (
     SELECT concat_ws('_', 'cust', c_custkey) AS customer_id,
            concat_ws('_', 'prod', p_partkey) AS product_id
     FROM customer CROSS JOIN part
-    WHERE (c_custkey * 131 + p_partkey * 7919) % 7 = 0
+    WHERE (c_custkey * 131 + p_partkey * 7919) % 50 = 0
 )
 SELECT customer_id, product_id FROM pairs
 ANTI JOIN pos USING (customer_id, product_id)
@@ -348,19 +348,18 @@ neg AS (
         SELECT concat_ws('_', 'cust', c_custkey) AS customer_id,
                concat_ws('_', 'prod', p_partkey) AS product_id
         FROM customer CROSS JOIN part
-        WHERE (c_custkey * 131 + p_partkey * 7919) % 7 = 0
+        WHERE (c_custkey * 131 + p_partkey * 7919) % 50 = 0
     ) ANTI JOIN pos USING (customer_id, product_id)
 ),
 train AS (
-    SELECT customer_id, product_id, 1 AS label,
-           CAST(string_split(product_id, '_')[2] AS BIGINT) AS pkey FROM pos
+    SELECT customer_id, product_id, 1 AS label FROM pos
     UNION ALL
-    SELECT customer_id, product_id, 0,
-           CAST(string_split(product_id, '_')[2] AS BIGINT) FROM neg
+    SELECT customer_id, product_id, 0 FROM neg
 ),
 tf AS (
-    SELECT t.*, p.p_type AS category, pkey % 5 AS fold
-    FROM train t JOIN part p ON t.pkey = p.p_partkey
+    SELECT t.customer_id, t.product_id, t.label,
+           p.p_type AS category, p.p_partkey % 5 AS fold
+    FROM train t JOIN part p ON t.product_id = concat_ws('_', 'prod', p.p_partkey)
 ),
 per_kf AS (
     SELECT category, fold, SUM(label) AS s, COUNT(*) AS c
@@ -383,13 +382,14 @@ def q_kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes, edges = build_nodes(tables), build_edges(tables)
     pos = trav.positive_pairs(edges).withColumn("label", F.lit(1))
     neg = trav.negative_pairs(edges, nodes).withColumn("label", F.lit(0))
-    train = pos.unionByName(neg).withColumn(
-        "pkey", F.split(F.col("product_id"), "_").getItem(1).try_cast("long")
-    )
+    train = pos.unionByName(neg)
+    # product dim broadcast: recovers the numeric key + category per pair
     part = tables["part"].select(
-        F.col("p_partkey").alias("pkey"), F.col("p_type").alias("category")
+        F.concat_ws("_", F.lit("prod"), F.col("p_partkey")).alias("product_id"),
+        F.col("p_partkey").alias("pkey"),
+        F.col("p_type").alias("category"),
     )
-    tf = train.join(part, "pkey")
+    tf = train.join(F.broadcast(part), "product_id")
     enc = agg_ops.kfold_target_encoding(tf, key="category", label_col="label", id_col="pkey")
     return enc.select(
         "customer_id",
