@@ -65,7 +65,7 @@ def median_per_category(scored: DataFrame, score_col: str = "score") -> DataFram
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .withColumn("n", F.count("*").over(cnt))
-        .filter(F.col("rn") == (F.col("n") + 1) / 2)  # lower median
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))  # lower median
         .drop("rn", "n")
     )
 
@@ -122,8 +122,14 @@ def greedy_diverse_topk_exact(
     serving path, used when the windowed contract (diverse_topk) isn't exact
     enough.
     """
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
     schema_cols = [f.name for f in scored.schema.fields]
-    out_schema = scored.schema.add("rank", "integer") if "rank" not in schema_cols else scored.schema
+    # copy the fields: StructType.add mutates in place, and DataFrame.schema
+    # is cached — mutating it corrupts the source DataFrame's column list
+    out_schema = StructType(list(scored.schema.fields))
+    if "rank" not in schema_cols:
+        out_schema = out_schema.add("rank", IntegerType())
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values([score_col, "product_id"], ascending=[False, True])

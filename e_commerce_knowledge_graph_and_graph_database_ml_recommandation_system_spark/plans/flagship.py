@@ -21,26 +21,16 @@ from ..sources.tables import load_tables
 AS_OF = "2002-01-01"
 
 
-def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
-    """Top-k diverse recommendations per customer.
-
-    Works directly on the relational tables (graph edge semantics inlined:
-    orders≡PURCHASED, lineitem≡CONTAINS) so the whole plan is one Catalyst
-    DAG — scans prune to the consumed columns only, `part` broadcasts, and
-    the only big shuffles are the positive-pair distinct and the final
-    per-customer window.
-    """
-    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem", "part"))
-    customer, orders, lineitem, part = t["customer"], t["orders"], t["lineitem"], t["part"]
-
-    # product popularity + recency from CONTAINS (lineitem) — one aggregate
+def scored_valid_products(tables: dict) -> DataFrame:
+    """Valid products (P10 analog) scored by popularity × recency decay
+    (reference scoring proxy at ``topk_recommandations_diverse_
+    nodiscounts.py:256-262``). Columns: p_partkey, p_name, category, score."""
+    part, lineitem = tables["part"], tables["lineitem"]
     prod_stats = lineitem.groupBy(F.col("l_partkey").alias("p_partkey")).agg(
         F.count("*").alias("popularity"),
         F.datediff(F.lit(AS_OF).cast("date"), F.max("l_shipdate").cast("date")).alias("recency_days"),
     )
-
-    # valid products (P10 analog) scored by popularity × recency decay
-    valid = (
+    return (
         part.filter((F.col("p_size") > 0) & F.col("p_type").isNotNull())
         .join(prod_stats, "p_partkey", "left")
         .na.fill({"popularity": 0, "recency_days": 3650})
@@ -52,13 +42,31 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         )
     )
 
-    # purchased (customer, product) pairs via the 2-hop join (J1)
-    purchased = (
+
+def purchased_pairs(tables: dict) -> DataFrame:
+    """Distinct (c_custkey, p_partkey) purchases via the 2-hop join (J1)."""
+    orders, lineitem = tables["orders"], tables["lineitem"]
+    return (
         orders.select("o_orderkey", "o_custkey")
         .join(lineitem.select("l_orderkey", "l_partkey"), orders.o_orderkey == lineitem.l_orderkey)
         .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
         .distinct()
     )
+
+
+def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
+    """Top-k diverse recommendations per customer.
+
+    Works directly on the relational tables (graph edge semantics inlined:
+    orders≡PURCHASED, lineitem≡CONTAINS) so the whole plan is one Catalyst
+    DAG — scans prune to the consumed columns only, `part` broadcasts, and
+    the only big shuffles are the positive-pair distinct and the final
+    per-customer window.
+    """
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem", "part"))
+    customer, part = t["customer"], t["part"]
+    valid = scored_valid_products(t)
+    purchased = purchased_pairs(t)
 
     # EXACT candidate pruning: the score is customer-independent, so a
     # customer's per-category winner (cat_rank=1 among their unpurchased

@@ -477,3 +477,4 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # late import: registers dedup/text/similarity queries (avoids circularity —
 # registry_text pulls `register` from this module, which exists by now)
 from . import registry_text  # noqa: E402,F401  isort:skip
+from . import registry_serving  # noqa: E402,F401  isort:skip

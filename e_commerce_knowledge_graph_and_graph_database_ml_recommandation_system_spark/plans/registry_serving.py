@@ -1,0 +1,272 @@
+"""Registry entries: recommendation-serving layer (SURVEY §2.7 W4/W6/W7,
+§2.12 R1-R6, §2.2 P11/P12). Imported by plans/registry.
+
+The reference serves a sampled customer cohort (``topk_recommandations_
+diverse_nodiscounts.py:353`` samples 3 customers); here the cohort is the
+deterministic ``c_custkey % 100 == 0`` subset so the DuckDB oracle
+reproduces it at any scale factor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import topk as tk
+from ..sources.tables import load_tables
+from .flagship import purchased_pairs, scored_valid_products
+from .registry import register
+
+SERVE_TABLES = ("customer", "orders", "lineitem", "part")
+
+
+def _candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored candidates for the serving cohort: (customer_id, product_id,
+    p_name, category, score), purchased excluded (J6/J7)."""
+    t = load_tables(spark, sf_dir, names=SERVE_TABLES)
+    cohort = t["customer"].filter(F.pmod(F.col("c_custkey"), F.lit(100)) == 0).select("c_custkey")
+    valid = scored_valid_products(t)
+    purchased = purchased_pairs(t)
+    return (
+        cohort.crossJoin(F.broadcast(valid))
+        .join(purchased, ["c_custkey", "p_partkey"], "left_anti")
+        .select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("p_partkey").alias("product_id"),
+            "p_name",
+            "category",
+            "score",
+        )
+    )
+
+
+# shared oracle CTE chain (mirrors _candidates + flagship scoring exactly)
+_CANDIDATES_CTE = """
+prod_stats AS (
+    SELECT l_partkey AS p_partkey,
+           COUNT(*) AS popularity,
+           datediff('day', CAST(MAX(l_shipdate) AS DATE), DATE '2002-01-01') AS recency_days
+    FROM lineitem GROUP BY l_partkey
+),
+valid AS (
+    SELECT p.p_partkey, p.p_name, p.p_type AS category,
+           ROUND(COALESCE(s.popularity, 0) / (1.0 + COALESCE(s.recency_days, 3650) / 365.0), 6) AS score
+    FROM part p LEFT JOIN prod_stats s ON p.p_partkey = s.p_partkey
+    WHERE p.p_size > 0 AND p.p_type IS NOT NULL
+),
+purchased AS (
+    SELECT DISTINCT o.o_custkey AS c_custkey, l.l_partkey AS p_partkey
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+candidates AS (
+    SELECT c.c_custkey AS customer_id, v.p_partkey AS product_id,
+           v.p_name, v.category, v.score
+    FROM (SELECT c_custkey FROM customer WHERE c_custkey % 100 = 0) c
+    CROSS JOIN valid v
+    ANTI JOIN purchased p ON p.c_custkey = c.c_custkey AND p.p_partkey = v.p_partkey
+)
+"""
+
+
+@register(
+    "serve_topk_plain",
+    f"""
+WITH {_CANDIDATES_CTE.strip()}
+SELECT customer_id, rank, product_id, category, score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
+                                   ORDER BY score DESC, product_id ASC) AS rank
+      FROM candidates)
+WHERE rank <= 5
+""",
+)
+def q_serve_topk_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: plain top-5 per cohort customer."""
+    return tk.topk_per_customer(_candidates(spark, sf_dir), k=5).select(
+        "customer_id", "rank", "product_id", "category", "score"
+    )
+
+
+@register(
+    "serve_greedy_diverse_topk",
+    f"""
+WITH {_CANDIDATES_CTE.strip()},
+cat_ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id, category
+                                 ORDER BY score DESC, product_id ASC) AS cat_rank
+    FROM candidates
+)
+SELECT customer_id, rank, product_id, category, score
+FROM (SELECT customer_id, product_id, category, score,
+             ROW_NUMBER() OVER (PARTITION BY customer_id
+                                ORDER BY score DESC, product_id ASC) AS rank
+      FROM cat_ranked WHERE cat_rank <= 2)
+WHERE rank <= 5
+""",
+)
+def q_serve_greedy_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R5 EXACT sequential greedy (Arrow grouped-map, ≤2 per category, k=5).
+
+    The greedy walk provably equals the two-window formulation (a candidate
+    is accepted iff it is within its category's top-2), so the applyInPandas
+    implementation is hash-checked against the pure-SQL oracle — the
+    strongest possible correctness check for the Python escape hatch."""
+    out = tk.greedy_diverse_topk_exact(_candidates(spark, sf_dir), k=5, max_per_category=2)
+    return out.select("customer_id", "rank", "product_id", "category", "score")
+
+
+@register(
+    "serve_median_per_category",
+    f"""
+WITH {_CANDIDATES_CTE.strip()},
+counted AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id, category
+                                 ORDER BY score ASC, product_id ASC) AS rn,
+           COUNT(*) OVER (PARTITION BY customer_id, category) AS n
+    FROM candidates
+)
+SELECT customer_id, category, product_id, score
+FROM counted WHERE rn = (n + 1) // 2
+""",
+)
+def q_serve_median_per_category(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7: the reference's median-probability category fallback pick
+    (``took_recommandations_adamsampling_discount.py:295-317``)."""
+    return tk.median_per_category(_candidates(spark, sf_dir)).select(
+        "customer_id", "category", "product_id", "score"
+    )
+
+
+@register(
+    "serve_display_records",
+    f"""
+WITH {_CANDIDATES_CTE.strip()},
+topk AS (
+    SELECT customer_id, rank, product_id, p_name, category, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
+                                       ORDER BY score DESC, product_id ASC) AS rank
+          FROM candidates)
+    WHERE rank <= 3
+)
+SELECT t.customer_id,
+       concat_ws(', ', c.c_name, c.c_mktsegment) AS display_name,
+       t.rank,
+       printf('Recommended: %s [%s] score=%.2f', t.p_name, t.category, t.score) AS message
+FROM topk t JOIN customer c ON t.customer_id = c.c_custkey
+""",
+)
+def q_serve_display_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11/P12: display-record projection + conditional display-name
+    derivation (reference ``topk_recommandations_diverse_nodiscounts.py:
+    317-347``: product message string + customer display name)."""
+    t = load_tables(spark, sf_dir, names=SERVE_TABLES)
+    topk = tk.topk_per_customer(_candidates(spark, sf_dir), k=3)
+    cust = t["customer"].select(
+        F.col("c_custkey").alias("customer_id"),
+        F.concat_ws(", ", F.col("c_name"), F.col("c_mktsegment")).alias("display_name"),
+    )
+    return topk.join(F.broadcast(cust), "customer_id").select(
+        "customer_id",
+        "display_name",
+        "rank",
+        F.format_string("Recommended: %s [%s] score=%.2f", "p_name", "category", "score").alias("message"),
+    )
+
+
+@register("serve_gumbel_softmax_topk", None)
+def q_serve_gumbel_softmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1: temperature-softmax sampling without replacement (Gumbel-top-k,
+    T=2.5, seeded). Stochastic — rows-only in the oracle harness;
+    distributional invariants are pytest-checked (SURVEY §5)."""
+    cands = _candidates(spark, sf_dir)
+    # normalize score to a (0,1) pseudo-probability per customer
+    w = F.sum("score").over(tk.Window.partitionBy("customer_id"))
+    probs = cands.withColumn("p", F.col("score") / w)
+    out = tk.gumbel_topk(probs, k=5, temperature=2.5, seed=42, score_col="p")
+    return out.select("customer_id", "rank", "product_id", "category", F.round("p", 6).alias("p"))
+
+
+@register(
+    "discount_assignment",
+    """
+WITH base AS (
+    SELECT p_partkey AS product_id,
+           month(CAST(sim_date AS DATE)) AS sim_month,
+           (('0x' || substr(md5(concat_ws('_', p_partkey, sim_date)), 1, 8))::BIGINT % 10000) / 10000.0 AS u
+    FROM (SELECT p_partkey, strftime(d, '%Y-%m-%d') AS sim_date
+          FROM part CROSS JOIN (SELECT UNNEST([DATE '2023-12-15', DATE '2023-07-01', DATE '2023-03-10']) AS d))
+)
+SELECT product_id, sim_month,
+       ROUND(CASE WHEN sim_month = 12 THEN 0.30 + u * 0.20
+                  WHEN sim_month IN (6, 7) THEN 0.20 + u * 0.20
+                  ELSE 0.05 + u * 0.10 END, 6) AS discount
+FROM base
+""",
+)
+def q_discount_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 random-uniform discount by month branch (reference
+    ``xgboost_mode_training_plus_dynamic_discount.py:73-87``: Dec 0.30-0.50,
+    summer 0.20-0.40, else 0.05-0.15) — deterministic md5-uniform stand-in
+    for ``random.uniform`` so the oracle matches; the seeded-rand variant
+    is operators/topk.gumbel_topk's noise discipline."""
+    from ..functions.text import md5_int32
+
+    part = load_tables(spark, sf_dir, names=("part",))["part"]
+    dates = spark.createDataFrame([("2023-12-15",), ("2023-07-01",), ("2023-03-10",)], ["sim_date"])
+    base = (
+        part.select(F.col("p_partkey").alias("product_id"))
+        .crossJoin(F.broadcast(dates))
+        .withColumn("sim_month", F.month(F.col("sim_date").cast("date")))
+        .withColumn(
+            "u",
+            F.pmod(md5_int32(F.concat_ws("_", F.col("product_id"), F.col("sim_date"))), F.lit(10000)) / 10000.0,
+        )
+    )
+    disc = (
+        F.when(F.col("sim_month") == 12, 0.30 + F.col("u") * 0.20)
+        .when(F.col("sim_month").isin(6, 7), 0.20 + F.col("u") * 0.20)
+        .otherwise(0.05 + F.col("u") * 0.10)
+    )
+    return base.select("product_id", "sim_month", F.round(disc, 6).alias("discount"))
+
+
+@register(
+    "discount_events",
+    """
+WITH ev AS (
+    SELECT DISTINCT l_partkey AS product_id,
+           CAST(l_shipdate AS DATE) AS event_date,
+           l_discount AS discount
+    FROM lineitem WHERE l_discount > 0
+),
+dedup AS (
+    SELECT product_id, event_date, MAX(discount) AS discount
+    FROM ev GROUP BY product_id, event_date
+)
+SELECT product_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(AVG(discount), 6) AS avg_discount,
+       ROUND(MAX(discount), 6) AS max_discount
+FROM dedup GROUP BY product_id
+""",
+)
+def q_discount_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R6: discount event tracking — append-only (product, date, discount)
+    events deduped per date (reference ``topk_recommandations_stochastic
+    softmaxsampling_discount.py:58-74,105-120``), summarized per product."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    ev = (
+        li.filter(F.col("l_discount") > 0)
+        .select(
+            F.col("l_partkey").alias("product_id"),
+            F.col("l_shipdate").cast("date").alias("event_date"),
+            F.col("l_discount").alias("discount"),
+        )
+        .distinct()
+        .groupBy("product_id", "event_date")
+        .agg(F.max("discount").alias("discount"))
+    )
+    return ev.groupBy("product_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.avg("discount"), 6).alias("avg_discount"),
+        F.round(F.max("discount"), 6).alias("max_discount"),
+    )
