@@ -478,3 +478,5 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registry_text pulls `register` from this module, which exists by now)
 from . import registry_text  # noqa: E402,F401  isort:skip
 from . import registry_serving  # noqa: E402,F401  isort:skip
+from . import registry_streaming  # noqa: E402,F401  isort:skip
+from . import registry_relational  # noqa: E402,F401  isort:skip

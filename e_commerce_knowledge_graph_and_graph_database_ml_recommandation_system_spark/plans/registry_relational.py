@@ -1,0 +1,354 @@
+"""Registry entries: relational ETL / ingestion / versioning / splits
+(SURVEY §2.2 P9, §2.3 U1-U3, §2.6 A2/A6/A11/A12, §2.9 X1-X2, §2.11 M1/A11).
+Imported by plans/registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int32
+from ..graph.build import build_edges, build_nodes, snapshot
+from ..operators import traversals as trav
+from ..sources.tables import load_tables
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register
+
+# ---------------------------------------------------------------------------
+# U1: union of heterogeneous sources with source/dvid lits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "union_heterogeneous",
+    """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(amount AS DECIMAL(18,4))) AS DOUBLE) AS total_amount
+FROM (
+    SELECT 'amazon' AS source, 1 AS dvid, o_totalprice AS amount FROM orders
+    UNION ALL
+    SELECT 'intl', 1, l_extendedprice FROM lineitem
+)
+GROUP BY source
+""",
+)
+def q_union_heterogeneous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1: pd.concat of normalized sources (reference ``First_Data_
+    injection.py:41-42,70-71``) → unionByName with lit source/dvid tags."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    amazon = t["orders"].select(
+        F.lit("amazon").alias("source"), F.lit(1).alias("dvid"), F.col("o_totalprice").alias("amount")
+    )
+    intl = t["lineitem"].select(
+        F.lit("intl").alias("source"), F.lit(1).alias("dvid"), F.col("l_extendedprice").alias("amount")
+    )
+    return (
+        amazon.unionByName(intl)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("cnt"),
+            # decimal accumulation: float sums are order-dependent across
+            # engines/partitionings; decimal sums are exact and reproducible
+            F.sum(F.col("amount").cast("decimal(18,4)")).cast("double").alias("total_amount"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# U2: seeded exact-n sample (deterministic order-by-hash)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "seeded_sample",
+    """
+SELECT o_orderkey, o_custkey
+FROM (SELECT o_orderkey, o_custkey,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 1000
+""",
+)
+def q_seeded_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: ``df.sample(n=K, random_state=42)`` (reference ``second_third_
+    and_forth_data_injection.py:66-69``) → exact-n deterministic sample by
+    hash order. Catalyst turns the window+limit into a TakeOrdered (top-k),
+    no full sort materialization."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    w = Window.orderBy(F.md5(F.col("o_orderkey").cast("string")), F.col("o_orderkey"))
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 1000)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U3: dvid snapshot stats (incremental versioned ingest)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dvid_snapshot_stats",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()}
+SELECT dvid, type, COUNT(*) AS cnt
+FROM edges WHERE dvid <= 3
+GROUP BY dvid, type
+""",
+)
+def q_dvid_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: snapshot (dvid <= 3) edge histogram — the verification print the
+    reference does after each injection (``second_third_and_forth_data_
+    injection.py:120-124``); the predicate partition-prunes when edges are
+    stored partitioned by dvid."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return snapshot(edges, 3).groupBy("dvid", "type").agg(F.count("*").alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# P9: multi-format date parse with default fallback
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multi_format_dates",
+    """
+WITH raw AS (
+    SELECT o_orderkey,
+           CASE o_orderkey % 4
+               WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+               WHEN 1 THEN strftime(o_orderdate, '%m/%d/%Y')
+               WHEN 2 THEN strftime(o_orderdate, '%m-%d-%Y')
+               ELSE 'garbage'
+           END AS date_str
+    FROM orders
+)
+SELECT o_orderkey, date_str,
+       strftime(COALESCE(try_strptime(date_str, '%Y-%m-%d'),
+                         try_strptime(date_str, '%m/%d/%Y'),
+                         try_strptime(date_str, '%m-%d-%Y'),
+                         TIMESTAMP '2022-06-01'), '%Y-%m-%d') AS parsed
+FROM raw
+""",
+)
+def q_multi_format_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9: the reference's safe_date_parse tries 5 formats then defaults to
+    2022-06-01 (``second_third_and_forth_data_injection.py:24-37``) —
+    expressed as coalesce(try_to_timestamp...) with zero UDFs."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    raw = orders.select(
+        "o_orderkey",
+        F.when(F.pmod("o_orderkey", F.lit(4)) == 0, F.date_format("o_orderdate", "yyyy-MM-dd"))
+        .when(F.pmod("o_orderkey", F.lit(4)) == 1, F.date_format("o_orderdate", "MM/dd/yyyy"))
+        .when(F.pmod("o_orderkey", F.lit(4)) == 2, F.date_format("o_orderdate", "MM-dd-yyyy"))
+        .otherwise(F.lit("garbage"))
+        .alias("date_str"),
+    )
+    parsed = F.coalesce(
+        F.try_to_timestamp("date_str", F.lit("yyyy-MM-dd")),
+        F.try_to_timestamp("date_str", F.lit("MM/dd/yyyy")),
+        F.try_to_timestamp("date_str", F.lit("MM-dd-yyyy")),
+        F.lit("2022-06-01").cast("timestamp"),
+    )
+    return raw.select("o_orderkey", "date_str", F.date_format(parsed, "yyyy-MM-dd").alias("parsed"))
+
+
+# ---------------------------------------------------------------------------
+# A12 (beyond-reference): rollup revenue summary + classic pricing summary
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_rollup",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def q_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("cnt"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+        ).cast("double").alias("revenue"),
+    )
+
+
+@register(
+    "pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(8,4))) AS DOUBLE) / COUNT(*), 6) AS avg_disc,
+       CAST(COUNT(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A6 global+grouped moments in the classic pricing-summary shape;
+    filter pushes to the parquet scan (PushedFilters visible in explain)."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)")).cast("double").alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+            ).cast("double").alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,4)")).cast("double") / F.count("*"), 6
+            ).alias("avg_qty"),
+            F.round(
+                F.sum(F.col("l_discount").cast("decimal(8,4)")).cast("double") / F.count("*"), 6
+            ).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+FROM lineitem
+""",
+)
+def q_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct counts (the approx_count_distinct analog is the same
+    plan with HLL sketches — kept exact here for the oracle)."""
+    li = load_tables(spark, sf_dir, names=("lineitem",))["lineitem"]
+    return li.agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M1 + A11: stratified split stats + class distribution
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "train_test_split_stats",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+pos AS (
+    SELECT DISTINCT p.src AS customer_id, c.dst AS product_id
+    FROM edges p JOIN edges c ON p.dst = c.src
+    WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
+),
+neg AS (
+    SELECT customer_id, product_id FROM (
+        SELECT concat_ws('_', 'cust', c_custkey) AS customer_id,
+               concat_ws('_', 'prod', p_partkey) AS product_id
+        FROM customer CROSS JOIN part
+        WHERE (c_custkey * 131 + p_partkey * 7919) % 50 = 0
+    ) ANTI JOIN pos USING (customer_id, product_id)
+),
+train AS (
+    SELECT customer_id, product_id, 1 AS label FROM pos
+    UNION ALL SELECT customer_id, product_id, 0 FROM neg
+),
+splits AS (
+    SELECT label,
+           CASE WHEN ('0x' || substr(md5(concat_ws('|', customer_id, product_id)), 1, 8))::BIGINT % 5 < 4
+                THEN 'train' ELSE 'test' END AS split
+    FROM train
+)
+SELECT split, label, COUNT(*) AS cnt FROM splits GROUP BY split, label
+""",
+)
+def q_train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1 stratified 80/20 split (deterministic hash buckets — per-label
+    proportions hold in expectation like ``train_test_split(stratify=y)``)
+    + A11 class-distribution diagnostics, as one grouped count."""
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    nodes, edges = build_nodes(tables), build_edges(tables)
+    pos = trav.positive_pairs(edges).withColumn("label", F.lit(1))
+    neg = trav.negative_pairs(edges, nodes).withColumn("label", F.lit(0))
+    train = pos.unionByName(neg)
+    split = F.when(
+        F.pmod(md5_int32(F.concat_ws("|", "customer_id", "product_id")), F.lit(5)) < 4, "train"
+    ).otherwise("test")
+    return train.select("label", split.alias("split")).groupBy("split", "label").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X1/X2: inactive-node pruning + deterministic edge dropout
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "inactive_node_pruning",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+last_seen AS (
+    SELECT id, MAX(ts) AS last_ts FROM (
+        SELECT src AS id, ts FROM edges WHERE ts IS NOT NULL
+        UNION ALL
+        SELECT dst, ts FROM edges WHERE ts IS NOT NULL
+    ) GROUP BY id
+)
+SELECT id, strftime(CAST(last_ts AS DATE), '%Y-%m-%d') AS last_date,
+       datediff('day', CAST(last_ts AS DATE), DATE '2002-01-01') AS inactive_days
+FROM last_seen
+WHERE datediff('day', CAST(last_ts AS DATE), DATE '2002-01-01') > 730
+""",
+)
+def q_inactive_node_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: nodes whose most recent incident edge is older than 730 days
+    (reference ``Node2vec_algorithm_inscripton.py:57-89``) — one exploded
+    max-aggregate, no per-node loops."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    last_seen = (
+        edges.filter(F.col("ts").isNotNull())
+        .select(F.explode(F.array("src", "dst")).alias("id"), "ts")
+        .groupBy("id")
+        .agg(F.max("ts").alias("last_ts"))
+    )
+    inactive = F.datediff(F.lit("2002-01-01").cast("date"), F.col("last_ts").cast("date"))
+    return (
+        last_seen.select("id", F.date_format(F.col("last_ts").cast("date"), "yyyy-MM-dd").alias("last_date"), inactive.alias("inactive_days"))
+        .filter(F.col("inactive_days") > 730)
+    )
+
+
+@register(
+    "edge_dropout",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()}
+SELECT type, COUNT(*) AS kept
+FROM edges
+WHERE dvid <> 1
+   OR (('0x' || substr(md5(concat_ws('|', src, dst, CAST(ts AS VARCHAR))), 1, 8))::BIGINT % 100) >= 15
+GROUP BY type
+""",
+)
+def q_edge_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: drop 15% of dvid-1 edges as structural noise (reference
+    ``Node2vec_algorithm_inscripton.py:94-121`` uses random.sample; here the
+    md5-hash keeps it reproducible in any engine — the seeded-rand form is
+    ``F.rand(seed) >= 0.15``)."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    keep = (F.col("dvid") != 1) | (
+        F.pmod(md5_int32(F.concat_ws("|", "src", "dst", F.col("ts").cast("string"))), F.lit(100)) >= 15
+    )
+    return edges.filter(keep).groupBy("type").agg(F.count("*").alias("kept"))

@@ -1,0 +1,109 @@
+"""Registry entries: event-stream windowing (SURVEY §2.13 / §7.2 step 8).
+
+``events_stream_tumbling`` actually runs Structured Streaming (readStream →
+watermark → window → memory sink) and is hash-checked against the SAME
+DuckDB oracle as the batch form — the unified-semantics guarantee made
+testable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from ..streaming import windows as sw
+from .registry import register
+
+# temporal outputs are STRINGS in both engines: timestamp dtypes/precisions
+# (ns vs µs, date objects) hash differently across engines even when equal
+_TUMBLING_SQL = """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@register("events_tumbling_agg", _TUMBLING_SQL)
+def q_events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sw.tumbling_counts(load_table(spark, "events", sf_dir))
+    return out.withColumn("window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+
+
+@register("events_stream_tumbling", _TUMBLING_SQL)
+def q_events_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the tumbling aggregate."""
+    out = sw.stream_tumbling_counts(spark, sf_dir)
+    return out.withColumn("window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+
+
+@register(
+    "events_sliding_agg",
+    """
+WITH expanded AS (
+    SELECT event_type,
+           UNNEST([time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes',
+                   time_bucket(INTERVAL '5 minutes', ts)]) AS ws
+    FROM events
+)
+SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start, event_type, COUNT(*) AS cnt
+FROM expanded GROUP BY 1, 2
+""",
+)
+def q_events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sw.sliding_counts(load_table(spark, "events", sf_dir))
+    return out.withColumn("window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+
+
+@register(
+    "events_session_windows",
+    """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                     - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                     > 1800
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+),
+sess AS (
+    SELECT user_id, event_id, ts,
+           CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = sw.session_windows(load_table(spark, "events", sf_dir), gap_minutes=30)
+    return out.withColumn(
+        "session_start", F.date_format("session_start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    ).withColumn("session_end", F.date_format("session_end", "yyyy-MM-dd HH:mm:ss.SSSSSS"))
+
+
+@register(
+    "events_dedup",
+    """
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       user_id, event_type, value, props
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn FROM events)
+WHERE rn = 1
+""",
+)
+def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sw.dedup_events(load_table(spark, "events", sf_dir)).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )

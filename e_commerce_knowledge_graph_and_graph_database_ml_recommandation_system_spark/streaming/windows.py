@@ -1,0 +1,108 @@
+"""Event-stream windowing — batch AND Structured Streaming forms.
+
+Beyond-reference scope (SURVEY §2.13): the reference ingests in dvid batches;
+the idiomatic Spark upgrade is event-time windows + watermark. Each window
+shape has (a) a batch DataFrame form, oracle-checkable against DuckDB, and
+(b) the identical logic runnable under readStream (see stream_tumbling_counts)
+— Structured Streaming's unified batch/stream semantics mean the SAME
+expression tree serves both, which is exactly what makes the streaming path
+trustworthy: the micro-batch result must equal the batch oracle.
+
+Scale: windowed aggregations shuffle on (window, key); watermarks bound
+state. Session windows use the lag/cumsum gaps-and-islands form in batch
+(one window shuffle per user) and ``session_window`` under streaming.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
+    """Tumbling event-time windows per event_type: count + sum(value)."""
+    return (
+        events.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, width: str = "10 minutes", slide: str = "5 minutes") -> DataFrame:
+    """Sliding windows: each event lands in width/slide windows."""
+    return (
+        events.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user session windows (gap-based), batch form: classic
+    gaps-and-islands — lag + cumulative sum of session-break flags.
+    Deterministic and SQL-expressible, so the streaming ``session_window``
+    operator has an exact batch oracle."""
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = events.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(
+            (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w_user))) > gap_minutes * 60,
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    w_cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(w_cum))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def dedup_events(events: DataFrame) -> DataFrame:
+    """Exactly-once analog: first event per event_id (streaming form is
+    ``withWatermark + dropDuplicates``)."""
+    w = Window.partitionBy("event_id").orderBy("ts")
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def stream_tumbling_counts(spark, sf_dir: str, width: str = "5 minutes") -> DataFrame:
+    """The REAL Structured Streaming path: readStream over the events parquet
+    with a 1-hour watermark, tumbling window per event_type, complete-mode
+    memory sink drained to a batch DataFrame.
+
+    Returns the materialized result — byte-equal to tumbling_counts on the
+    same data, which is the registry's oracle check for this entry."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    events_file = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(events_file)
+    # readStream needs a directory source; glob-filter the sf dir to events
+    stream = (
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
+    )
+    name = f"stream_tumbling_{abs(hash(sf_dir)) % 100000}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
