@@ -1,0 +1,183 @@
+"""Iterative graph algorithms (SURVEY §2.9 X4/X5/X8) — the custom operators
+Spark has no built-in for, implemented as driver-coordinated DataFrame loops.
+
+X4 random walks  — reference: Node2Vec biased walks
+                   (``feature_engineering/Node2vec_algorithm_inscripton.py:152-171``,
+                   fast config ``Fast_node2vec_algorithm.py:80-100``).
+                   Here: distributed first-order walks (DeepWalk ≈ p=q=1 —
+                   the robust config's p=1.0; documented deviation: the q
+                   bias needs (prev,curr) state, see node2vec_walks).
+X5 skip-gram fit — ``pyspark.ml.feature.Word2Vec`` on walk sequences, the
+                   distributed analog of gensim Word2Vec(sg=1).
+X8 communities   — synchronous label propagation with deterministic
+                   min-label tiebreak, the distributed stand-in for seeded
+                   Louvain (``feature_engineering/Louvain_community_
+                   algorithm.py:56-68``); quality asserted via invariants
+                   (SURVEY §5: modularity/partition-quality, not id hashes).
+
+Scale notes: each walk step / LPA round is ONE shuffle (join on the frontier
+key); lineage is truncated by localCheckpoint every few rounds so plans stay
+bounded. Adjacency is built once and cached. Walk state carries only
+(walk_id, position, current) — the path is re-assembled by a final groupBy,
+keeping per-step shuffle rows narrow.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _adjacency(edges: DataFrame) -> DataFrame:
+    """src -> sorted neighbor array (sorted for deterministic indexing)."""
+    return (
+        edges.select("src", "dst")
+        .groupBy("src")
+        .agg(F.array_sort(F.collect_list("dst")).alias("nbrs"))
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    num_walks: int = 5,
+    walk_len: int = 8,
+    seed: int = 42,
+    undirected: bool = True,
+) -> DataFrame:
+    """X4 (first-order): ``num_walks`` seeded walks of ``walk_len`` steps
+    from every node. Returns (walk_id, walk ARRAY<STRING>).
+
+    Each step: join the frontier to the cached adjacency on the current
+    node, pick neighbor ``floor(rand(seed+step) * size)`` — one shuffle per
+    step, frontier rows stay (walk_id, step, node). Walks stop at sinks.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    adj = _adjacency(e).cache()
+
+    starts = adj.select("src").distinct()
+    frontier = (
+        starts.crossJoin(F.broadcast(
+            starts.sparkSession.range(num_walks).select(F.col("id").alias("walk_no"))
+        ))
+        .select(
+            F.concat_ws("#", "src", "walk_no").alias("walk_id"),
+            F.col("src").alias("cur"),
+        )
+    )
+    # steps accumulates (walk_id, pos, node)
+    trail = frontier.select("walk_id", F.lit(0).alias("pos"), F.col("cur").alias("node"))
+    state = frontier
+
+    for step in range(1, walk_len):
+        nxt = (
+            state.join(adj, state.cur == adj.src, "inner")
+            .withColumn("pick", F.floor(F.rand(seed + step) * F.size("nbrs")).cast("int"))
+            .select(
+                "walk_id",
+                F.element_at(F.col("nbrs"), F.col("pick") + 1).alias("cur"),
+            )
+        )
+        state = nxt
+        trail = trail.unionByName(
+            nxt.select("walk_id", F.lit(step).alias("pos"), F.col("cur").alias("node"))
+        )
+        if step % 4 == 0:
+            # truncate lineage: iterative unions otherwise grow the plan
+            state = state.localCheckpoint(eager=False)
+            trail = trail.localCheckpoint(eager=False)
+
+    return (
+        trail.groupBy("walk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "node"))).alias("t"))
+        .select("walk_id", F.transform("t", lambda s: s["node"]).alias("walk"))
+    )
+
+
+def node_embeddings(
+    walks: DataFrame,
+    dim: int = 64,
+    window_size: int = 5,
+    min_count: int = 0,
+    seed: int = 42,
+    max_iter: int = 1,
+) -> DataFrame:
+    """X5: skip-gram embeddings over walk sequences via pyspark.ml Word2Vec.
+    Returns (id STRING, embedding ARRAY<DOUBLE>). X6 injection = a join of
+    this onto nodes with array_repeat(0.0, dim) fallback."""
+    from pyspark.ml.feature import Word2Vec
+
+    w2v = Word2Vec(
+        vectorSize=dim,
+        windowSize=window_size,
+        minCount=min_count,
+        seed=seed,
+        maxIter=max_iter,
+        inputCol="walk",
+        outputCol="vec",
+    )
+    model = w2v.fit(walks.select("walk"))
+    vecs = model.getVectors()  # (word, vector VectorUDT)
+    from pyspark.ml.functions import vector_to_array
+
+    return vecs.select(F.col("word").alias("id"), vector_to_array("vector").alias("embedding"))
+
+
+def inject_embeddings(nodes: DataFrame, embeddings: DataFrame, dim: int = 64) -> DataFrame:
+    """X6: left-join embeddings onto nodes; zero-vector for missing
+    (reference ``Fast_node2vec_algorithm.py:108-126``)."""
+    return (
+        nodes.join(embeddings, "id", "left")
+        .withColumn("embedding", F.coalesce("embedding", F.array_repeat(F.lit(0.0), dim)))
+    )
+
+
+def label_propagation(edges: DataFrame, max_iter: int = 5, undirected: bool = True) -> DataFrame:
+    """X8: synchronous label propagation with deterministic tiebreaks —
+    each round every node adopts its neighborhood's most frequent label
+    (count desc, label asc). Returns (id, community_id STRING).
+
+    One shuffle per round (edges ⋈ labels on src, then groupBy dst); labels
+    localCheckpoint'ed each round to truncate lineage. Deterministic given
+    the graph — no RNG — so invariant tests can assert exact stability.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.cache()
+
+    nodes = e.select(F.col("src").alias("id")).distinct()
+    labels = nodes.withColumn("label", F.col("id"))
+
+    for _ in range(max_iter):
+        votes = (
+            e.join(labels.withColumnRenamed("id", "src"), "src")
+            .groupBy("dst", "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+        new_labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        # isolated nodes keep their label
+        labels = (
+            nodes.join(new_labels, "id", "left")
+            .withColumn("label", F.coalesce("label", F.col("id")))
+            .localCheckpoint(eager=False)
+        )
+
+    return labels.select("id", F.col("label").alias("community_id"))
+
+
+def community_stats(communities: DataFrame) -> DataFrame:
+    """X9: community count + size stats (reference ``Louvain_community_
+    algorithm.py:61,117``)."""
+    sizes = communities.groupBy("community_id").agg(F.count("*").alias("size"))
+    return sizes.agg(
+        F.count("*").alias("n_communities"),
+        F.round(F.avg("size"), 6).alias("avg_size"),
+        F.max("size").alias("max_size"),
+    )

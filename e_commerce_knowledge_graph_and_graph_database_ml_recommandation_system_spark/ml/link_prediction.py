@@ -1,0 +1,225 @@
+"""Link-prediction ML pipeline (SURVEY §2.11 M1-M11, EP3 stage 1-2).
+
+The reference assembles a wide hand-built feature matrix per (customer,
+product) pair and trains XGBoost (``xgboost_training_for_big_data.py``).
+Spark-first version:
+
+- dataset assembly is a join pipeline (J1 positives, J4 negatives, J5
+  feature joins, A8 recency/frequency, A10 target encoding) ending in a
+  VectorAssembler — no row loops, no collected dicts;
+- model is ``pyspark.ml.classification.GBTClassifier`` (distributed
+  gradient-boosted trees, the MLlib analog of xgboost binary:logistic);
+- class imbalance via weightCol = n_neg/n_pos on positives (M5);
+- deterministic hash split (M1), metrics suite (M9), overfit gate (M8),
+  drift alert (M11) as plain functions over metric DataFrames.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int32
+from ..graph.build import build_edges, build_nodes
+from ..operators import traversals as trav
+from ..operators.aggregates import kfold_target_encoding, recency_frequency
+from ..operators.degrees import degree_features
+
+FEATURE_COLS = [
+    "cust_degree",
+    "cust_log_degree",
+    "cust_degree_pct",
+    "prod_degree",
+    "prod_log_degree",
+    "prod_degree_pct",
+    "recency_days",
+    "frequency",
+    "price",
+    "stock",
+    "target_enc",
+    "degree_product",
+    "degree_ratio",
+    "pref_cat_match",
+    "cust_cat_count",
+]
+
+
+def build_dataset(tables: dict) -> DataFrame:
+    """Assemble the labeled (customer, product) training table.
+
+    Broadcast feature joins (J5: the reference probes per-pair with a
+    pandas scan, ``xgboost_model_training.py:163-167``); one wide row per
+    pair with label + numeric features."""
+    nodes, edges = build_nodes(tables), build_edges(tables)
+    pos = trav.positive_pairs(edges).withColumn("label", F.lit(1))
+    neg = trav.negative_pairs(edges, nodes).withColumn("label", F.lit(0))
+    pairs = pos.unionByName(neg)
+
+    degf = degree_features(nodes, edges)
+    cust_f = degf.filter(F.col("label") == "Customer").select(
+        F.col("id").alias("customer_id"),
+        F.col("degree").alias("cust_degree"),
+        F.col("log_degree").alias("cust_log_degree"),
+        F.col("degree_percentile").alias("cust_degree_pct"),
+    )
+    prod_f = degf.filter(F.col("label") == "Product").select(
+        F.col("id").alias("product_id"),
+        F.col("degree").alias("prod_degree"),
+        F.col("log_degree").alias("prod_log_degree"),
+        F.col("degree_percentile").alias("prod_degree_pct"),
+    )
+    rf = recency_frequency(edges, "2002-01-01").withColumnRenamed("id", "customer_id")
+    prod_attrs = nodes.filter(F.col("label") == "Product").select(
+        F.col("id").alias("product_id"), "category", "price", "stock", F.col("key").alias("pkey")
+    )
+
+    ds = (
+        pairs.join(F.broadcast(cust_f), "customer_id", "left")
+        .join(F.broadcast(prod_f), "product_id", "left")
+        .join(F.broadcast(prod_attrs), "product_id", "left")
+        .join(rf, "customer_id", "left")
+        .na.fill(
+            {
+                "cust_degree": 0,
+                "cust_log_degree": 0.0,
+                "cust_degree_pct": 0.0,
+                "prod_degree": 0,
+                "prod_log_degree": 0.0,
+                "prod_degree_pct": 0.0,
+                "recency_days": 999,
+                "frequency": 0,
+                "price": 0.0,
+                "stock": 0,
+            }
+        )
+    )
+    ds = kfold_target_encoding(ds, key="category", label_col="label", id_col="pkey")
+
+    # preferred-category affinity (reference: category_enrichement.py writes
+    # preferred_category onto customers, consumed as a match feature): how
+    # many of this customer's purchases fall in the candidate's category
+    cust_cat = (
+        trav.positive_pairs(edges)
+        .join(F.broadcast(prod_attrs.select("product_id", "category")), "product_id")
+        .groupBy("customer_id", "category")
+        .agg(F.count("*").alias("cust_cat_count"))
+    )
+    ds = ds.join(cust_cat, ["customer_id", "category"], "left").na.fill({"cust_cat_count": 0})
+    pref = (
+        cust_cat.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("customer_id").orderBy(F.desc("cust_cat_count"), F.asc("category"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("customer_id", F.col("category").alias("pref_category"))
+    )
+    ds = ds.join(F.broadcast(pref), "customer_id", "left").withColumn(
+        "pref_cat_match", (F.col("category") == F.col("pref_category")).cast("int")
+    ).na.fill({"pref_cat_match": 0})
+
+    # §2.10 interaction terms (reference builds these by hand per pair,
+    # ``xgboost_training_for_big_data.py:362-369``)
+    return ds.withColumn(
+        "degree_product", F.col("cust_degree") * F.col("prod_degree")
+    ).withColumn(
+        "degree_ratio", F.col("cust_degree") / (F.col("prod_degree") + F.lit(1e-8))
+    )
+
+
+def split_train_test(ds: DataFrame, train_frac_buckets: int = 4, n_buckets: int = 5):
+    """M1: deterministic hash split (80/20), stratification holds in
+    expectation per label."""
+    bucket = F.pmod(md5_int32(F.concat_ws("|", "customer_id", "product_id")), F.lit(n_buckets))
+    train = ds.filter(bucket < train_frac_buckets)
+    test = ds.filter(bucket >= train_frac_buckets)
+    return train, test
+
+
+def train_gbt(train: DataFrame, max_iter: int = 20, max_depth: int = 5, seed: int = 42):
+    """M2 + M5: GBTClassifier with class-balance weights."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    counts = {r["label"]: r["cnt"] for r in train.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
+    spw = counts.get(0, 1) / max(counts.get(1, 1), 1)  # scale_pos_weight analog
+    weighted = train.withColumn("w", F.when(F.col("label") == 1, F.lit(float(spw))).otherwise(F.lit(1.0)))
+
+    assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features", handleInvalid="keep")
+    gbt = GBTClassifier(
+        labelCol="label",
+        featuresCol="features",
+        weightCol="w",
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        stepSize=0.1,
+        subsamplingRate=0.8,
+        seed=seed,
+    )
+    data = assembler.transform(weighted)
+    model = gbt.fit(data)
+    return model, assembler
+
+
+def evaluate(model, assembler, df: DataFrame) -> dict:
+    """M9: AUC-ROC, AUC-PR, accuracy/precision/recall/F1 at 0.5."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.functions import vector_to_array
+
+    scored = model.transform(assembler.transform(df))
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(scored)
+    pr = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderPR"
+    ).evaluate(scored)
+    conf = (
+        scored.withColumn("p", vector_to_array("probability").getItem(1))
+        .select(
+            F.sum(F.when((F.col("p") >= 0.5) & (F.col("label") == 1), 1).otherwise(0)).alias("tp"),
+            F.sum(F.when((F.col("p") >= 0.5) & (F.col("label") == 0), 1).otherwise(0)).alias("fp"),
+            F.sum(F.when((F.col("p") < 0.5) & (F.col("label") == 1), 1).otherwise(0)).alias("fn"),
+            F.sum(F.when((F.col("p") < 0.5) & (F.col("label") == 0), 1).otherwise(0)).alias("tn"),
+        )
+        .collect()[0]
+    )
+    tp, fp, fn, tn = conf["tp"], conf["fp"], conf["fn"], conf["tn"]
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return {
+        "auc_roc": auc,
+        "auc_pr": pr,
+        "accuracy": (tp + tn) / max(tp + fp + fn + tn, 1),
+        "precision": prec,
+        "recall": rec,
+        "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
+    }
+
+
+def overfit_gate(train_auc: float, val_auc: float, max_gap: float = 0.06) -> bool:
+    """M8: reject the model when train-val AUC gap exceeds the gate
+    (reference ``xgboost_training_for_big_data.py:523-529``)."""
+    return (train_auc - val_auc) <= max_gap
+
+
+def drift_alert(current_auc: float, previous_auc: float | None, tol: float = 0.02) -> bool:
+    """M11: True (alert) when AUC dropped more than tol vs history
+    (reference ``xgboost_training_for_big_data.py:868-874``)."""
+    return previous_auc is not None and (previous_auc - current_auc) > tol
+
+
+def run_pipeline(tables: dict, max_iter: int = 20) -> DataFrame:
+    """End-to-end M1→M9: returns a (metric, value) DataFrame (one row per
+    metric, train and val)."""
+    ds = build_dataset(tables).cache()
+    train, test = split_train_test(ds)
+    model, assembler = train_gbt(train, max_iter=max_iter)
+    m_train = evaluate(model, assembler, train)
+    m_val = evaluate(model, assembler, test)
+    spark = ds.sparkSession
+    rows = [("train_" + k, float(v)) for k, v in m_train.items()] + [
+        ("val_" + k, float(v)) for k, v in m_val.items()
+    ]
+    rows.append(("overfit_gate_ok", float(overfit_gate(m_train["auc_roc"], m_val["auc_roc"]))))
+    return spark.createDataFrame(rows, ["metric", "value"])

@@ -115,30 +115,51 @@ def embedding_near_dup(emb: DataFrame, threshold: float = 0.95, id_col: str = "v
     )
 
 
-def hyperplane_signs(emb: DataFrame, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Random-hyperplane LSH bucket per vector, deterministically seeded:
-    plane p's weight for dimension d = (md5_int32(f'p_{p}_{d}') / 2^31) - 1
-    ∈ [-1, 1). sign bits pack into a bucket id."""
+def hyperplane_signs(
+    emb: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-table random-hyperplane LSH: ``n_tables`` independent tables of
+    ``n_planes`` sign bits each — candidates match in ANY table, which is
+    what lifts recall (single-table sign-LSH recall decays fast with bits).
+    Planes are deterministically md5-seeded: plane (t,p) weight for dim d =
+    md5_int32('p_{t}_{p}_{d}')/2^31 - 1 ∈ [-1, 1). Output: one row per
+    (vector, table) with a prefixed bucket key."""
     from ..functions.text import md5_int32
 
     v = _as_double(F.col(vec_col))
-    bits = []
-    for p in range(n_planes):
-        # build the plane as an array column of deterministic pseudo-randoms
-        plane = F.array(*[
-            (md5_int32(F.lit(f"p_{p}_{d}")) / F.lit(2147483648.0) - F.lit(1.0)) for d in range(dim)
-        ])
-        proj = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-        bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
-    bucket = sum(bits[1:], bits[0])
-    return emb.select(id_col, vec_col, bucket.alias("bucket"))
+    buckets = []
+    for t in range(n_tables):
+        bits = []
+        for p in range(n_planes):
+            plane = F.array(*[
+                (md5_int32(F.lit(f"p_{t}_{p}_{d}")) / F.lit(2147483648.0) - F.lit(1.0))
+                for d in range(dim)
+            ])
+            proj = F.aggregate(F.zip_with(v, plane, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+            bits.append(F.when(proj >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p))
+        buckets.append(F.concat_ws("_", F.lit(t), sum(bits[1:], bits[0])))
+    return emb.select(id_col, vec_col, F.explode(F.array(*buckets)).alias("bucket"))
 
 
-def lsh_topk(emb: DataFrame, k: int = 5, n_planes: int = 8, dim: int = 64, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Approximate cosine top-k: candidates restricted to the same LSH
-    bucket. Bucket equi-join replaces the all-pairs join — the 100-TB path.
-    Recall vs brute_topk is a pytest invariant, not an oracle hash."""
-    bucketed = hyperplane_signs(emb, n_planes, dim, id_col, vec_col)
+def lsh_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: candidates restricted to vectors sharing an
+    LSH bucket in any table. Bucket equi-join + distinct replaces the
+    all-pairs join — the 100-TB path. Recall vs brute_topk is a pytest
+    invariant, not an oracle hash."""
+    bucketed = hyperplane_signs(emb, n_planes, n_tables, dim, id_col, vec_col)
     u = with_unit_vectors(bucketed, vec_col).select(id_col, "bucket", "unit")
     a = u.select(F.col(id_col).alias("query_id"), F.col("bucket"), F.col("unit").alias("ua"))
     b = u.select(F.col(id_col).alias("neighbor_id"), F.col("bucket"), F.col("unit").alias("ub"))
@@ -146,6 +167,7 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_planes: int = 8, dim: int = 64, id_co
         a.join(b, "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

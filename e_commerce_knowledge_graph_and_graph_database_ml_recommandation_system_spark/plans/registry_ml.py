@@ -1,0 +1,153 @@
+"""Registry entries: KNN aggregates, graph algorithms (walks/embeddings/
+communities), the ML pipeline, and multimodal plumbing (SURVEY §2.6 A7,
+§2.9 X4-X9, §2.11, multimodal scope). Imported by plans/registry.
+
+Stochastic / model-fit entries are rows-only (the driver records a weaker
+check); their quality invariants live in tests/ (SURVEY §5 tier 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..graph import algorithms as alg
+from ..graph.build import build_edges
+from ..ml import link_prediction as lp
+from ..operators import multimodal as mm
+from ..operators import similarity as sim
+from ..operators.aggregates import knn_aggregates
+from ..sources.tables import load_table, load_tables
+from .registry import GRAPH_TABLES, register
+
+# ---------------------------------------------------------------------------
+# A7 + X7: similarity graph -> per-node KNN aggregates (oracle-checked)
+# ---------------------------------------------------------------------------
+
+_SIM_GRAPH_CTE = """
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+topk AS (
+    SELECT query_id AS src, neighbor_id AS dst, cosine AS similarity
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id ASC) AS rank
+          FROM pairs)
+    WHERE rank <= 5
+),
+sym AS (
+    SELECT src, dst, MAX(similarity) AS similarity FROM (
+        SELECT src, dst, similarity FROM topk
+        UNION ALL
+        SELECT dst, src, similarity FROM topk
+    ) GROUP BY src, dst
+)
+"""
+
+
+@register(
+    "knn_aggregates",
+    f"""
+WITH {_SIM_GRAPH_CTE.strip()}
+SELECT src AS id,
+       ROUND(AVG(similarity), 6) AS knn_avg_similarity,
+       ROUND(MAX(similarity), 6) AS knn_max_similarity,
+       ROUND(MIN(similarity), 6) AS knn_min_similarity,
+       ROUND(COALESCE(stddev_pop(similarity), 0), 6) AS knn_std_similarity
+FROM sym GROUP BY src
+""",
+)
+def q_knn_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-node aggregates over the symmetrized KNN similarity graph
+    (reference ``xgboost_training_for_big_data.py:298-318``) — the full X7
+    (knn graph) → A7 (neighborhood stats) chain, hash-checked end to end."""
+    g = sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
+    out = knn_aggregates(g)
+    return out.select(
+        "id",
+        F.round("knn_avg_similarity", 6).alias("knn_avg_similarity"),
+        F.round("knn_max_similarity", 6).alias("knn_max_similarity"),
+        F.round("knn_min_similarity", 6).alias("knn_min_similarity"),
+        F.round("knn_std_similarity", 6).alias("knn_std_similarity"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X4/X5/X8/X9: walks, embeddings, communities (rows-only + pytest invariants)
+# ---------------------------------------------------------------------------
+
+
+@register("random_walks", None)
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: 2 seeded first-order walks × 6 steps from every graph node."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return alg.random_walks(edges, num_walks=2, walk_len=6, seed=42)
+
+
+@register("node2vec_embeddings", None)
+def q_node2vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4+X5: walks → Word2Vec skip-gram embeddings (dim=32)."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    walks = alg.random_walks(edges, num_walks=2, walk_len=6, seed=42)
+    return alg.node_embeddings(walks, dim=32, window_size=5, seed=42)
+
+
+@register("label_propagation_communities", None)
+def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: deterministic synchronous LPA (5 rounds) over the PURCHASED/
+    CONTAINS projection."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
+    return alg.label_propagation(e, max_iter=5)
+
+
+@register("community_stats", None)
+def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: community count/size stats over the LPA partition."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
+    return alg.community_stats(alg.label_propagation(e, max_iter=3))
+
+
+# ---------------------------------------------------------------------------
+# M1-M9: link-prediction pipeline metrics (rows-only; invariants in tests)
+# ---------------------------------------------------------------------------
+
+
+@register("ml_link_prediction_metrics", None)
+def q_ml_link_prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1→M9 end to end: dataset assembly, hash split, weighted GBT fit,
+    metric suite + overfit gate. Returns (metric, value) rows."""
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    return lp.run_pipeline(tables, max_iter=10)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_meta",
+    """
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ceil(octet_length(encode(text)) / 1024.0) AS INTEGER) AS est_frames,
+       ('0x' || substr(md5(text), 1, 8))::BIGINT AS content_hash32
+FROM documents
+""",
+)
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata extraction (schema + typed meta), pure SQL
+    both sides — the plumbing every real decode pipeline sits on."""
+    return mm.media_metadata(load_table(spark, "documents", sf_dir))
+
+
+@register("multimodal_frame_features", None)
+def q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode-stub → per-doc frame features (Arrow batch path)."""
+    frames = mm.decode_frames(load_table(spark, "documents", sf_dir))
+    return mm.frame_features(frames)

@@ -357,7 +357,7 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approximate path: rows-only (recall-vs-brute is a pytest invariant)
 @register("ann_lsh_topk", None)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.lsh_topk(load_table(spark, "embeddings", sf_dir), k=5, n_planes=8, dim=64)
+    return sim.lsh_topk(load_table(spark, "embeddings", sf_dir), k=5, n_planes=4, n_tables=8, dim=64)
 
 
 @register("knn_similarity_graph", None)
