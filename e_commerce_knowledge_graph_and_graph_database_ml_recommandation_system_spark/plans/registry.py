@@ -481,3 +481,4 @@ from . import registry_serving  # noqa: E402,F401  isort:skip
 from . import registry_streaming  # noqa: E402,F401  isort:skip
 from . import registry_relational  # noqa: E402,F401  isort:skip
 from . import registry_ml  # noqa: E402,F401  isort:skip
+from . import registry_graph_extras  # noqa: E402,F401  isort:skip

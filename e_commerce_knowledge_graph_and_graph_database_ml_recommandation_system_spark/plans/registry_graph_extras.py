@@ -1,0 +1,286 @@
+"""Registry entries: remaining SURVEY §2 operators — grouped moments by
+community (A4/W2), global moments (A2), degree histogram (A6), catalog
+upsert (G3), feature write-back (J9), model scoring (M10), and the R2-R4
+sampling variants. Imported by plans/registry.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..graph.build import build_edges, build_nodes
+from ..operators import topk as tk
+from ..operators.degrees import community_degree_features, degree_histogram, node_degrees
+from ..sources.tables import load_tables
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register
+
+# ---------------------------------------------------------------------------
+# A2: global degree moments
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "global_degree_moments",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+both_ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (SELECT id, COUNT(*) AS degree FROM both_ends GROUP BY id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       ROUND(AVG(degree), 6) AS mean_degree,
+       ROUND(stddev_pop(degree), 6) AS std_degree,
+       CAST(MAX(degree) AS BIGINT) AS max_degree
+FROM deg
+""",
+)
+def q_global_degree_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: mean/std over all degrees (reference ``degree_analysis.py:44-46``)."""
+    deg = node_degrees(build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES)))
+    return deg.agg(
+        F.count("*").alias("n_nodes"),
+        F.round(F.avg("degree"), 6).alias("mean_degree"),
+        F.round(F.stddev_pop("degree"), 6).alias("std_degree"),
+        F.max("degree").alias("max_degree"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A6: degree histogram
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "degree_histogram",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+both_ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (SELECT id, COUNT(*) AS degree FROM both_ends GROUP BY id)
+SELECT CAST(floor(degree / 5) * 5 AS BIGINT) AS bin, COUNT(*) AS cnt
+FROM deg GROUP BY 1
+""",
+)
+def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: binned degree histogram (reference ``degree_analysis.py:155-165``)."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return degree_histogram(edges, bin_width=5)
+
+
+# ---------------------------------------------------------------------------
+# A4 + W2: per-community degree stats (nation segments = deterministic
+# communities, so the whole chain is oracle-checkable; the LPA-community
+# variant is the rows-only `label_propagation_communities` entry)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "community_degree_features",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+both_ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (SELECT id, COUNT(*) AS degree FROM both_ends GROUP BY id),
+members AS (
+    SELECT concat_ws('_', 'cust', c_custkey) AS id,
+           concat_ws('_', 'seg', c_nationkey) AS community_id
+    FROM customer
+),
+d AS (
+    SELECT m.id, m.community_id, COALESCE(deg.degree, 0) AS degree
+    FROM members m LEFT JOIN deg ON m.id = deg.id
+)
+SELECT id, community_id, degree,
+       ROUND(AVG(degree) OVER (PARTITION BY community_id), 6) AS community_degree_mean,
+       ROUND(COALESCE(stddev_pop(degree) OVER (PARTITION BY community_id), 0), 6) AS community_degree_std,
+       ROUND(COALESCE((degree - AVG(degree) OVER (PARTITION BY community_id))
+             / NULLIF(stddev_pop(degree) OVER (PARTITION BY community_id), 0), 0), 6) AS community_degree_zscore,
+       ROUND(cume_dist() OVER (PARTITION BY community_id ORDER BY degree), 6) AS community_degree_percentile
+FROM d
+""",
+)
+def q_community_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+W2: per-community degree mean/std/z-score/percentile (reference
+    ``degree_analysis.py:92-126``), with nation-segment communities."""
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    edges = build_edges(tables)
+    deg = node_degrees(edges)
+    members = tables["customer"].select(
+        F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id"),
+        F.concat_ws("_", F.lit("seg"), F.col("c_nationkey")).alias("community_id"),
+    )
+    d = members.join(deg, "id", "left").na.fill({"degree": 0})
+    out = community_degree_features(d.select("id", "degree"), d.select("id", "community_id"))
+    return out.select(
+        "id",
+        "community_id",
+        "degree",
+        F.round("community_degree_mean", 6).alias("community_degree_mean"),
+        F.round("community_degree_std", 6).alias("community_degree_std"),
+        F.round("community_degree_zscore", 6).alias("community_degree_zscore"),
+        F.round("community_degree_percentile", 6).alias("community_degree_percentile"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3: node attribute upsert (catalog enrichment, full-outer + coalesce)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "catalog_upsert",
+    """
+WITH existing AS (
+    SELECT concat_ws('_', 'prod', p_partkey) AS id,
+           p_type AS category, p_size AS stock, p_retailprice AS price
+    FROM part WHERE p_partkey % 2 = 0
+),
+updates AS (
+    SELECT concat_ws('_', 'prod', p_partkey) AS id,
+           p_type AS category, p_size + 10 AS stock
+    FROM part WHERE p_partkey % 3 = 0
+)
+SELECT COALESCE(e.id, u.id) AS id,
+       COALESCE(u.category, e.category) AS category,
+       COALESCE(u.stock, e.stock) AS stock,
+       e.price AS price,
+       CASE WHEN e.id IS NULL THEN 'inserted'
+            WHEN u.id IS NULL THEN 'unchanged'
+            ELSE 'updated' END AS upsert_action
+FROM existing e FULL OUTER JOIN updates u ON e.id = u.id
+""",
+)
+def q_catalog_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: insert-or-update product attrs from a catalog batch (reference
+    ``knowledge_graph_creation.py:141-166``: G.nodes[sku].update + insert-
+    if-absent) — full-outer join + latest-wins coalesce, no mutation."""
+    part = load_tables(spark, sf_dir, names=("part",))["part"]
+    existing = part.filter(F.pmod("p_partkey", F.lit(2)) == 0).select(
+        F.concat_ws("_", F.lit("prod"), F.col("p_partkey")).alias("id"),
+        F.col("p_type").alias("category"),
+        F.col("p_size").alias("stock"),
+        F.col("p_retailprice").alias("price"),
+    )
+    updates = part.filter(F.pmod("p_partkey", F.lit(3)) == 0).select(
+        F.concat_ws("_", F.lit("prod"), F.col("p_partkey")).alias("id"),
+        F.col("p_type").alias("category"),
+        (F.col("p_size") + 10).alias("stock"),
+    )
+    e, u = existing.alias("e"), updates.alias("u")
+    return e.join(u, F.col("e.id") == F.col("u.id"), "full_outer").select(
+        F.coalesce(F.col("e.id"), F.col("u.id")).alias("id"),
+        F.coalesce(F.col("u.category"), F.col("e.category")).alias("category"),
+        F.coalesce(F.col("u.stock"), F.col("e.stock")).alias("stock"),
+        F.col("e.price").alias("price"),
+        F.when(F.col("e.id").isNull(), "inserted")
+        .when(F.col("u.id").isNull(), "unchanged")
+        .otherwise("updated")
+        .alias("upsert_action"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J9: feature write-back join (graph attrs -> feature table with fallbacks)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "feature_writeback",
+    f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+features AS (
+    SELECT concat_ws('_', 'cust', c_custkey) AS node_id,
+           c_acctbal AS old_balance_feature,
+           CAST(-1 AS BIGINT) AS degree_feature
+    FROM customer
+),
+both_ends AS (SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges),
+deg AS (SELECT id, COUNT(*) AS degree FROM both_ends GROUP BY id)
+SELECT f.node_id,
+       f.old_balance_feature,
+       COALESCE(d.degree, f.degree_feature) AS degree_feature
+FROM features f LEFT JOIN deg d ON f.node_id = d.id
+""",
+)
+def q_feature_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: update feature rows from graph node attrs with per-feature
+    fallback (reference ``update_features_after_every_fold.py:77-111``
+    iterrows loop) — one left join + coalesce."""
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    edges = build_edges(tables)
+    features = tables["customer"].select(
+        F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("node_id"),
+        F.col("c_acctbal").alias("old_balance_feature"),
+        F.lit(-1).cast("long").alias("degree_feature"),
+    )
+    deg = node_degrees(edges)
+    return features.join(deg, features.node_id == deg.id, "left").select(
+        "node_id",
+        "old_balance_feature",
+        F.coalesce(F.col("degree"), F.col("degree_feature")).alias("degree_feature"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M10 + R2/R3/R4: model scoring + stochastic sampling variants (rows-only)
+# ---------------------------------------------------------------------------
+
+
+@register("model_scoring_topk", None)
+def q_model_scoring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: fit a small GBT, score the serving cohort's candidates, take
+    diverse top-5 on the model probability (EP3 end-to-end with a LEARNED
+    scorer instead of the popularity proxy)."""
+    from pyspark.ml.functions import vector_to_array
+
+    from ..ml import link_prediction as lp
+    from .registry_serving import _candidates
+
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    ds = lp.build_dataset(tables).cache()
+    train, _ = lp.split_train_test(ds)
+    model, assembler = lp.train_gbt(train, max_iter=5, max_depth=4)
+
+    cands = _candidates(spark, sf_dir)
+    feats = ds.select(
+        "customer_id", "product_id", *[c for c in lp.FEATURE_COLS]
+    ).dropDuplicates(["customer_id", "product_id"])
+    joined = (
+        cands.withColumn("customer_id", F.concat_ws("_", F.lit("cust"), F.col("customer_id")))
+        .withColumn("product_id", F.concat_ws("_", F.lit("prod"), F.col("product_id")))
+        .join(feats, ["customer_id", "product_id"], "inner")
+    )
+    scored = model.transform(assembler.transform(joined)).withColumn(
+        "prob", vector_to_array("probability").getItem(1)
+    )
+    return tk.diverse_topk(scored, k=5, score_col="prob", per_category=2).select(
+        "customer_id", "rank", "product_id", "category", F.round("prob", 6).alias("prob")
+    )
+
+
+def _gumbel_variant(spark, sf_dir, **kw) -> DataFrame:
+    from .registry_serving import _candidates
+
+    cands = _candidates(spark, sf_dir)
+    w = F.sum("score").over(Window.partitionBy("customer_id"))
+    probs = cands.withColumn("p", F.col("score") / w)
+    out = tk.gumbel_topk(probs, k=5, score_col="p", **kw)
+    return out.select("customer_id", "rank", "product_id", "category", F.round("p", 6).alias("p"))
+
+
+@register("serve_softmax_noise_topk", None)
+def q_serve_softmax_noise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: logit softmax with gaussian noise, T=3.0 (reference
+    ``took_recommandations_softmaxsampling_discount.py:213-241``)."""
+    return _gumbel_variant(spark, sf_dir, temperature=3.0, seed=43, noise_scale=0.1)
+
+
+@register("serve_stochastic_softmax_topk", None)
+def q_serve_stochastic_softmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: stochastic softmax, T=5.0, noise 0.15 (reference
+    ``topk_recommandations_stochasticsoftmaxsampling_discount.py:193-228``)."""
+    return _gumbel_variant(spark, sf_dir, temperature=5.0, seed=44, noise_scale=0.15)
+
+
+@register("serve_adam_mixture_topk", None)
+def q_serve_adam_mixture_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R4: 0.3·uniform + 0.7·p mixture, T=2.0 (reference
+    ``took_recommandations_adamsampling_discount.py:58-100``)."""
+    return _gumbel_variant(spark, sf_dir, temperature=2.0, seed=45, uniform_mix=0.3)
