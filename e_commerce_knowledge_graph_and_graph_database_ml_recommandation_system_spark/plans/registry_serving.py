@@ -235,7 +235,7 @@ def q_discount_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH ev AS (
     SELECT DISTINCT l_partkey AS product_id,
            CAST(l_shipdate AS DATE) AS event_date,
-           l_discount AS discount
+           CAST(l_discount AS DECIMAL(8,4)) AS discount
     FROM lineitem WHERE l_discount > 0
 ),
 dedup AS (
@@ -244,8 +244,8 @@ dedup AS (
 )
 SELECT product_id,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       ROUND(AVG(discount), 6) AS avg_discount,
-       ROUND(MAX(discount), 6) AS max_discount
+       ROUND(CAST(SUM(discount) AS DOUBLE) / COUNT(*), 6) AS avg_discount,
+       ROUND(CAST(MAX(discount) AS DOUBLE), 6) AS max_discount
 FROM dedup GROUP BY product_id
 """,
 )
@@ -259,7 +259,8 @@ def q_discount_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("l_partkey").alias("product_id"),
             F.col("l_shipdate").cast("date").alias("event_date"),
-            F.col("l_discount").alias("discount"),
+            # decimal events: float averages are summation-order dependent
+            F.col("l_discount").cast("decimal(8,4)").alias("discount"),
         )
         .distinct()
         .groupBy("product_id", "event_date")
@@ -267,6 +268,6 @@ def q_discount_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return ev.groupBy("product_id").agg(
         F.count("*").alias("n_events"),
-        F.round(F.avg("discount"), 6).alias("avg_discount"),
-        F.round(F.max("discount"), 6).alias("max_discount"),
+        F.round(F.sum("discount").cast("double") / F.count("*"), 6).alias("avg_discount"),
+        F.round(F.max("discount").cast("double"), 6).alias("max_discount"),
     )
