@@ -95,6 +95,89 @@ def random_walks(
     )
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    num_walks: int = 5,
+    walk_len: int = 8,
+    p: float = 1.0,
+    q: float = 0.5,
+    seed: int = 42,
+    undirected: bool = True,
+) -> DataFrame:
+    """X4 (second-order): p/q-biased Node2Vec walks — return bias 1/p,
+    in-out bias 1/q, matching the reference configs (robust p=1.0 q=0.5
+    ``Node2vec_algorithm_inscripton.py:40-48``; fast p=0.5 q=2.0
+    ``Fast_node2vec_algorithm.py:22-31``).
+
+    State carries (walk_id, prev, cur). Each step joins the frontier to the
+    adjacency TWICE (cur's neighbors + prev's neighbor set for the
+    distance-1 test), then picks the next node with the Gumbel-argmax trick
+    over per-candidate weights: key_i = ln(w_i) − ln(−ln(u_i)) with
+    u_i = md5(walk_id, step, candidate)/2^32 — deterministic, per-element,
+    reproducible in any partitioning (no rand()). argmax via array_sort.
+    """
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    adj = _adjacency(e).cache()
+    padj = adj.select(F.col("src").alias("p_src"), F.col("nbrs").alias("pnbrs"))
+
+    starts = adj.select("src").distinct()
+    frontier = (
+        starts.crossJoin(F.broadcast(
+            starts.sparkSession.range(num_walks).select(F.col("id").alias("walk_no"))
+        ))
+        .select(
+            F.concat_ws("#", "src", "walk_no", F.lit(seed)).alias("walk_id"),
+            F.lit(None).cast("string").alias("prev"),
+            F.col("src").alias("cur"),
+        )
+    )
+    trail = frontier.select("walk_id", F.lit(0).alias("pos"), F.col("cur").alias("node"))
+    state = frontier
+
+    for step in range(1, walk_len):
+        cand = (
+            state.join(adj, state.cur == adj.src, "inner")
+            .join(padj, state.prev == padj.p_src, "left")
+        )
+        # weight per candidate x: 1/p if x==prev; 1 if x in nbrs(prev); 1/q else
+        w_expr = f"""
+            transform(nbrs, x ->
+                struct(
+                    ln(CASE WHEN x = prev THEN {1.0 / p}
+                            WHEN pnbrs IS NOT NULL AND array_contains(pnbrs, x) THEN 1.0
+                            ELSE {1.0 / q} END)
+                    - ln(-ln(
+                        (conv(substring(md5(concat_ws('|', walk_id, '{step}', x)), 1, 8), 16, 10)
+                         + 0.5) / 4294967296.0
+                    )) AS key,
+                    x AS node))
+        """
+        nxt = (
+            cand.withColumn("keyed", F.expr(w_expr))
+            .select(
+                "walk_id",
+                F.col("cur").alias("new_prev"),
+                F.element_at(F.array_sort("keyed"), -1)["node"].alias("cur"),
+            )
+            .withColumnRenamed("new_prev", "prev")
+        )
+        state = nxt
+        trail = trail.unionByName(
+            nxt.select("walk_id", F.lit(step).alias("pos"), F.col("cur").alias("node"))
+        )
+        if step % 4 == 0:
+            state = state.localCheckpoint(eager=False)
+            trail = trail.localCheckpoint(eager=False)
+
+    return (
+        trail.groupBy("walk_id")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "node"))).alias("t"))
+        .select("walk_id", F.transform("t", lambda s: s["node"]).alias("walk"))
+    )
+
+
 def node_embeddings(
     walks: DataFrame,
     dim: int = 64,

@@ -151,3 +151,10 @@ def q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode-stub → per-doc frame features (Arrow batch path)."""
     frames = mm.decode_frames(load_table(spark, "documents", sf_dir))
     return mm.frame_features(frames)
+
+
+@register("node2vec_biased_walks", None)
+def q_node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 second-order: p/q-biased walks (robust config's p=1.0, q=0.5)."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    return alg.node2vec_walks(edges, num_walks=1, walk_len=5, p=1.0, q=0.5, seed=42)

@@ -179,3 +179,29 @@ def test_discount_range(spark):
     assert bad == 0
     dec = out.filter(F.col("sim_month") == 12)
     assert dec.filter((F.col("discount") < 0.30) | (F.col("discount") > 0.50)).count() == 0
+
+
+def test_node2vec_biased_walks(spark):
+    """X4 2nd-order: steps follow real edges; fully deterministic (md5-keyed
+    selection — no rand()), so two runs are identical."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.build import build_edges
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
+
+    edges = build_edges(_tables(spark))
+    w1 = alg.node2vec_walks(edges, num_walks=1, walk_len=4, p=0.5, q=2.0, seed=9).cache()
+    w2 = alg.node2vec_walks(edges, num_walks=1, walk_len=4, p=0.5, q=2.0, seed=9)
+    assert w1.exceptAll(w2).count() == 0
+    steps = w1.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("walk") - 2),
+                lambda i: F.struct(
+                    F.element_at("walk", i + 1).alias("a"), F.element_at("walk", i + 2).alias("b")
+                ),
+            )
+        ).alias("s")
+    ).select("s.a", "s.b")
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    assert steps.join(und, (steps.a == und.src) & (steps.b == und.dst), "left_anti").count() == 0
