@@ -188,3 +188,72 @@ def similarity_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col
         topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity")
     )
     return sym.groupBy("src", "dst").agg(F.max("similarity").alias("similarity"))
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: seeded KMeans coarse quantizer; each vector
+    indexes into its cell, each query probes its ``n_probe`` nearest cells
+    — the classic FAISS-IVF shape on DataFrames. Join is (query × probed
+    cell) equi-join on cell id: |N|²/n_cells expected compare volume.
+    Recall vs brute_topk is a pytest invariant (KMeans is seeded but not
+    bit-stable across environments, so no SQL oracle)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    u = with_unit_vectors(emb, vec_col).select(id_col, "unit")
+    vecs = u.withColumn("fv", array_to_vector("unit"))
+    km = KMeans(k=n_cells, seed=seed, featuresCol="fv", predictionCol="cell")
+    model = km.fit(vecs)
+    centers = model.clusterCenters()
+
+    # assign index side to its cell
+    indexed = model.transform(vecs).select(id_col, "unit", "cell")
+
+    # query side: n_probe nearest centers via literal center arrays
+    centers_lit = F.array(*[
+        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(float(x)) for x in c]).alias("cv"))
+        for i, c in enumerate(centers)
+    ])
+    probed = (
+        u.withColumn(
+            "cells",
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.transform(
+                            centers_lit,
+                            lambda s: F.struct(
+                                _dot(F.col("unit"), s["cv"]).alias("sim"), s["cell"].alias("cell")
+                            ),
+                        )
+                    )
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select(id_col, "unit", F.explode(F.transform("cells", lambda s: s["cell"])).alias("cell"))
+    )
+
+    a = probed.select(F.col(id_col).alias("query_id"), "cell", F.col("unit").alias("ua"))
+    b = indexed.select(F.col(id_col).alias("neighbor_id"), "cell", F.col("unit").alias("ub"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(_dot(F.col("ua"), F.col("ub")), 6).alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -158,3 +158,9 @@ def q_node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 second-order: p/q-biased walks (robust config's p=1.0, q=0.5)."""
     edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
     return alg.node2vec_walks(edges, num_walks=1, walk_len=5, p=1.0, q=0.5, seed=42)
+
+
+@register("ann_ivf_topk", None)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN top-k (seeded KMeans coarse quantizer, probe=2)."""
+    return sim.ivf_topk(load_table(spark, "embeddings", sf_dir), k=5, n_cells=8, n_probe=2)

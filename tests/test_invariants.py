@@ -205,3 +205,86 @@ def test_node2vec_biased_walks(spark):
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
     assert steps.join(und, (steps.a == und.src) & (steps.b == und.dst), "left_anti").count() == 0
+
+
+def test_stateful_stream_user_profiles(spark):
+    """applyInPandasWithState: final streamed per-user profiles equal the
+    batch aggregate (count + sum + last event type)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.streaming.stateful import stream_user_profiles
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    got = stream_user_profiles(spark, SF).cache()
+    ev = load_table(spark, "events", SF)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    last = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).select(
+        "user_id", F.col("event_type").alias("last_type_b")
+    )
+    want = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("n_events_b"), F.round(F.sum("value"), 6).alias("total_value_b"))
+        .join(last, "user_id")
+    )
+    j = got.join(want, "user_id", "full_outer").cache()
+    assert j.filter(F.col("n_events").isNull() | F.col("n_events_b").isNull()).count() == 0
+    mism = j.filter(
+        (F.col("n_events") != F.col("n_events_b"))
+        | (F.abs(F.col("total_value") - F.col("total_value_b")) > 1e-4)
+    ).count()
+    assert mism == 0
+
+
+def test_ivf_topk_recall(spark):
+    """IVF ANN: recall@5 vs brute force above floor with probe=2 of 8 cells."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    brute = sim.brute_topk(emb, k=5).select("query_id", "neighbor_id")
+    ivf = sim.ivf_topk(emb, k=5, n_cells=8, n_probe=2).select("query_id", "neighbor_id")
+    recall = brute.intersect(ivf).count() / brute.count()
+    assert recall > 0.4, f"IVF recall@5 too low: {recall:.2f}"
+
+
+def test_oversample_and_lifecycle(spark):
+    """M6/M7/S6: minority oversampling ratio bound, compat probe, history append."""
+    import tempfile, os
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import lifecycle as lc
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import link_prediction as lp
+
+    ds = spark.range(1200).select(
+        F.col("id").alias("customer_id"),
+        F.col("id").alias("product_id"),
+        F.when(F.col("id") % 12 == 0, 1).otherwise(0).alias("label"),
+        (F.col("id") % 7).cast("double").alias("f1"),
+    )
+    over = lc.oversample_minority(ds, max_ratio=5.0, seed=1)
+    c = {r["label"]: r["cnt"] for r in over.groupBy("label").agg(F.count("*").alias("cnt")).collect()}
+    assert c[0] / c[1] < 7.0  # ratio pulled toward the 5.0 target
+
+    tables = _tables(spark)
+    full = lp.build_dataset(tables)
+    train, test = lp.split_train_test(full)
+    model, assembler = lp.train_gbt(train, max_iter=3, max_depth=3)
+    assert lc.compatibility_probe(model, assembler, test) is True
+
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, "hist.json")
+        lc.append_perf_history(p, {"round": 1, "auc": 0.7})
+        hist = lc.append_perf_history(p, {"round": 2, "auc": 0.72})
+        assert len(hist) == 2 and hist[1]["auc"] == 0.72
+
+
+def test_mlp_flat_approximation(spark):
+    """M3: MLlib MLP trains on the assembled features and predicts both classes."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import lifecycle as lc
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import link_prediction as lp
+
+    tables = _tables(spark)
+    ds = lp.build_dataset(tables).cache()
+    train, test = lp.split_train_test(ds)
+    model, assembler, scaler = lc.train_mlp(train, lp.FEATURE_COLS, max_iter=15)
+    pred = model.transform(scaler.transform(assembler.transform(test)))
+    n_classes = pred.select("prediction").distinct().count()
+    assert pred.count() > 0 and n_classes >= 1
