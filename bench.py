@@ -35,6 +35,13 @@ HEADLINE = [
     "token_stats",
     "quality_scores",
     "ann_brute_topk",
+    "ann_lsh_topk",
+    "knn_aggregates",
+    "serve_greedy_diverse_topk",
+    "events_tumbling_agg",
+    "events_session_windows",
+    "pricing_summary",
+    "union_heterogeneous",
 ]
 
 

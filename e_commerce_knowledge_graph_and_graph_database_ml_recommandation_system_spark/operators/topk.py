@@ -132,19 +132,15 @@ def greedy_diverse_topk_exact(
         out_schema = out_schema.add("rank", IntegerType())
 
     def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        # the sequential greedy walk (take candidate iff its category quota
+        # is open, stop at k) selects exactly the rows whose within-category
+        # rank < quota, in score order — so it vectorizes as a groupby
+        # cumcount (an iterrows loop here measured ~30s at sf0.1; this is
+        # milliseconds, with identical output)
         pdf = pdf.sort_values([score_col, "product_id"], ascending=[False, True])
-        seen: dict[str, int] = {}
-        rows = []
-        for _, row in pdf.iterrows():
-            cat = row["category"]
-            if seen.get(cat, 0) >= max_per_category:
-                continue
-            seen[cat] = seen.get(cat, 0) + 1
-            r = row.to_dict()
-            r["rank"] = len(rows) + 1
-            rows.append(r)
-            if len(rows) >= k:
-                break
-        return pd.DataFrame(rows, columns=[*schema_cols, "rank"])
+        cat_rank = pdf.groupby("category").cumcount()
+        out = pdf[cat_rank < max_per_category].head(k).copy()
+        out["rank"] = range(1, len(out) + 1)
+        return out[[*schema_cols, "rank"]]
 
     return scored.groupBy("customer_id").applyInPandas(pick, schema=out_schema)

@@ -110,7 +110,10 @@ def q_serve_greedy_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is accepted iff it is within its category's top-2), so the applyInPandas
     implementation is hash-checked against the pure-SQL oracle — the
     strongest possible correctness check for the Python escape hatch."""
-    out = tk.greedy_diverse_topk_exact(_candidates(spark, sf_dir), k=5, max_per_category=2)
+    # prune p_name before the Arrow transfer: the grouped-map ships every
+    # candidate row to Python, and the long string column dominated the IPC
+    cands = _candidates(spark, sf_dir).select("customer_id", "product_id", "category", "score")
+    out = tk.greedy_diverse_topk_exact(cands, k=5, max_per_category=2)
     return out.select("customer_id", "rank", "product_id", "category", "score")
 
 
