@@ -7,12 +7,19 @@ oracle_sql()    -> {name: DuckDB SQL} for the t2 hash-match correctness gate
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
-from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.flagship import flagship
+# the driver may load this file from any cwd — make the package importable
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry  # noqa: E402
+from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.flagship import flagship  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
