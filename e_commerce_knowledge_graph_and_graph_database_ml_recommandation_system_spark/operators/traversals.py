@@ -81,19 +81,21 @@ def negative_pairs(edges: DataFrame, nodes: DataFrame, modulus: int = 50) -> Dat
     with |C|·|P| / |positives| to hold the reference's 1:1 target.
     """
     customers = nodes.filter(F.col("label") == "Customer").select(
-        F.col("id").alias("customer_id"), F.col("key").alias("ckey")
+        F.col("id").alias("customer_id"),
+        # (131·c + 7919·p) % m == 0  ⟺  (131·c) % m == (−7919·p) % m:
+        # the selection predicate becomes an EQUI-JOIN key, so the sampled
+        # pair set materializes directly (|C|·|P|/m rows) without ever
+        # evaluating the |C|·|P| cross space — the crossJoin+filter form
+        # burned ~300M row evaluations at sf0.1 for the same output
+        F.pmod(F.col("key") * F.lit(131), F.lit(modulus)).alias("bucket"),
     )
     products = nodes.filter(F.col("label") == "Product").select(
-        F.col("id").alias("product_id"), F.col("key").alias("pkey")
+        F.col("id").alias("product_id"),
+        F.pmod(F.lit(modulus) - F.pmod(F.col("key") * F.lit(7919), F.lit(modulus)), F.lit(modulus)).alias("bucket"),
     )
     pos = positive_pairs(edges)
 
-    # small-prime mix keeps every intermediate far below 2^63 at any scale
-    pairs = (
-        customers.crossJoin(products)
-        .filter(F.pmod(F.col("ckey") * F.lit(131) + F.col("pkey") * F.lit(7919), F.lit(modulus)) == 0)
-        .select("customer_id", "product_id")
-    )
+    pairs = customers.join(products, "bucket").select("customer_id", "product_id")
     return pairs.join(pos, ["customer_id", "product_id"], "left_anti")
 
 

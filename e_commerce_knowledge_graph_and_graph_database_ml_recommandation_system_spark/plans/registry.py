@@ -445,10 +445,16 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
     edges = build_edges(tables)
     pos = trav.positive_pairs(edges)
+    # (7c + p) % 13 == 0 as an equi-join on modular buckets (see
+    # traversals.negative_pairs): generates the 1/13 sample directly
+    cust_b = tables["customer"].select(
+        "c_custkey", F.pmod(F.col("c_custkey") * 7, F.lit(13)).alias("bucket")
+    )
+    part_b = tables["part"].select(
+        "p_partkey", F.pmod(F.lit(13) - F.pmod(F.col("p_partkey"), F.lit(13)), F.lit(13)).alias("bucket")
+    )
     cp = (
-        tables["customer"].select("c_custkey")
-        .crossJoin(tables["part"].select("p_partkey"))
-        .filter(F.pmod(F.col("c_custkey") * 7 + F.col("p_partkey"), F.lit(13)) == 0)
+        cust_b.join(part_b, "bucket")
         .withColumn("customer_id", F.concat_ws("_", F.lit("cust"), F.col("c_custkey")))
         .withColumn("product_id", F.concat_ws("_", F.lit("prod"), F.col("p_partkey")))
     )
