@@ -94,3 +94,38 @@ def test_ml_model_persistence_roundtrip(spark, tmp_path):
     a = model.transform(assembler.transform(test)).select("customer_id", "product_id", "prediction")
     b = reloaded.transform(assembler.transform(test)).select("customer_id", "product_id", "prediction")
     assert a.exceptAll(b).count() == 0
+
+
+def test_bucketed_join_avoids_shuffle(spark, tmp_path):
+    """Bucketing co-locates the 2-hop join: writing orders and lineitem
+    bucketed by the join key lets the PURCHASED⋈CONTAINS join run without
+    exchanging either side — the pre-partitioning strategy for the graph's
+    hottest join at 100 TB."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF, names=("orders", "lineitem"))
+    wh = str(tmp_path / "wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS buckdemo LOCATION '{wh}'")
+    (t["orders"].write.mode("overwrite").bucketBy(8, "o_orderkey")
+     .sortBy("o_orderkey").saveAsTable("buckdemo.orders_b"))
+    (t["lineitem"].write.mode("overwrite").bucketBy(8, "l_orderkey")
+     .sortBy("l_orderkey").saveAsTable("buckdemo.lineitem_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the shuffle-join path (at dim-table size Spark would just
+        # broadcast; bucketing matters when BOTH sides are fact-scale)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table("buckdemo.orders_b")
+        li = spark.table("buckdemo.lineitem_b")
+        joined = o.join(li, o.o_orderkey == li.l_orderkey).select("o_custkey", "l_partkey")
+        plan = _explain(spark, joined)
+        # no ShuffleExchange above either scan: bucket layout satisfies the
+        # join's required distribution
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert joined.count() == t["lineitem"].count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdemo")
