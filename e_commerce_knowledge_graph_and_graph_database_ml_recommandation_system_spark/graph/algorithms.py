@@ -234,8 +234,13 @@ def label_propagation(edges: DataFrame, max_iter: int = 5, undirected: bool = Tr
     labels = nodes.withColumn("label", F.col("id"))
 
     for _ in range(max_iter):
+        # neighbor votes + a SELF-vote: without it synchronous LPA
+        # oscillates on bipartite structure (customer/order/product layers
+        # swap labels each round and modularity goes negative)
         votes = (
             e.join(labels.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst"), "label")
+            .unionByName(labels.select(F.col("id").alias("dst"), "label"))
             .groupBy("dst", "label")
             .agg(F.count("*").alias("cnt"))
         )
@@ -264,3 +269,31 @@ def community_stats(communities: DataFrame) -> DataFrame:
         F.round(F.avg("size"), 6).alias("avg_size"),
         F.max("size").alias("max_size"),
     )
+
+
+def modularity(edges: DataFrame, communities: DataFrame, undirected: bool = True) -> float:
+    """Newman modularity Q = Σ_c [ e_c/m − (d_c/2m)² ] of a partition —
+    the X8 quality gate (SURVEY §5: community quality asserted by
+    modularity, not id hashes; reference seeds Louvain for the same reason,
+    ``Louvain_community_algorithm.py:56-60``).
+
+    One join to label endpoints + two tiny aggregates; the only collect is
+    the final scalar."""
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    lab = communities.select(F.col("id"), F.col("community_id"))
+    labeled = (
+        e.join(lab.withColumnsRenamed({"id": "src", "community_id": "c_src"}), "src")
+        .join(lab.withColumnsRenamed({"id": "dst", "community_id": "c_dst"}), "dst")
+    )
+    m2 = labeled.count()  # 2m directed half-edges
+    if m2 == 0:
+        return 0.0
+    intra = labeled.filter(F.col("c_src") == F.col("c_dst")).count()
+    deg_sq = (
+        labeled.groupBy("c_src").agg(F.count("*").alias("d"))
+        .agg(F.sum(F.col("d") * F.col("d")).alias("s"))
+        .collect()[0]["s"]
+    )
+    return intra / m2 - deg_sq / (m2 * m2)

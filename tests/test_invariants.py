@@ -288,3 +288,34 @@ def test_mlp_flat_approximation(spark):
     pred = model.transform(scaler.transform(assembler.transform(test)))
     n_classes = pred.select("prediction").distinct().count()
     assert pred.count() > 0 and n_classes >= 1
+
+
+def test_lpa_modularity_positive(spark):
+    """X8 gate: LPA partition has positive modularity on the SIMILARITY
+    graph — the graph the reference's Louvain actually clusters
+    (Louvain_community_algorithm.py runs on G_sim, not the purchase graph)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
+
+    g = sim.similarity_graph(load_table(spark, "embeddings", SF), k=5).select(
+        F.col("src").cast("string").alias("src"), F.col("dst").cast("string").alias("dst")
+    )
+    comm = alg.label_propagation(g, max_iter=4, undirected=False)  # already symmetric
+    q = alg.modularity(g, comm, undirected=False)
+    assert q > 0.0, f"modularity {q:.4f} not positive"
+
+
+def test_brute_topk_blas_equals_sql_form(spark):
+    """The BLAS mapInPandas brute force and the pure-expression brute force
+    must produce IDENTICAL rows (same rounding, same tiebreaks) — the
+    implementation-equivalence check behind swapping them freely.
+    (A label-purity test was dropped: the synthetic embeddings' labels are
+    not cosine clusters — top-1 neighbor purity sits at the 10% chance rate.)"""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    a = sim.brute_topk(emb, k=5)
+    b = sim.brute_topk_blas(emb, k=5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
