@@ -76,6 +76,48 @@ def q_knn_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# X6: embedding injection onto nodes (oracle-checked — deterministic join)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_injection",
+    """
+WITH nodes AS (SELECT concat_ws('_', 'cust', c_custkey) AS id FROM customer),
+emb AS (SELECT concat_ws('_', 'cust', vec_id) AS id, embedding::DOUBLE[] AS v
+        FROM embeddings)
+SELECT nodes.id,
+       ROUND(COALESCE(sqrt(list_aggregate(list_transform(emb.v, x -> x * x), 'sum')), 0), 6) AS emb_norm,
+       ROUND(COALESCE(emb.v[1], 0), 6) AS emb_0,
+       ROUND(COALESCE(emb.v[2], 0), 6) AS emb_1
+FROM nodes LEFT JOIN emb ON nodes.id = emb.id
+""",
+)
+def q_embedding_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: left-join embeddings onto Customer nodes, zero-vector for the
+    missing (reference ``Fast_node2vec_algorithm.py:108-126``) — summarized
+    to scalar columns (norm + first dims) for the hash check. Broadcast-size
+    embedding table at test SF; at scale the join is a plain shuffle
+    hash-join on id."""
+    cust_nodes = load_table(spark, "customer", sf_dir).select(
+        F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id")
+    )
+    emb = load_table(spark, "embeddings", sf_dir).select(
+        F.concat_ws("_", F.lit("cust"), F.col("vec_id")).alias("id"),
+        F.col("embedding").cast("array<double>").alias("embedding"),
+    )
+    injected = alg.inject_embeddings(cust_nodes, emb, dim=64)
+    return injected.select(
+        "id",
+        F.round(
+            F.sqrt(F.aggregate("embedding", F.lit(0.0), lambda s, x: s + x * x)), 6
+        ).alias("emb_norm"),
+        F.round(F.element_at("embedding", 1), 6).alias("emb_0"),
+        F.round(F.element_at("embedding", 2), 6).alias("emb_1"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # X4/X5/X8/X9: walks, embeddings, communities (rows-only + pytest invariants)
 # ---------------------------------------------------------------------------
 

@@ -360,6 +360,28 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.lsh_topk(load_table(spark, "embeddings", sf_dir), k=5, n_planes=4, n_tables=8, dim=64)
 
 
-@register("knn_similarity_graph", None)
+@register(
+    "knn_similarity_graph",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pairs
+),
+topk AS (SELECT query_id AS src, neighbor_id AS dst, cosine AS similarity FROM ranked WHERE rank <= 5),
+sym AS (
+    SELECT src, dst, similarity FROM topk
+    UNION ALL
+    SELECT dst AS src, src AS dst, similarity FROM topk
+)
+SELECT src, dst, MAX(similarity) AS similarity FROM sym GROUP BY src, dst
+""",
+)
 def q_knn_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
