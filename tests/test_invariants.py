@@ -182,8 +182,8 @@ def test_discount_range(spark):
 
 
 def test_node2vec_biased_walks(spark):
-    """X4 2nd-order: steps follow real edges; fully deterministic (md5-keyed
-    selection — no rand()), so two runs are identical."""
+    """X4 2nd-order: steps follow real edges; fully deterministic
+    (xxhash64-keyed selection — no rand()), so two runs are identical."""
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.build import build_edges
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
 
