@@ -61,14 +61,25 @@ def knn_aggregates(sim_edges: DataFrame) -> DataFrame:
     """A7: per-customer aggregates over similarity-edge weights
     (reference ``xgboost_training_for_big_data.py:298-318``).
 
-    sim_edges: (src, dst, similarity). One groupBy; stddev_pop with 0 fill
-    matches the reference's np.std over a node's neighbor weights.
+    sim_edges: (src, dst, similarity). One groupBy. avg/std accumulate the
+    6-dp similarities as DECIMAL (exact, order-independent sums) and only
+    then drop to double for the division/sqrt — float sums are
+    summation-order-dependent, and Spark/DuckDB orders differ, which
+    flipped the 6th decimal of avg on ~1% of nodes (round-1 red cell).
+    Decimal sums make the double handed to round() bit-identical across
+    engines. Still one map-side-combinable aggregate.
     """
+    s_dec = F.col("similarity").cast("decimal(18,6)")
+    sum1 = F.sum(s_dec).cast("double")
+    sum2 = F.sum(s_dec * s_dec).cast("double")
+    cnt = F.count(F.lit(1)).cast("double")
+    avg = sum1 / cnt
+    var = F.greatest(sum2 / cnt - avg * avg, F.lit(0.0))
     return sim_edges.groupBy(F.col("src").alias("id")).agg(
-        F.avg("similarity").alias("knn_avg_similarity"),
+        avg.alias("knn_avg_similarity"),
         F.max("similarity").alias("knn_max_similarity"),
         F.min("similarity").alias("knn_min_similarity"),
-        F.coalesce(F.stddev_pop("similarity"), F.lit(0.0)).alias("knn_std_similarity"),
+        F.sqrt(var).alias("knn_std_similarity"),
     )
 
 

@@ -76,17 +76,24 @@ def brute_topk_blas(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col:
     local = emb.select(id_col, _as_double(F.col(vec_col)).alias("v")).toPandas()
     ids = local[id_col].to_numpy()
     mat = np.stack(local["v"].to_numpy())
-    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    # keep RAW vectors and divide the dot by the norm product — the same
+    # operation order as DuckDB list_cosine_similarity (dot/(|a||b|)), so
+    # the 6-dp round sees the closest possible double on both engines.
+    # Zero vectors get norm 1 -> cosine 0 instead of NaN.
+    norms = np.linalg.norm(mat, axis=1)
+    norms = np.where(norms == 0, 1.0, norms)
     b_ids = spark.sparkContext.broadcast(ids)
     b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
 
     def batches(it):
         for pdf in it:
             ids_l = b_ids.value
             m = b_mat.value
             q = np.stack(pdf["v"].to_numpy())
-            q = q / np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ m.T, 6)
+            qn = np.linalg.norm(q, axis=1)
+            qn = np.where(qn == 0, 1.0, qn)
+            sims = np.round((q @ m.T) / np.outer(qn, b_norms.value), 6)
             qids = pdf[id_col].to_numpy()
             out = []
             for row, qid in zip(sims, qids):

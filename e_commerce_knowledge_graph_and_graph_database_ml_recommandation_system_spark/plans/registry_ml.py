@@ -52,11 +52,17 @@ sym AS (
     "knn_aggregates",
     f"""
 WITH {_SIM_GRAPH_CTE.strip()}
+-- avg/std via exact DECIMAL sums then identical double arithmetic on both
+-- engines: float SUM is summation-order-dependent and Spark/DuckDB orders
+-- differ (flipped the 6th decimal of AVG on ~1% of nodes in round 1)
 SELECT src AS id,
-       ROUND(AVG(similarity), 6) AS knn_avg_similarity,
+       ROUND(CAST(SUM(CAST(similarity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS knn_avg_similarity,
        ROUND(MAX(similarity), 6) AS knn_max_similarity,
        ROUND(MIN(similarity), 6) AS knn_min_similarity,
-       ROUND(COALESCE(stddev_pop(similarity), 0), 6) AS knn_std_similarity
+       ROUND(SQRT(GREATEST(
+           CAST(SUM(CAST(similarity AS DECIMAL(18,6)) * CAST(similarity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+           - (CAST(SUM(CAST(similarity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*))
+             * (CAST(SUM(CAST(similarity AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)), 0)), 6) AS knn_std_similarity
 FROM sym GROUP BY src
 """,
 )
