@@ -152,6 +152,37 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return alg.label_propagation(e, max_iter=5)
 
 
+@register("louvain_communities", None)
+def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: distributed Louvain (modularity-gain local moves + coarsening)
+    over the weighted KNN similarity graph — the graph the reference's
+    seeded ``best_partition`` actually clusters
+    (``Louvain_community_algorithm.py:56-86``, weight='similarity').
+    Deterministic (no RNG); quality gated by weighted modularity vs the
+    LPA partition in tests (SURVEY §5: quality invariants, not id hashes)."""
+    g = sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
+    return alg.louvain(g, weight_col="similarity", undirected=False)
+
+
+@register("louvain_degree_features", None)
+def q_louvain_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+W2 on X8 output: per-community degree moments/z/percentile with
+    LOUVAIN communities (reference feeds best_partition's communityId into
+    the feature pipeline, ``xgboost_training_for_big_data.py:126-128``)."""
+    from ..operators.degrees import community_degree_features, node_degrees
+
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    edges = build_edges(tables)
+    deg = node_degrees(edges)
+    comm = alg.louvain(
+        sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5),
+        weight_col="similarity",
+        undirected=False,
+    ).select(F.concat_ws("_", F.lit("cust"), F.col("id")).alias("id"), "community_id")
+    d = comm.join(deg, "id", "left").na.fill({"degree": 0})
+    return community_degree_features(d.select("id", "degree"), d.select("id", "community_id"))
+
+
 @register("community_stats", None)
 def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9: community count/size stats over the LPA partition."""

@@ -335,9 +335,9 @@ SELECT query_id, rank, neighbor_id, cosine FROM ranked WHERE rank <= 5
 """,
 )
 def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # BLAS-batched physical strategy; identical semantics to sim.brute_topk
-    # (same rounding + tiebreak), ~20× faster at sf0.1
-    return sim.brute_topk_blas(load_table(spark, "embeddings", sf_dir), k=5)
+    # size-dispatched: brute-BLAS at dim-table scale (identical semantics to
+    # sim.brute_topk, ~20× faster), LSH bucket join above the broadcast cap
+    return sim.ann_topk(load_table(spark, "embeddings", sf_dir), k=5)
 
 
 @register(
