@@ -1,17 +1,39 @@
-"""GraphML export (SURVEY §2.1 S3) — interop with the reference's
-persistence format (``knowledge_graph_creation.py:243``: nx.write_graphml).
+"""GraphML export + scan (SURVEY §2.1 S3) — interop with the reference's
+persistence format (``knowledge_graph_creation.py:243``: nx.write_graphml;
+read side ``knn_similarity.py:97`` / ``xgboost_training_for_big_data.py:142``:
+nx.read_graphml).
 
-The graph lives in Parquet; GraphML is an export boundary only. Node/edge
-XML fragments are rendered per-partition (distributed, no driver row loop);
+The graph lives in Parquet; GraphML is an interop boundary. Node/edge XML
+fragments are rendered per-partition (distributed, no driver row loop);
 the driver stitches header + fragments + footer. At 100 TB you'd write the
 fragments as text files and cat them at the consumer — this local writer
-collects only because GraphML itself is a single-file format.
+collects only because GraphML itself is a single-file format. The SCAN is
+fully distributed: spark.read.text splits the file across partitions and
+every element parses with regexp expressions (line-oriented GraphML, which
+is what both this exporter and networkx emit).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# XML entity escaping, applied exporter-side and inverted scanner-side.
+# Order matters: '&' first on escape, '&amp;' last on unescape.
+_ENTITIES = [("&", "&amp;"), ("<", "&lt;"), (">", "&gt;"), ('"', "&quot;"), ("'", "&apos;")]
+
+
+def _esc(c):
+    col = F.col(c) if isinstance(c, str) else c
+    for raw, ent in _ENTITIES:
+        col = F.replace(col, F.lit(raw), F.lit(ent))
+    return col
+
+
+def _unesc(col):
+    for raw, ent in reversed(_ENTITIES):
+        col = F.replace(col, F.lit(ent), F.lit(raw))
+    return col
 
 _HEADER = (
     '<?xml version="1.0" encoding="UTF-8"?>\n'
@@ -28,8 +50,8 @@ def _node_xml(df: DataFrame) -> DataFrame:
     return df.select(
         F.format_string(
             '    <node id="%s"><data key="label">%s</data><data key="dvid">%s</data></node>',
-            "id",
-            "label",
+            _esc("id"),
+            _esc("label"),
             F.col("dvid").cast("string"),
         ).alias("xml")
     )
@@ -39,9 +61,9 @@ def _edge_xml(df: DataFrame) -> DataFrame:
     return df.select(
         F.format_string(
             '    <edge source="%s" target="%s"><data key="type">%s</data></edge>',
-            "src",
-            "dst",
-            "type",
+            _esc("src"),
+            _esc("dst"),
+            _esc("type"),
         ).alias("xml")
     )
 
@@ -59,3 +81,33 @@ def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> int:
         fh.write("\n")
         fh.write(_FOOTER)
     return len(parts)
+
+
+def read_graphml(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """S3 scan: parse a line-oriented GraphML file back to
+    (nodes(id, label, dvid), edges(src, dst, type)) DataFrames.
+
+    Distributed: the text source splits the file into partitions and every
+    element parses via regexp expressions in whole-stage codegen — no
+    driver-side DOM, no Python loop. ``<data key="...">`` values carry
+    through XML-unescape; a missing dvid parses to NULL (try_cast, ANSI
+    mode never throws on foreign files). Roundtrips export_graphml
+    bit-exactly and reads networkx-style single-line elements."""
+    lines = spark.read.text(path)
+    nodes = (
+        lines.filter(F.col("value").rlike("<node[ >]"))
+        .select(
+            _unesc(F.regexp_extract("value", 'id="([^"]*)"', 1)).alias("id"),
+            _unesc(F.regexp_extract("value", '<data key="label">([^<]*)</data>', 1)).alias("label"),
+            F.regexp_extract("value", '<data key="dvid">([^<]*)</data>', 1).try_cast("int").alias("dvid"),
+        )
+    )
+    edges = (
+        lines.filter(F.col("value").rlike("<edge[ >]"))
+        .select(
+            _unesc(F.regexp_extract("value", 'source="([^"]*)"', 1)).alias("src"),
+            _unesc(F.regexp_extract("value", 'target="([^"]*)"', 1)).alias("dst"),
+            _unesc(F.regexp_extract("value", '<data key="type">([^<]*)</data>', 1)).alias("type"),
+        )
+    )
+    return nodes, edges

@@ -49,24 +49,73 @@ def compatibility_probe(model, assembler, probe_df: DataFrame) -> bool:
         return False
 
 
-def train_mlp(train: DataFrame, feature_cols: list[str], layers: list[int] | None = None, seed: int = 42, max_iter: int = 40):
-    """M3 (flat approximation): MultilayerPerceptronClassifier over the same
-    assembled features — [n_features, 16, 8, 2] by default, the MLlib
-    stand-in for the reference's five-tower torch network."""
-    from pyspark.ml.classification import MultilayerPerceptronClassifier
-    from pyspark.ml.feature import StandardScaler, VectorAssembler
+#: M3/M4 tower blocks — the reference's five-tower input split
+#: (``Neural_network_multi_towered_training.py:62-147``; per-tower
+#: StandardScaler at :608-628). Keys are tower names, values the feature
+#: columns feeding that tower.
+TOWER_BLOCKS = {
+    "customer": ["cust_degree", "cust_log_degree", "cust_degree_pct", "cust_cat_count"],
+    "product": ["prod_degree", "prod_log_degree", "prod_degree_pct"],
+    "behavior": ["recency_days", "frequency", "pref_cat_match"],
+    "attributes": ["price", "stock", "target_enc"],
+    "interaction": ["degree_product", "degree_ratio"],
+}
 
-    assembler = VectorAssembler(inputCols=feature_cols, outputCol="rawfeat", handleInvalid="keep")
-    scaler = StandardScaler(inputCol="rawfeat", outputCol="features", withMean=False)  # M4 per-block analog
-    assembled = assembler.transform(train)
-    scaler_model = scaler.fit(assembled)
-    data = scaler_model.transform(assembled)
+
+def fit_block_scalers(df: DataFrame, blocks: dict[str, list[str]] | None = None) -> dict:
+    """M4: per-block standardization stats — mean + stddev_pop for every
+    column of every tower block, computed in ONE aggregate pass (the
+    reference fits one sklearn StandardScaler per tower block,
+    ``Neural_network_multi_towered_training.py:608-628``; StandardScaler
+    is per-dimension, so per-column z-scoring grouped by block is its
+    exact distributed analog — with centering, which the round-1 single
+    withMean=False scaler lacked)."""
+    blocks = blocks or TOWER_BLOCKS
+    cols = [c for cs in blocks.values() for c in cs]
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(F.col(c).cast("double")).alias(f"{c}__mean"))
+        aggs.append(F.coalesce(F.stddev_pop(F.col(c).cast("double")), F.lit(0.0)).alias(f"{c}__std"))
+    row = df.agg(*aggs).collect()[0]
+    return {c: (float(row[f"{c}__mean"] or 0.0), float(row[f"{c}__std"] or 0.0)) for c in cols}
+
+
+def apply_block_scalers(df: DataFrame, stats: dict) -> DataFrame:
+    """Standardize with pre-fit block stats: (x − mean)/std, zero-variance
+    columns pass through centered. Pure column expressions — whole-stage
+    codegen, no UDF, reusable on any split without refitting (test-time
+    uses TRAIN stats, never its own)."""
+    out = df
+    for c, (m, s) in stats.items():
+        out = out.withColumn(c, (F.col(c).cast("double") - F.lit(m)) / F.lit(s if s > 0 else 1.0))
+    return out
+
+
+def train_mlp(train: DataFrame, feature_cols: list[str], layers: list[int] | None = None, seed: int = 42, max_iter: int = 40):
+    """M3 (flat approximation): MultilayerPerceptronClassifier over
+    per-block standardized features (M4) — [n_features, 16, 8, 2] by
+    default, the MLlib stand-in for the reference's five-tower torch
+    network (exact tower topology is out-of-MLlib-scope, SURVEY §2.11).
+    Returns (model, assembler, scaler_stats); score new data with
+    ``model.transform(assembler.transform(apply_block_scalers(df, stats)))``."""
+    from pyspark.ml.classification import MultilayerPerceptronClassifier
+    from pyspark.ml.feature import VectorAssembler
+
+    blocks = {t: [c for c in cs if c in feature_cols] for t, cs in TOWER_BLOCKS.items()}
+    blocks = {t: cs for t, cs in blocks.items() if cs}
+    leftover = [c for c in feature_cols if not any(c in cs for cs in blocks.values())]
+    if leftover:
+        blocks["other"] = leftover
+    stats = fit_block_scalers(train, blocks)
+    data = apply_block_scalers(train, stats)
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features", handleInvalid="keep")
     layers = layers or [len(feature_cols), 16, 8, 2]
     mlp = MultilayerPerceptronClassifier(
         labelCol="label", featuresCol="features", layers=layers, seed=seed, maxIter=max_iter
     )
-    model = mlp.fit(data)
-    return model, assembler, scaler_model
+    model = mlp.fit(assembler.transform(data))
+    return model, assembler, stats
 
 
 def append_perf_history(path: str, record: dict) -> list[dict]:

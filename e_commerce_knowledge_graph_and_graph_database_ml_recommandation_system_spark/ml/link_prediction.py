@@ -44,12 +44,17 @@ FEATURE_COLS = [
 ]
 
 
-def build_dataset(tables: dict) -> DataFrame:
+def build_dataset(tables: dict, target_encode: bool = True) -> DataFrame:
     """Assemble the labeled (customer, product) training table.
 
     Broadcast feature joins (J5: the reference probes per-pair with a
     pandas scan, ``xgboost_model_training.py:163-167``); one wide row per
-    pair with label + numeric features."""
+    pair with label + numeric features.
+
+    ``target_encode=False`` leaves the ``target_enc`` column out so the
+    pipeline can fit the encoding on the TRAIN partition only after the
+    split (see split_safe_target_encoding — the full-dataset encoding
+    leaks test labels into training features)."""
     nodes, edges = build_nodes(tables), build_edges(tables)
     pos = trav.positive_pairs(edges).withColumn("label", F.lit(1))
     neg = trav.negative_pairs(edges, nodes).withColumn("label", F.lit(0))
@@ -93,7 +98,8 @@ def build_dataset(tables: dict) -> DataFrame:
             }
         )
     )
-    ds = kfold_target_encoding(ds, key="category", label_col="label", id_col="pkey")
+    if target_encode:
+        ds = kfold_target_encoding(ds, key="category", label_col="label", id_col="pkey")
 
     # preferred-category affinity (reference: category_enrichement.py writes
     # preferred_category onto customers, consumed as a match feature): how
@@ -137,8 +143,43 @@ def split_train_test(ds: DataFrame, train_frac_buckets: int = 4, n_buckets: int 
     return train, test
 
 
-def train_gbt(train: DataFrame, max_iter: int = 20, max_depth: int = 5, seed: int = 42):
-    """M2 + M5: GBTClassifier with class-balance weights."""
+def split_safe_target_encoding(
+    train: DataFrame, test: DataFrame, key: str = "category", label_col: str = "label", id_col: str = "pkey"
+):
+    """Leakage-free A10/M-feature wiring (round-1 advice): the k-fold
+    leave-one-out encoding is fit on the TRAIN partition only; test rows
+    get the plain per-key train mean (they are never trained on, so LOO is
+    unnecessary there), with the global train mean for unseen keys. The
+    round-1 shape encoded over the full dataset before splitting, so test
+    labels reached features seen at training time and val AUC was
+    optimistically biased."""
+    train_enc = kfold_target_encoding(train, key=key, label_col=label_col, id_col=id_col)
+    gmean = train.agg(F.avg(F.col(label_col).cast("double"))).collect()[0][0] or 0.0
+    key_means = train.groupBy(key).agg(F.avg(F.col(label_col).cast("double")).alias("_key_mean"))
+    test_enc = (
+        test.join(F.broadcast(key_means), key, "left")
+        .withColumn("target_enc", F.coalesce(F.col("_key_mean"), F.lit(float(gmean))))
+        .drop("_key_mean")
+    )
+    return train_enc, test_enc
+
+
+def train_gbt(
+    train: DataFrame,
+    max_iter: int = 20,
+    max_depth: int = 5,
+    seed: int = 42,
+    early_stopping: bool = True,
+    validation_tol: float = 0.005,
+):
+    """M2 + M5: GBTClassifier with class-balance weights and early
+    stopping on a held-out validation slice (reference
+    ``xgboost_training_for_big_data.py:592-636``: 800 rounds with
+    early_stopping_rounds=25). MLlib's mechanism is
+    validationIndicatorCol + validationTol — boosting stops when the
+    validation metric stops improving by ``validation_tol``; the 20%
+    validation slice comes from the same deterministic md5 hash family as
+    the train/test split (disjoint salt)."""
     from pyspark.ml.classification import GBTClassifier
     from pyspark.ml.feature import VectorAssembler
 
@@ -147,6 +188,9 @@ def train_gbt(train: DataFrame, max_iter: int = 20, max_depth: int = 5, seed: in
     weighted = train.withColumn("w", F.when(F.col("label") == 1, F.lit(float(spw))).otherwise(F.lit(1.0)))
 
     assembler = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features", handleInvalid="keep")
+    es_kwargs = (
+        {"validationIndicatorCol": "is_val", "validationTol": validation_tol} if early_stopping else {}
+    )
     gbt = GBTClassifier(
         labelCol="label",
         featuresCol="features",
@@ -156,8 +200,14 @@ def train_gbt(train: DataFrame, max_iter: int = 20, max_depth: int = 5, seed: in
         stepSize=0.1,
         subsamplingRate=0.8,
         seed=seed,
+        **es_kwargs,
     )
     data = assembler.transform(weighted)
+    if early_stopping:
+        is_val = (
+            F.pmod(md5_int32(F.concat_ws("|", "customer_id", "product_id", F.lit("earlystop"))), F.lit(5)) == 4
+        )
+        data = data.withColumn("is_val", is_val)
     model = gbt.fit(data)
     return model, assembler
 
@@ -211,9 +261,13 @@ def drift_alert(current_auc: float, previous_auc: float | None, tol: float = 0.0
 
 def run_pipeline(tables: dict, max_iter: int = 20) -> DataFrame:
     """End-to-end M1→M9: returns a (metric, value) DataFrame (one row per
-    metric, train and val)."""
-    ds = build_dataset(tables).cache()
+    metric, train and val). Split FIRST, then fit the target encoding on
+    train only (split_safe_target_encoding) — no test label ever reaches a
+    training feature. rounds_used reports how many boosting rounds early
+    stopping kept."""
+    ds = build_dataset(tables, target_encode=False).cache()
     train, test = split_train_test(ds)
+    train, test = split_safe_target_encoding(train, test)
     model, assembler = train_gbt(train, max_iter=max_iter)
     m_train = evaluate(model, assembler, train)
     m_val = evaluate(model, assembler, test)
@@ -222,4 +276,5 @@ def run_pipeline(tables: dict, max_iter: int = 20) -> DataFrame:
         ("val_" + k, float(v)) for k, v in m_val.items()
     ]
     rows.append(("overfit_gate_ok", float(overfit_gate(m_train["auc_roc"], m_val["auc_roc"]))))
+    rows.append(("rounds_used", float(model.getNumTrees)))
     return spark.createDataFrame(rows, ["metric", "value"])

@@ -205,6 +205,51 @@ def q_ml_link_prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S3: GraphML export -> scan roundtrip (oracle-checked against the node set)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graphml_roundtrip",
+    """
+SELECT concat_ws('_', 'cust', c_custkey) AS id, 'Customer' AS label, CAST(1 AS INT) AS dvid
+FROM customer
+UNION ALL
+SELECT concat_ws('_', 'prod', p_partkey), 'Product', CAST(1 AS INT) FROM part
+UNION ALL
+SELECT concat_ws('_', 'order', o_orderkey), 'Order', CAST(o_orderkey % 5 + 1 AS INT) FROM orders
+UNION ALL
+SELECT concat_ws('_', 'loc', n_nationkey), 'Location', CAST(1 AS INT)
+FROM nation JOIN region ON n_regionkey = r_regionkey
+UNION ALL
+SELECT DISTINCT concat_ws('_', 'cat', p_type), 'Category', CAST(1 AS INT) FROM part
+""",
+)
+def q_graphml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 export + scan end-to-end: build the node/edge set, write GraphML
+    (reference ``knowledge_graph_creation.py:243``), parse it back with the
+    distributed scanner (``knn_similarity.py:97`` reads the same file), and
+    hash-check the recovered nodes against the SQL-derived node set — the
+    strongest check an interop format can get."""
+    import shutil
+    import tempfile
+
+    from ..graph.build import build_nodes
+    from ..graph.graphml import export_graphml, read_graphml
+
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    nodes = build_nodes(tables).select("id", "label", "dvid")
+    edges = build_edges(tables).select("src", "dst", "type")
+    tmp = tempfile.mkdtemp(prefix="spark_graphml_")
+    path = f"{tmp}/graph.graphml"
+    export_graphml(nodes, edges, path)
+    back_nodes, _back_edges = read_graphml(spark, path)
+    out = back_nodes.localCheckpoint(eager=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
 

@@ -94,7 +94,8 @@ def q_events_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
        user_id, event_type, value, props
-FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY ts) AS rn FROM events)
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_id
+          ORDER BY ts, user_id, event_type, value, props) AS rn FROM events)
 WHERE rn = 1
 """,
 )

@@ -56,7 +56,13 @@ sh AS (
 @register(
     "dedup_ngram_jaccard",
     f"""
-WITH {_SHINGLES_CTE.strip()},
+WITH {_SHINGLES_CTE.strip().replace("sh AS", "sh0 AS")},
+-- hot-shingle cap mirrored from ngram_jaccard_pairs (df > 1000 dropped)
+sh AS (
+    SELECT * FROM sh0 WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+    )
+),
 sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
 inter AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -130,8 +136,14 @@ _BAND_SELECTS = "\n    UNION ALL\n    ".join(
     "minhash_lsh_pairs",
     f"""
 WITH {_MINHASH_CTE.strip()},
-banded AS (
+banded0 AS (
     {_BAND_SELECTS}
+),
+-- hot-bucket cap mirrored from minhash_lsh_pairs (buckets > 1000 dropped)
+banded AS (
+    SELECT * FROM banded0 WHERE band_key NOT IN (
+        SELECT band_key FROM banded0 GROUP BY band_key HAVING COUNT(*) > 1000
+    )
 )
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b

@@ -23,9 +23,21 @@ def get_spark(app_name: str = "ekg-spark", shuffle_partitions: int | None = None
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     if shuffle_partitions is None:
         shuffle_partitions = int(cpus)
+    builder = SparkSession.builder.appName(app_name)
+    # only default the master when nothing picked one — an unconditional
+    # .master() would override spark-submit --master on a real cluster
+    # (round-1 advice)
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "") + os.environ.get("SPARK_SUBMIT_OPTS", "")
+    externally_mastered = (
+        os.environ.get("SPARK_MASTER")
+        or os.environ.get("MASTER")
+        or "--master" in submit_args
+        or "spark.master" in submit_args
+    )
+    if not externally_mastered:
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.appName(app_name)
-        .master(f"local[{cpus}]")
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

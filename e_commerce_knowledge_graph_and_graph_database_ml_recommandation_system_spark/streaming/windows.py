@@ -67,8 +67,11 @@ def session_windows(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 
 def dedup_events(events: DataFrame) -> DataFrame:
     """Exactly-once analog: first event per event_id (streaming form is
-    ``withWatermark + dropDuplicates``)."""
-    w = Window.partitionBy("event_id").orderBy("ts")
+    ``withWatermark + dropDuplicates``). The full column list is the sort
+    key: two rows sharing (event_id, ts) would otherwise resolve to
+    engine-dependent survivors and pass the hash gate only by data luck
+    (round-1 advice)."""
+    w = Window.partitionBy("event_id").orderBy("ts", "user_id", "event_type", "value", "props")
     return (
         events.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)

@@ -106,6 +106,30 @@ def test_near_dup_lsh_recall_and_subset(spark):
     assert recall > 0.5, f"near-dup LSH recall too low: {recall:.2f}"
 
 
+def test_lsh_dedup_hot_bucket_cap(spark):
+    """Skew hatch: one boilerplate string x thousands of docs must NOT put
+    |docs|^2 rows through a single band bucket / shingle key. With the cap,
+    the mega-bucket is dropped (its members are near-exact dupes — exact
+    dedup's job) and the join finishes on the long tail only."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import dedup as dd
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur adipiscing elit boilerplate") for i in range(3000)]
+    tail = [(10_000 + i, f"unique document number {i} about topic {i % 7} with body {i * 17}") for i in range(50)]
+    docs = spark.createDataFrame(boiler + tail, "doc_id long, text string")
+
+    pairs = dd.minhash_lsh_pairs(docs, n=3, num_hashes=16, bands=4, max_bucket_size=100)
+    # no pair may involve two boilerplate docs (bucket dropped), and the
+    # 3000^2/2 = 4.5M-pair explosion never materializes
+    assert pairs.filter((F.col("doc_a") < 10_000) & (F.col("doc_b") < 10_000)).count() == 0
+
+    jac = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_shingle_docs=100)
+    assert jac.filter((F.col("doc_a") < 10_000) & (F.col("doc_b") < 10_000)).count() == 0
+
+    # the dropped mega-group is exactly what exact_dedup reports
+    groups = dd.exact_dedup(docs).collect()
+    assert any(r.dup_count == 3000 for r in groups)
+
+
 def test_similarity_range(spark):
     """X7: similarity weights within [-1, 1] and graph is symmetric
     (reference invariant: similarity in [0,1], knn_similarity.py:90 —
@@ -330,17 +354,68 @@ def test_oversample_and_lifecycle(spark):
 
 
 def test_mlp_flat_approximation(spark):
-    """M3: MLlib MLP trains on the assembled features and predicts both classes."""
+    """M3: MLlib MLP trains on per-block standardized features and scores
+    the test split using TRAIN-fit stats."""
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import lifecycle as lc
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import link_prediction as lp
 
     tables = _tables(spark)
     ds = lp.build_dataset(tables).cache()
     train, test = lp.split_train_test(ds)
-    model, assembler, scaler = lc.train_mlp(train, lp.FEATURE_COLS, max_iter=15)
-    pred = model.transform(scaler.transform(assembler.transform(test)))
+    model, assembler, stats = lc.train_mlp(train, lp.FEATURE_COLS, max_iter=15)
+    pred = model.transform(assembler.transform(lc.apply_block_scalers(test, stats)))
     n_classes = pred.select("prediction").distinct().count()
     assert pred.count() > 0 and n_classes >= 1
+
+
+def test_per_block_standardization(spark):
+    """M4: every tower block's columns standardize to mean 0 / var 1 on the
+    fit data (reference: one StandardScaler per tower,
+    Neural_network_multi_towered_training.py:608-628)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import lifecycle as lc
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import link_prediction as lp
+
+    ds = lp.build_dataset(_tables(spark)).cache()
+    stats = lc.fit_block_scalers(ds)
+    assert set(c for cs in lc.TOWER_BLOCKS.values() for c in cs) == set(lp.FEATURE_COLS)
+    z = lc.apply_block_scalers(ds, stats)
+    for block, cols in lc.TOWER_BLOCKS.items():
+        for c in cols:
+            r = z.agg(
+                F.avg(c).alias("m"), F.coalesce(F.stddev_pop(c), F.lit(0.0)).alias("s")
+            ).collect()[0]
+            assert abs(r["m"]) < 1e-6, f"{block}.{c} mean {r['m']}"
+            assert r["s"] == 0.0 or abs(r["s"] - 1.0) < 1e-6, f"{block}.{c} std {r['s']}"
+
+
+def test_graphml_roundtrip_with_escaping(spark):
+    """S3: export -> read_graphml recovers nodes AND edges exactly,
+    including XML-special characters in ids/labels/types."""
+    import shutil
+    import tempfile
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.graphml import (
+        export_graphml,
+        read_graphml,
+    )
+
+    nodes = spark.createDataFrame(
+        [("a&b", 'L<">1', 1), ("c'd", "L&2", 2), ("plain", "Lbl", 3)],
+        "id string, label string, dvid int",
+    )
+    edges = spark.createDataFrame(
+        [("a&b", "c'd", "T<&>"), ("c'd", "plain", "SIMPLE")],
+        "src string, dst string, type string",
+    )
+    tmp = tempfile.mkdtemp(prefix="graphml_test_")
+    try:
+        n = export_graphml(nodes, edges, f"{tmp}/g.graphml")
+        assert n == 5
+        rn, re_ = read_graphml(spark, f"{tmp}/g.graphml")
+        assert rn.exceptAll(nodes).count() == 0 and nodes.exceptAll(rn).count() == 0
+        assert re_.exceptAll(edges).count() == 0 and edges.exceptAll(re_).count() == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
 
 def test_lpa_modularity_positive(spark):
@@ -357,6 +432,38 @@ def test_lpa_modularity_positive(spark):
     comm = alg.label_propagation(g, max_iter=4, undirected=False)  # already symmetric
     q = alg.modularity(g, comm, undirected=False)
     assert q > 0.0, f"modularity {q:.4f} not positive"
+
+
+def test_gbt_early_stopping_caps_rounds(spark):
+    """M2: with validationIndicatorCol wired, a generous round budget stops
+    early once the validation metric plateaus (reference: 800 rounds,
+    early_stopping_rounds=25 — MLlib's analog is validationTol)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import link_prediction as lp
+
+    ds = lp.build_dataset(_tables(spark)).cache()
+    train, _ = lp.split_train_test(ds)
+    model, _ = lp.train_gbt(train, max_iter=40, max_depth=3, validation_tol=0.03)
+    assert model.getNumTrees < 40, f"early stopping never triggered ({model.getNumTrees} trees)"
+
+
+def test_target_encoding_no_test_leakage(spark):
+    """ADVICE r1: test labels must not influence the target_enc feature.
+    Flipping every TEST label must leave both train and test encodings
+    byte-identical (the encoding is fit on the train partition only)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import link_prediction as lp
+
+    ds = lp.build_dataset(_tables(spark), target_encode=False).cache()
+    train, test = lp.split_train_test(ds)
+    flipped = test.withColumn("label", F.lit(1) - F.col("label"))
+
+    tr1, te1 = lp.split_safe_target_encoding(train, test)
+    tr2, te2 = lp.split_safe_target_encoding(train, flipped)
+    a = te1.select("customer_id", "product_id", "target_enc")
+    b = te2.select("customer_id", "product_id", "target_enc")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    c = tr1.select("customer_id", "product_id", "target_enc")
+    d = tr2.select("customer_id", "product_id", "target_enc")
+    assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
 
 
 def test_louvain_beats_lpa_modularity(spark):
