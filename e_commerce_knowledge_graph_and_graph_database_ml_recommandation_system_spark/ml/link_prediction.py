@@ -265,9 +265,14 @@ def run_pipeline(tables: dict, max_iter: int = 20) -> DataFrame:
     train only (split_safe_target_encoding) — no test label ever reaches a
     training feature. rounds_used reports how many boosting rounds early
     stopping kept."""
+    from .lifecycle import smote_oversample
+
     ds = build_dataset(tables, target_encode=False).cache()
     train, test = split_train_test(ds)
     train, test = split_safe_target_encoding(train, test)
+    # reference gates SMOTE on imbalance > 5 (xgboost_training_for_big_data
+    # .py:571-581) — a no-op on this near-balanced pair set, by design
+    train = smote_oversample(train, FEATURE_COLS)
     model, assembler = train_gbt(train, max_iter=max_iter)
     m_train = evaluate(model, assembler, train)
     m_val = evaluate(model, assembler, test)

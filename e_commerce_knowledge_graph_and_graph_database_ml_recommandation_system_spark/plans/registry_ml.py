@@ -196,6 +196,36 @@ def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+@register("ml_multitower_metrics", None)
+def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3 with real tower semantics: block-diagonal tower layer + shared
+    head (reference ``Neural_network_multi_towered_training.py:62-147``),
+    distributed full-batch Adam. Returns (metric, value) rows: first/last
+    loss, iterations, val AUC. Deterministic (seeded init, no minibatch
+    RNG) but float-iterative — rows-only by design."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    from ..ml import multitower as mt
+
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    ds = lp.build_dataset(tables).cache()
+    train, test = lp.split_train_test(ds)
+    params, stats, history = mt.train_multi_tower(train, max_iter=25, lr=0.05)
+    scored = mt.predict_multi_tower(test, params, stats).select(
+        "label", F.col("probability").cast("double").alias("probability")
+    )
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="probability", metricName="areaUnderROC"
+    ).evaluate(scored)
+    rows = [
+        ("first_loss", float(history[0])),
+        ("last_loss", float(history[-1])),
+        ("iterations", float(len(history))),
+        ("val_auc_roc", float(auc)),
+    ]
+    return spark.createDataFrame(rows, ["metric", "value"])
+
+
 @register("ml_link_prediction_metrics", None)
 def q_ml_link_prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1→M9 end to end: dataset assembly, hash split, weighted GBT fit,

@@ -388,6 +388,79 @@ def test_per_block_standardization(spark):
             assert r["s"] == 0.0 or abs(r["s"] - 1.0) < 1e-6, f"{block}.{c} std {r['s']}"
 
 
+def test_multi_tower_training(spark):
+    """M3 real tower semantics: block-diagonal tower layer + shared head,
+    distributed full-batch gradients. Loss must fall substantially and the
+    net must rank better than chance on the held-out split."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import link_prediction as lp
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import multitower as mt
+
+    ds = lp.build_dataset(_tables(spark)).cache()
+    train, test = lp.split_train_test(ds)
+    params, stats, history = mt.train_multi_tower(train, max_iter=40, lr=0.05)
+    assert len(history) >= 5 and history[-1] < 0.85 * history[0], f"loss did not fall: {history[0]:.4f} -> {history[-1]:.4f}"
+
+    scored = mt.predict_multi_tower(test, params, stats).select("label", "probability")
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="probability", metricName="areaUnderROC"
+    ).evaluate(scored.withColumn("probability", F.col("probability").cast("double")))
+    assert auc > 0.55, f"multi-tower AUC {auc:.3f} not better than chance"
+
+
+def test_adjacency_degree_cap(spark):
+    """X4 skew hatch: hub neighborhoods cap at max_degree via deterministic
+    xxhash64 subsample — arrays stay bounded, walks stay valid."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
+
+    hub = [("hub", f"n{i}") for i in range(200)] + [(f"n{i}", f"n{(i + 1) % 200}") for i in range(200)]
+    edges = spark.createDataFrame(hub, "src string, dst string")
+    adj = alg._adjacency(edges, max_degree=10)
+    mx = adj.agg(F.max(F.size("nbrs"))).collect()[0][0]
+    assert mx <= 10
+    # same cap twice -> same subsample
+    adj2 = alg._adjacency(edges, max_degree=10)
+    assert adj.exceptAll(adj2).count() == 0
+    # walks still run over the capped adjacency and never leave the edge set
+    walks = alg.random_walks(edges, num_walks=1, walk_len=4, seed=7, max_degree=10)
+    assert walks.count() > 0
+
+
+def test_smote_interpolation(spark):
+    """M6 full semantics: SMOTE triggers only past the imbalance ratio,
+    synthetic rows are convex combinations of minority neighbors (inside
+    the minority bounding box, labels 1), the class ratio lands near the
+    target, and the run is deterministic."""
+    import numpy as np
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import lifecycle as lc
+
+    rng = np.random.RandomState(7)
+    pos = [(int(i), int(i), 1, float(rng.uniform(10, 12)), float(rng.uniform(-3, -1))) for i in range(40)]
+    neg = [(int(1000 + i), int(1000 + i), 0, float(rng.uniform(0, 2)), float(rng.uniform(5, 9))) for i in range(800)]
+    ds = spark.createDataFrame(pos + neg, "customer_id long, product_id long, label int, f1 double, f2 double")
+
+    out = lc.smote_oversample(ds, ["f1", "f2"], max_ratio=5.0, k=3).cache()
+    n_pos = out.filter(F.col("label") == 1).count()
+    n_neg = out.filter(F.col("label") == 0).count()
+    assert n_neg == 800
+    assert abs(n_pos - 160) <= 20, f"expected ~160 minority rows, got {n_pos}"  # 800/5
+
+    stats = out.filter(F.col("label") == 1).agg(
+        F.min("f1"), F.max("f1"), F.min("f2"), F.max("f2")
+    ).collect()[0]
+    assert stats[0] >= 10.0 - 1e-9 and stats[1] <= 12.0 + 1e-9
+    assert stats[2] >= -3.0 - 1e-9 and stats[3] <= -1.0 + 1e-9
+
+    out2 = lc.smote_oversample(ds, ["f1", "f2"], max_ratio=5.0, k=3)
+    assert out.exceptAll(out2).count() == 0 and out2.exceptAll(out).count() == 0
+
+    # below the ratio: untouched
+    balanced = spark.createDataFrame(pos + neg[:100], "customer_id long, product_id long, label int, f1 double, f2 double")
+    assert lc.smote_oversample(balanced, ["f1", "f2"], max_ratio=5.0).count() == 140
+
+
 def test_graphml_roundtrip_with_escaping(spark):
     """S3: export -> read_graphml recovers nodes AND edges exactly,
     including XML-special characters in ids/labels/types."""
