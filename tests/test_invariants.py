@@ -539,6 +539,28 @@ def test_target_encoding_no_test_leakage(spark):
     assert c.exceptAll(d).count() == 0 and d.exceptAll(c).count() == 0
 
 
+def test_louvain_local_and_distributed_paths_agree(spark):
+    """X8 size dispatch: the driver-local sequential finish and the forced
+    distributed rounds both recover planted communities (two cliques + one
+    bridge) at the ideal modularity, deterministically."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
+
+    edges = []
+    for nodes in ([f"a{i}" for i in range(6)], [f"b{i}" for i in range(6)]):
+        edges += [(nodes[i], nodes[j]) for i in range(6) for j in range(i + 1, 6)]
+    edges.append(("a0", "b0"))
+    df = spark.createDataFrame(edges, "src string, dst string")
+
+    for kwargs in ({}, {"local_edge_max": 0}):  # local path, then forced distributed
+        res = alg.louvain(df, **kwargs)
+        m = {r["id"]: r["community_id"] for r in res.collect()}
+        assert len({m[f"a{i}"] for i in range(6)}) == 1
+        assert len({m[f"b{i}"] for i in range(6)}) == 1
+        assert m["a0"] != m["b0"]
+        q = alg.weighted_modularity(df, res)
+        assert abs(q - 0.467741935483871) < 1e-9, f"Q {q} not ideal for two cliques ({kwargs})"
+
+
 def test_louvain_beats_lpa_modularity(spark):
     """X8 gate: distributed Louvain's weighted modularity on the similarity
     graph is positive AND >= the LPA stand-in's (the judge's round-1 bar:
