@@ -168,19 +168,16 @@ def train_multi_tower(
                 gflat, _ = _pack(g)
                 yield pd.DataFrame({"loss": [loss], "n": [float(len(pdf))], "grad": [gflat.tolist()]})
 
-        agg = (
-            data.mapInPandas(partials, schema=grad_schema)
-            .agg(
-                F.sum("loss").alias("loss"),
-                F.sum("n").alias("n"),
-                F.array(*[F.sum(F.element_at("grad", i + 1)) for i in range(len(flat))]).alias("g"),
-            )
-            .collect()[0]
-        )
+        # reduce driver-side: one partial row per Arrow batch (~tasks rows ×
+        # |params| doubles — KBs even on a 1000-executor cluster), summed in
+        # numpy. The SQL-aggregate alternative (|params| separate
+        # F.sum(element_at) expressions) recompiles a 150-column codegen
+        # plan every iteration — measured slower than this collect.
+        parts = data.mapInPandas(partials, schema=grad_schema).collect()
         b_flat.unpersist()
-        n = agg["n"]
-        loss = agg["loss"] / n + 0.5 * l2 * float(flat @ flat)
-        grad = np.array(agg["g"]) / n + l2 * flat
+        n = sum(r["n"] for r in parts)
+        loss = sum(r["loss"] for r in parts) / n + 0.5 * l2 * float(flat @ flat)
+        grad = np.sum([np.asarray(r["grad"]) for r in parts], axis=0) / n + l2 * flat
 
         # Adam (driver-side; parameters are tiny)
         m = 0.9 * m + 0.1 * grad

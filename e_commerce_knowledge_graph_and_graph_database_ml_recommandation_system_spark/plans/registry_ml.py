@@ -210,7 +210,7 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
     ds = lp.build_dataset(tables).cache()
     train, test = lp.split_train_test(ds)
-    params, stats, history = mt.train_multi_tower(train, max_iter=25, lr=0.05)
+    params, stats, history = mt.train_multi_tower(train, max_iter=40, lr=0.05)
     scored = mt.predict_multi_tower(test, params, stats).select(
         "label", F.col("probability").cast("double").alias("probability")
     )
