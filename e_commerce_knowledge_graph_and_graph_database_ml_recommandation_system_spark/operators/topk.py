@@ -21,8 +21,10 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from ..functions.text import md5_int32
 
 
 def topk_per_customer(scored: DataFrame, k: int, score_col: str = "score") -> DataFrame:
@@ -70,6 +72,24 @@ def median_per_category(scored: DataFrame, score_col: str = "score") -> DataFram
     )
 
 
+TWO_PI = 6.283185307179586
+
+
+def _hash_uniform(salt: str) -> Column:
+    """Uniform in [0,1) from md5_int32(customer|product|salt) / 2^32 —
+    row-keyed, engine-agnostic (DuckDB form:
+    ``('0x' || substr(md5(concat_ws('|', ...)), 1, 8))::BIGINT / 4294967296.0``)."""
+    h = md5_int32(
+        F.concat_ws(
+            "|",
+            F.col("customer_id").cast("string"),
+            F.col("product_id").cast("string"),
+            F.lit(salt),
+        )
+    )
+    return h / F.lit(4294967296.0)
+
+
 def gumbel_topk(
     scored: DataFrame,
     k: int,
@@ -90,21 +110,34 @@ def gumbel_topk(
       R3 T=5 noise=0.15 (``topk_recommandations_stochasticsoftmaxsampling_discount.py:193-228``)
       R4 0.3·uniform+0.7·p mixture (``took_recommandations_adamsampling_discount.py:58-100``)
 
-    ``rand(seed)`` is seeded per-partition by Spark, deterministic for a fixed
-    plan + partitioning; exact cross-engine parity is intentionally out of
-    scope (distributional invariants are tested instead, SURVEY §5).
+    Noise is hash-derived per (customer, product, seed): uniforms come from
+    md5_int32 / 2^32, the Gumbel via inverse-CDF and the Gaussian via
+    Box-Muller. Unlike ``F.rand(seed)`` (whose stream is assigned
+    per-partition, so results CHANGE under repartitioning — a silent
+    correctness hazard at scale), this is a pure row-wise expression:
+    partition-layout-independent, reproducible in any engine, and
+    whole-stage-codegen friendly. The same formulas are SQL-expressible,
+    so R1-R4 carry full DuckDB oracles.
+
+    ``uniform_mix`` requires ``score_col`` to already be normalized per
+    customer (sum to 1): the mixture folds as ``mix/n + (1-mix)*p`` with no
+    second float window-sum (float re-normalization is summation-order
+    dependent and breaks cross-engine parity).
     """
     p = F.col(score_col)
     if uniform_mix > 0.0:
-        # R4 mixture: renormalization is monotone per customer -> fold into p
+        # R4 mixture over normalized p: mix·uniform + (1-mix)·p
         w_sum = Window.partitionBy("customer_id")
-        p = uniform_mix / F.count("*").over(w_sum) + (1 - uniform_mix) * p / F.sum(p).over(w_sum)
+        p = F.lit(uniform_mix) / F.count("*").over(w_sum) + F.lit(1 - uniform_mix) * p
     eps = F.lit(1e-10)
     clipped = F.greatest(F.least(p, F.lit(1 - 1e-10)), eps)
     logit = F.log(clipped / (F.lit(1.0) - clipped)) / F.lit(temperature)
     if noise_scale > 0.0:
-        logit = logit + F.randn(seed + 1) * noise_scale
-    gumbel = -F.log(-F.log(F.rand(seed) + eps) + eps)
+        u2 = _hash_uniform(f"n{seed}")
+        u3 = _hash_uniform(f"c{seed}")
+        gauss = F.sqrt(F.lit(-2.0) * F.log(u2 + eps)) * F.cos(F.lit(TWO_PI) * u3)
+        logit = logit + gauss * F.lit(noise_scale)
+    gumbel = -F.log(-F.log(_hash_uniform(f"g{seed}") + eps) + eps)
     out = scored.withColumn("sample_key", logit + gumbel)
     w = Window.partitionBy("customer_id").orderBy(F.desc("sample_key"), F.asc("product_id"))
     return out.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k).drop("sample_key")

@@ -256,31 +256,36 @@ def q_model_scoring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gumbel_variant(spark, sf_dir, **kw) -> DataFrame:
-    from .registry_serving import _candidates
+    from .registry_serving import _candidates, _normalized_probs
 
-    cands = _candidates(spark, sf_dir)
-    w = F.sum("score").over(Window.partitionBy("customer_id"))
-    probs = cands.withColumn("p", F.col("score") / w)
+    probs = _normalized_probs(_candidates(spark, sf_dir))
     out = tk.gumbel_topk(probs, k=5, score_col="p", **kw)
     return out.select("customer_id", "rank", "product_id", "category", F.round("p", 6).alias("p"))
 
 
-@register("serve_softmax_noise_topk", None)
+def _gumbel_sql(**kw) -> str:
+    from .registry_serving import _gumbel_oracle_sql
+
+    return _gumbel_oracle_sql(**kw)
+
+
+@register("serve_softmax_noise_topk", _gumbel_sql(temperature=3.0, seed=43, noise_scale=0.1))
 def q_serve_softmax_noise_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2: logit softmax with gaussian noise, T=3.0 (reference
-    ``took_recommandations_softmaxsampling_discount.py:213-241``)."""
+    """R2: logit softmax with hash-derived Box-Muller gaussian noise, T=3.0
+    (reference ``took_recommandations_softmaxsampling_discount.py:213-241``);
+    oracle-checked — see ``gumbel_topk``'s noise discipline."""
     return _gumbel_variant(spark, sf_dir, temperature=3.0, seed=43, noise_scale=0.1)
 
 
-@register("serve_stochastic_softmax_topk", None)
+@register("serve_stochastic_softmax_topk", _gumbel_sql(temperature=5.0, seed=44, noise_scale=0.15))
 def q_serve_stochastic_softmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R3: stochastic softmax, T=5.0, noise 0.15 (reference
     ``topk_recommandations_stochasticsoftmaxsampling_discount.py:193-228``)."""
     return _gumbel_variant(spark, sf_dir, temperature=5.0, seed=44, noise_scale=0.15)
 
 
-@register("serve_adam_mixture_topk", None)
+@register("serve_adam_mixture_topk", _gumbel_sql(temperature=2.0, seed=45, uniform_mix=0.3))
 def q_serve_adam_mixture_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R4: 0.3·uniform + 0.7·p mixture, T=2.0 (reference
+    """R4: 0.3·uniform + 0.7·p mixture over normalized p, T=2.0 (reference
     ``took_recommandations_adamsampling_discount.py:58-100``)."""
     return _gumbel_variant(spark, sf_dir, temperature=2.0, seed=45, uniform_mix=0.3)

@@ -116,6 +116,54 @@ candidates AS (
 """
 
 
+def _gumbel_oracle_sql(
+    temperature: float, seed: int, noise_scale: float = 0.0, uniform_mix: float = 0.0
+) -> str:
+    """DuckDB mirror of ``operators/topk.gumbel_topk``'s hash-noise expression
+    tree. Float literals embed Python ``repr`` so both engines parse the
+    identical IEEE double; the softmax denominator is an exact DECIMAL sum
+    (summation-order independent) so ``p`` is bit-identical cross-engine."""
+
+    def u(salt: str) -> str:
+        return (
+            "(('0x' || substr(md5(concat_ws('|', CAST(customer_id AS VARCHAR), "
+            f"CAST(product_id AS VARCHAR), '{salt}')), 1, 8))::BIGINT / 4294967296.0)"
+        )
+
+    eps = repr(1e-10)
+    p_eff = f"({uniform_mix!r} / n + {1 - uniform_mix!r} * p)" if uniform_mix > 0.0 else "p"
+    clipped = f"GREATEST(LEAST({p_eff}, {1 - 1e-10!r}), {eps})"
+    logit = f"(LN({clipped} / (1.0 - {clipped})) / {temperature!r})"
+    if noise_scale > 0.0:
+        gauss = f"(SQRT(-2.0 * LN({u(f'n{seed}')} + {eps})) * COS({tk.TWO_PI!r} * {u(f'c{seed}')}))"
+        logit = f"({logit} + {gauss} * {noise_scale!r})"
+    gumbel = f"(-LN(-LN({u(f'g{seed}')} + {eps}) + {eps}))"
+    return f"""
+WITH {_CANDIDATES_CTE.strip()},
+probs AS (
+    SELECT customer_id, product_id, category,
+           score / CAST(SUM(CAST(score AS DECIMAL(18,6))) OVER (PARTITION BY customer_id) AS DOUBLE) AS p,
+           COUNT(*) OVER (PARTITION BY customer_id) AS n
+    FROM candidates
+)
+SELECT customer_id, rank, product_id, category, ROUND(p, 6) AS p
+FROM (SELECT customer_id, product_id, category, p,
+             ROW_NUMBER() OVER (PARTITION BY customer_id
+                                ORDER BY ({logit} + {gumbel}) DESC, product_id ASC) AS rank
+      FROM probs)
+WHERE rank <= 5
+"""
+
+
+def _normalized_probs(cands: DataFrame) -> DataFrame:
+    """p = score / per-customer sum, denominator accumulated as DECIMAL(18,6)
+    (score is already 6dp-rounded, so the cast is lossless and the sum exact
+    — float summation order can't perturb p across engines or partitions)."""
+    w = Window.partitionBy("customer_id")
+    denom = F.sum(F.col("score").cast("decimal(18,6)")).over(w).cast("double")
+    return cands.withColumn("p", F.col("score") / denom)
+
+
 @register(
     "serve_topk_plain",
     f"""
@@ -226,15 +274,14 @@ def q_serve_display_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("serve_gumbel_softmax_topk", None)
+@register("serve_gumbel_softmax_topk", _gumbel_oracle_sql(temperature=2.5, seed=42))
 def q_serve_gumbel_softmax_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R1: temperature-softmax sampling without replacement (Gumbel-top-k,
-    T=2.5, seeded). Stochastic — rows-only in the oracle harness;
-    distributional invariants are pytest-checked (SURVEY §5)."""
-    cands = _candidates(spark, sf_dir)
-    # normalize score to a (0,1) pseudo-probability per customer
-    w = F.sum("score").over(tk.Window.partitionBy("customer_id"))
-    probs = cands.withColumn("p", F.col("score") / w)
+    T=2.5, hash-seeded). Fully oracle-checked: the hash-derived noise is
+    partition-independent and engine-agnostic, so even the SAMPLED selection
+    hash-matches DuckDB (distributional invariants additionally
+    pytest-checked, SURVEY §5)."""
+    probs = _normalized_probs(_candidates(spark, sf_dir))
     out = tk.gumbel_topk(probs, k=5, temperature=2.5, seed=42, score_col="p")
     return out.select("customer_id", "rank", "product_id", "category", F.round("p", 6).alias("p"))
 
