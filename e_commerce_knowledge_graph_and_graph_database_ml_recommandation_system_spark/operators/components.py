@@ -1,0 +1,120 @@
+"""Distributed connected components — dedup clustering for the 100-TB
+training-data pipeline.
+
+Near-dup pair generators (simhash_near_dup, minhash_lsh_pairs,
+ngram_jaccard_pairs) emit EDGES; curation needs CLUSTERS: every doc labeled
+with its duplicate-cluster id so one canonical doc per cluster survives.
+That closure is connected components over the pair graph.
+
+Algorithm: iterative min-label propagation with pointer jumping
+(label(v) <- min over N(v)∪{v} of label, then label <- label(label)),
+the alternating-star family (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14). Each round is two equi-joins + one
+aggregate — all shuffle-partitioned by node id, no driver-side graph.
+Pointer jumping makes convergence O(log diameter) rounds, and near-dup
+graphs are locally dense (LSH bucket cliques), so 2-4 rounds in practice.
+
+Determinism: component id = MIN node id in the component — engine-neutral
+(same total order in Spark and DuckDB for both int and string ids), so the
+whole closure is oracle-checkable via a recursive CTE.
+
+Scale notes:
+- per-round state is one (node, label) row per node — narrow; the edge
+  relation is reused as-is each round (cache it, it never changes).
+- each round materializes via a count() action (needed for the convergence
+  check) and localCheckpoint() to truncate lineage — otherwise the plan
+  doubles per round and Catalyst analysis dominates past ~8 rounds.
+- hub skew: label gather groups by dst node — a hub's fan-in lands in one
+  task, but the aggregate is min (map-side combinable), so skew is absorbed
+  in the combiner, not the shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(id, component) for every node; component = min node id reachable.
+
+    ``nodes``: one column ``id_col`` (distinct ids, singletons included).
+    ``edges``: undirected pairs (``src_col``, ``dst_col``); direction and
+    duplicates don't matter — symmetrized and distinct-ed here.
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct().cache()
+
+    lab = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint()
+
+    for _ in range(max_iter):
+        # gather: min label over self + neighbors
+        nbr = (
+            sym.join(lab.withColumnRenamed("id", "s"), "s")
+            .select(F.col("d").alias("id"), "comp")
+        )
+        gathered = (
+            lab.unionByName(nbr)
+            .groupBy("id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: comp <- label(comp) (labels are node ids, so the
+        # lookup is a self-join on the label table)
+        jumped = (
+            gathered.join(
+                lab.select(F.col("id").alias("comp"), F.col("comp").alias("comp2")),
+                "comp",
+                "left",
+            )
+            .select("id", F.least("comp", "comp2").alias("comp"))
+        )
+        new_lab = jumped.localCheckpoint()  # materialize + truncate lineage
+        changed = (
+            new_lab.join(lab.withColumnRenamed("comp", "old"), "id")
+            .filter(F.col("comp") != F.col("old"))
+            .count()
+        )
+        lab = new_lab
+        if changed == 0:
+            break
+    sym.unpersist()
+    return lab.select("id", "comp")
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Cluster assignment for every document from near-dup pairs:
+    (doc_id, cluster_id, cluster_size). cluster_id = min doc_id in the
+    cluster; singletons keep cluster_size = 1."""
+    comp = connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+    ).withColumnsRenamed({"id": "doc_id", "comp": "cluster_id"})
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
+
+
+def canonical_docs(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """One canonical doc per cluster: highest quality_score, ties broken by
+    min doc_id (deterministic). Returns (cluster_id, canonical_doc_id,
+    cluster_size, quality_score) — the keep-list of a dedup pass; docs not
+    listed are the drop set."""
+    from pyspark.sql import Window
+
+    scored = clusters.join(quality.select("doc_id", "quality_score"), "doc_id")
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("quality_score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            "cluster_size",
+            "quality_score",
+        )
+    )

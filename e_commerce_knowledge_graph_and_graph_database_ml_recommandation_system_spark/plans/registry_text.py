@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.text import SQL_MD5_INT32, SQL_NORMALIZE, SQL_WORDS, sql_word_ngrams
+from ..operators import components as cc
 from ..operators import dedup as dd
 from ..operators import similarity as sim
 from ..operators import text_analysis as ta
@@ -201,6 +202,85 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 )
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash_near_dup(load_table(spark, "documents", sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# dedup: connected-component clustering + canonical selection
+# ---------------------------------------------------------------------------
+
+# transitive closure of the simhash near-dup pair graph via recursive
+# min-label spread (UNION = set semantics bounds the walk); cluster id =
+# min doc_id of the component — the same invariant the Spark
+# connected_components operator converges to.
+_CLUSTERS_CTE = f"""
+{_SIMHASH_CTE.strip()},
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+),
+sym AS (
+    SELECT doc_a AS s, doc_b AS d FROM pairs
+    UNION ALL
+    SELECT doc_b AS s, doc_a AS d FROM pairs
+),
+walk(id, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT sym.d, walk.comp FROM walk JOIN sym ON walk.id = sym.s
+),
+comp AS (SELECT id AS doc_id, MIN(comp) AS cluster_id FROM walk GROUP BY id),
+csize AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM comp GROUP BY cluster_id)
+"""
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTE.strip()}
+SELECT doc_id, cluster_id, cluster_size FROM comp JOIN csize USING (cluster_id)
+""",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return cc.dedup_clusters(docs, dd.simhash_near_dup(docs, max_hamming=3))
+
+
+_EN_SW_FWD = ", ".join(f"'{s}'" for s in ta.LANG_STOPWORDS["en"])
+
+_QUALITY_SCORE_CTE = f"""
+qual AS (
+    SELECT doc_id,
+           ROUND(LEAST(len({SQL_WORDS.format(c="text")}) / 20.0, 1.0) * 0.3
+             + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                            / NULLIF(CAST(length(text) AS DOUBLE), 0), 1.0)) * 0.2
+             + LEAST(len(list_intersect(list_distinct({SQL_WORDS.format(c="text")}), [{_EN_SW_FWD}])) / 3.0, 1.0) * 0.3
+             + COALESCE(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        / NULLIF(CAST(length(text) AS DOUBLE), 0), 0.0) * 0.2, 6) AS quality_score
+    FROM documents
+)
+"""
+
+
+@register(
+    "dedup_canonical_docs",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTE.strip()},
+{_QUALITY_SCORE_CTE.strip()},
+ranked AS (
+    SELECT comp.cluster_id, comp.doc_id, csize.cluster_size, qual.quality_score,
+           ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                              ORDER BY qual.quality_score DESC, comp.doc_id ASC) AS rn
+    FROM comp JOIN csize USING (cluster_id) JOIN qual USING (doc_id)
+)
+SELECT cluster_id, doc_id AS canonical_doc_id, cluster_size, quality_score
+FROM ranked WHERE rn = 1
+""",
+)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = cc.dedup_clusters(docs, dd.simhash_near_dup(docs, max_hamming=3))
+    return cc.canonical_docs(clusters, ta.quality_scores(docs))
 
 
 # ---------------------------------------------------------------------------

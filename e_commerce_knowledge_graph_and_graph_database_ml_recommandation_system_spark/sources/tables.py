@@ -29,22 +29,41 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events ``ts`` column to microsecond TIMESTAMP (ltz)
+    regardless of how this Spark build surfaces parquet TIMESTAMP(NANOS):
+
+    - older builds honor ``spark.sql.legacy.parquet.nanosAsLong`` and hand us
+      epoch-nanos as BIGINT → integer-div to micros (float division of
+      epoch-nanos exceeds double precision);
+    - Spark >= 4.1 reads nanos natively as TIMESTAMP_NTZ (micros-truncated)
+      and ignores the legacy conf → cast to TIMESTAMP, which with the UTC
+      session timezone preserves the instant bit-for-bit.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
+
+    dt = df.schema[col].dataType
+    if isinstance(dt, LongType):
+        return df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
+    if isinstance(dt, TimestampNTZType):
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     """Load one testdata table as a DataFrame (lazy parquet scan).
 
-    ``events`` carries TIMESTAMP(NANOS) which the vectorized parquet reader
-    rejects; it is read with nanos-as-long and converted to a microsecond
-    timestamp (truncation, matching Spark's native precision).
+    ``events`` carries TIMESTAMP(NANOS); see normalize_event_ts for the
+    version-robust conversion to Spark's native microsecond timestamp.
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        from pyspark.sql import functions as F
-
+        # harmless no-op on builds that dropped the conf; required on builds
+        # whose vectorized reader rejects TIMESTAMP(NANOS) outright
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        # integer div: float division of epoch-nanos exceeds double precision
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..sources.tables import normalize_event_ts
+
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_type string"
 STATE_SCHEMA = "n long, total double, last string"
 
@@ -49,11 +51,10 @@ def stream_user_profiles(spark, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     profiles = stream.groupBy("user_id").applyInPandasWithState(
         _update_user_profile,

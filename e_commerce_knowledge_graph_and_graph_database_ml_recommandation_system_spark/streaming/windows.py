@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..sources.tables import normalize_event_ts
+
 
 def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
     """Tumbling event-time windows per event_type: count + sum(value)."""
@@ -90,13 +92,11 @@ def stream_tumbling_counts(spark, sf_dir: str, width: str = "5 minutes") -> Data
     events_file = f"{sf_dir}/events.parquet"
     static = spark.read.parquet(events_file)
     # readStream needs a directory source; glob-filter the sf dir to events
-    stream = (
+    stream = normalize_event_ts(
         spark.readStream.schema(static.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        .withWatermark("ts", "1 hour")
-    )
+    ).withWatermark("ts", "1 hour")
     agg = (
         stream.groupBy(F.window("ts", width).alias("w"), "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))

@@ -601,3 +601,58 @@ def test_brute_topk_blas_equals_sql_form(spark):
     a = sim.brute_topk(emb, k=5)
     b = sim.brute_topk_blas(emb, k=5)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_connected_components_chain_and_determinism(spark):
+    """CC on a path graph (worst-case diameter for label propagation):
+    pointer jumping must converge well under max_iter, every node must get
+    the chain-min label, and isolated nodes stay singletons."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import components as cc
+
+    # chain 0-1-2-...-29 plus isolated nodes 100..104 plus a triangle 200-201-202
+    edges = [(i, i + 1) for i in range(29)] + [(200, 201), (201, 202), (200, 202)]
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(30)] + [(i,) for i in range(100, 105)] + [(200,), (201,), (202,)],
+        "id long",
+    )
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.id: r.comp for r in cc.connected_components(nodes, e, max_iter=10).collect()}
+    assert all(got[i] == 0 for i in range(30)), "chain not fully labeled with min id"
+    assert all(got[i] == i for i in range(100, 105)), "isolated nodes must be singletons"
+    assert got[200] == got[201] == got[202] == 200
+
+    # determinism: a second run produces the identical assignment
+    got2 = {r.id: r.comp for r in cc.connected_components(nodes, e, max_iter=10).collect()}
+    assert got == got2
+
+
+def test_dedup_cluster_invariants(spark):
+    """Every doc appears exactly once; cluster_id is a member of its own
+    cluster; paired docs land in the same cluster."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import components as cc
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import dedup as dd
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "documents", SF)
+    pairs = dd.simhash_near_dup(docs, max_hamming=3).cache()
+    clusters = cc.dedup_clusters(docs, pairs).cache()
+
+    assert clusters.count() == docs.count()
+    assert clusters.select("doc_id").distinct().count() == docs.count()
+    # cluster_id is the min member (self-membership)
+    bad_rep = (
+        clusters.groupBy("cluster_id").agg(F.min("doc_id").alias("mn"))
+        .filter(F.col("cluster_id") != F.col("mn")).count()
+    )
+    assert bad_rep == 0
+    # both endpoints of every near-dup pair share a cluster
+    ca = clusters.withColumnsRenamed({"doc_id": "doc_a", "cluster_id": "cl_a"}).select("doc_a", "cl_a")
+    cb = clusters.withColumnsRenamed({"doc_id": "doc_b", "cluster_id": "cl_b"}).select("doc_b", "cl_b")
+    split_pairs = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(F.col("cl_a") != F.col("cl_b")).count()
+    )
+    assert split_pairs == 0
+    pairs.unpersist()
+    clusters.unpersist()
