@@ -477,3 +477,66 @@ SELECT src, dst, MAX(similarity) AS similarity FROM sym GROUP BY src, dst
 )
 def q_knn_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
+
+
+# ---------------------------------------------------------------------------
+# corpus curation: the full training-data pipeline end-to-end
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_curation",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTE.strip()},
+{_QUALITY_SCORE_CTE.strip()},
+canon AS (
+    SELECT cluster_id, doc_id, cluster_size, quality_score FROM (
+        SELECT comp.cluster_id, comp.doc_id, csize.cluster_size, qual.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                                  ORDER BY qual.quality_score DESC, comp.doc_id ASC) AS rn
+        FROM comp JOIN csize USING (cluster_id) JOIN qual USING (doc_id)
+    ) WHERE rn = 1 AND quality_score >= 0.7
+),
+hits AS (
+    SELECT doc_id,
+       {_HIT_SQL}
+    FROM documents
+),
+best AS (SELECT *, {_BEST_SQL} AS best FROM hits),
+lang AS (SELECT doc_id, {_PRED_SQL} AS pred_lang FROM best),
+wtoks AS (SELECT doc_id, CAST(len({SQL_WORDS.format(c="text")}) AS BIGINT) AS ws_tokens FROM documents)
+SELECT lang.pred_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(canon.cluster_size) AS BIGINT) AS n_docs_represented,
+       CAST(SUM(wtoks.ws_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(canon.quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+FROM canon JOIN lang USING (doc_id) JOIN wtoks USING (doc_id)
+GROUP BY lang.pred_lang
+""",
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pipeline one real corpus pass would run: near-dup
+    cluster (simhash + connected components) -> keep the best-quality doc
+    per cluster -> quality gate (>= 0.7) -> per-language corpus stats
+    (kept docs, docs represented by the kept ones, whitespace tokens,
+    decimal-exact mean quality). Every stage is the already-oracle-checked
+    operator; this entry hash-checks their composition end to end."""
+    docs = load_table(spark, "documents", sf_dir)
+    clusters = cc.dedup_clusters(docs, dd.simhash_near_dup(docs, max_hamming=3))
+    kept = cc.canonical_docs(clusters, ta.quality_scores(docs)).filter(
+        F.col("quality_score") >= 0.7
+    )
+    lang = ta.lang_id(docs).select("doc_id", "pred_lang")
+    toks = ta.token_stats(docs).select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"))
+    joined = (
+        kept.withColumnRenamed("canonical_doc_id", "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+    )
+    q_dec = F.col("quality_score").cast("decimal(18,6)")
+    return joined.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("cluster_size").alias("n_docs_represented"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.round(F.sum(q_dec).cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
+    )
