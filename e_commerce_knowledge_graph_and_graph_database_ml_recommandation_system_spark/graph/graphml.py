@@ -69,18 +69,35 @@ def _edge_xml(df: DataFrame) -> DataFrame:
 
 
 def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> int:
-    """Write a GraphML file; returns element count. XML fragments render
-    executor-side; ids/labels are XML-escaped via the expression pipeline
-    upstream (graph ids here are alphanumeric by construction)."""
-    n_xml = _node_xml(nodes)
-    e_xml = _edge_xml(edges)
-    parts = [r["xml"] for r in n_xml.collect()] + [r["xml"] for r in e_xml.collect()]
+    """Write a GraphML file; returns element count.
+
+    Scale shape: XML fragments render executor-side and are written as
+    DISTRIBUTED text part-files (no collect — rows never materialize on the
+    driver); the driver then streams header + part files + footer into the
+    single output file GraphML requires (buffered line copy, O(1) memory).
+    Nodes are concatenated before edges so element order matches networkx
+    expectations for single-pass consumers."""
+    import glob
+    import shutil
+    import tempfile
+
+    count = 0
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(_HEADER)
-        fh.write("\n".join(parts))
-        fh.write("\n")
+        for frag_df in (_node_xml(nodes), _edge_xml(edges)):
+            tmp = tempfile.mkdtemp(prefix="graphml_frag_")
+            frag_dir = f"{tmp}/parts"
+            try:
+                frag_df.write.mode("overwrite").text(frag_dir)
+                for part in sorted(glob.glob(f"{frag_dir}/part-*")):
+                    with open(part, encoding="utf-8") as pf:
+                        for line in pf:
+                            fh.write(line)
+                            count += 1
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
         fh.write(_FOOTER)
-    return len(parts)
+    return count
 
 
 def read_graphml(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
