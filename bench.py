@@ -53,8 +53,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = registry.queries()
 
-    # warm the JVM + parquet footers so per-query numbers measure the plans
+    # warm the JVM, parquet footers and page cache so per-query numbers
+    # measure the plans, not first-touch I/O
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, t, SF_DIR).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

@@ -66,7 +66,9 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem", "part"))
     customer, part = t["customer"], t["part"]
     valid = scored_valid_products(t)
-    purchased = purchased_pairs(t)
+    # materialize the purchase pairs once: three consumers (c_max aggregate,
+    # anti-join side, and nothing else recomputes orders⋈lineitem+distinct)
+    purchased = purchased_pairs(t).localCheckpoint()
 
     # EXACT candidate pruning: the score is customer-independent, so a
     # customer's per-category winner (cat_rank=1 among their unpurchased
@@ -76,34 +78,58 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # join from |C|×|P| (300M rows at sf0.1, ~340s) to |C|×(|cats|·(c_max+1))
     # (~4M rows) with PROVABLY identical output — the physical-plan analog
     # of the reference's 1500-2000 candidate cap, but lossless.
-    cmax = (
+    # c_max is a SCALAR and the pruned prefix is |cats|·(c_max+1) rows —
+    # dim-table sized by construction. Materialize both eagerly (two small
+    # jobs) and feed the main plan literals/broadcasts: leaving them lazy
+    # duplicates the purchased-pairs subtree into every consumer (Catalyst
+    # inlines shared subtrees — the same orders⋈lineitem distinct ran 3×).
+    c_max = (
         purchased.join(F.broadcast(part.select("p_partkey", F.col("p_type").alias("category"))), "p_partkey")
         .groupBy("c_custkey", "category")
         .agg(F.count("*").alias("n"))
         .agg(F.max("n").alias("c_max"))
-    )
+        .collect()[0]["c_max"]
+    ) or 0
     w_prune = Window.partitionBy("category").orderBy(F.desc("score"), F.asc("p_partkey"))
-    pruned = (
+    pruned_rows = (
         valid.withColumn("cat_pos", F.row_number().over(w_prune))
-        .crossJoin(F.broadcast(cmax))
-        .filter(F.col("cat_pos") <= F.col("c_max") + 1)
-        .drop("cat_pos", "c_max")
+        .filter(F.col("cat_pos") <= F.lit(c_max) + 1)
+        .drop("cat_pos")
+        .collect()
     )
+    pruned = spark.createDataFrame(pruned_rows, schema=valid.schema)
 
-    # candidates: every (customer, pruned product) minus purchased (J6/J7)
+    # candidates: every (customer, pruned product) minus purchased (J6/J7).
+    # The exclusion only matters for products that survived pruning, so the
+    # anti side filters to pruned product keys first (lossless). No
+    # broadcast hint: pruned products are the POPULAR ones, so their
+    # purchase pairs can be a large slice of all purchases — AQE broadcasts
+    # when the filtered side turns out small, shuffles when it doesn't.
+    pruned_keys = [r["p_partkey"] for r in pruned_rows]
+    purchased_rel = purchased.filter(F.col("p_partkey").isin(pruned_keys))
     candidates = (
         customer.select("c_custkey")
         .crossJoin(F.broadcast(pruned))
-        .join(purchased, ["c_custkey", "p_partkey"], "left_anti")
+        .join(purchased_rel, ["c_custkey", "p_partkey"], "left_anti")
     )
 
-    # category-diverse top-k (W6): ≤1 per category, best k overall
-    w_cat = Window.partitionBy("c_custkey", "category").orderBy(F.desc("score"), F.asc("p_partkey"))
+    # category-diverse top-k (W6): ≤1 per category, best k overall.
+    # The per-category winner (row_number=1 over score desc, p_partkey asc)
+    # is an argmax — computed as max_by over an ordering struct
+    # (score, -p_partkey), a HASH aggregate with map-side partials: the
+    # full candidate volume collapses to one row per (customer, category)
+    # BEFORE the shuffle, where a sort window would shuffle+sort every
+    # candidate row (2× runtime at sf0.1, worse with scale).
+    ord_struct = F.struct(F.col("score"), (-F.col("p_partkey")).alias("np"))
+    val_struct = F.struct("p_partkey", "p_name", "score")
+    per_cat = (
+        candidates.groupBy("c_custkey", "category")
+        .agg(F.max_by(val_struct, ord_struct).alias("v"))
+        .select("c_custkey", "v.p_partkey", "v.p_name", "category", "v.score")
+    )
     w_all = Window.partitionBy("c_custkey").orderBy(F.desc("score"), F.asc("p_partkey"))
     return (
-        candidates.withColumn("cat_rank", F.row_number().over(w_cat))
-        .filter(F.col("cat_rank") == 1)
-        .withColumn("rank", F.row_number().over(w_all))
+        per_cat.withColumn("rank", F.row_number().over(w_all))
         .filter(F.col("rank") <= k)
         .select("c_custkey", "rank", "p_partkey", "p_name", "category", "score")
     )
