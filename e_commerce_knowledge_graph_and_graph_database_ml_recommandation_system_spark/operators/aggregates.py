@@ -112,6 +112,12 @@ def kfold_target_encoding(
         F.sum(label_col).alias("s"), F.count("*").alias("c")
     )
     w_key = Window.partitionBy(key)
+    # the empty-partition window runs over per_kf — |keys|×n_folds rows,
+    # dim-sized for a categorical encoding key, so the single task is fine;
+    # a separate broadcast-totals branch was measured SLOWER (it adds a
+    # third copy of the un-reusable upstream subtree). For a key with 10⁶+
+    # cardinality, persist the input and compute the grand total as a
+    # collected scalar instead.
     w_all = Window.partitionBy()
     enc = per_kf.select(
         key,
