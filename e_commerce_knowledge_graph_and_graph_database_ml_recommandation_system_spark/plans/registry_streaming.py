@@ -108,3 +108,21 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "props",
     )
+
+
+@register(
+    "events_stream_enriched",
+    """
+SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       c_mktsegment AS segment,
+       COUNT(*) AS cnt,
+       ROUND(SUM(value), 6) AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+""",
+)
+def q_events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast join + watermarked tumbling aggregate,
+    executed on a real readStream and hash-checked against the batch SQL."""
+    out = sw.stream_enriched_counts(spark, sf_dir)
+    return out.withColumn("window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))

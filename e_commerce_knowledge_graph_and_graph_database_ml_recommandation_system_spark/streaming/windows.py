@@ -109,3 +109,44 @@ def stream_tumbling_counts(spark, sf_dir: str, width: str = "5 minutes") -> Data
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_enriched_counts(spark, sf_dir: str, width: str = "15 minutes") -> DataFrame:
+    """Stream-static join: the events READSTREAM enriched with the customer
+    dimension (broadcast — stream-static joins never shuffle the stream
+    side against a dim table), then a watermarked tumbling aggregate per
+    market segment. The static side is re-read per micro-batch by
+    Structured Streaming's unified plan, so dim updates between batches are
+    picked up for free — the streaming analog of the serving layer's
+    broadcast dim joins.
+
+    Returns the drained complete-mode result, hash-checked against the
+    identical batch SQL (unified semantics, same guarantee as
+    stream_tumbling_counts)."""
+    from ..sources.tables import load_table
+
+    dim = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    stream = normalize_event_ts(
+        spark.readStream.schema(static.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).withWatermark("ts", "1 hour")
+    joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
+    agg = (
+        joined.groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("c_mktsegment").alias("segment"),
+            "cnt",
+            "sum_value",
+        )
+    )
+    name = f"stream_enriched_{abs(hash(sf_dir)) % 100000}"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("complete").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
