@@ -77,3 +77,21 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     names the DuckDB oracle does."""
     for name in TABLES:
         load_table(spark, name, sf_dir).createOrReplaceTempView(name)
+
+
+def load_csv_table(
+    spark: SparkSession, path: str, schema=None, header: bool = True, sep: str = ","
+) -> DataFrame:
+    """CSV scan (S1 — the reference's native ingest format,
+    ``First_Data_injection.py:33,55,84`` reads CSVs via pandas).
+
+    Schema-first when one is given (no inference pass over the data — at
+    100 TB an inference scan is a full extra read); inferSchema only as the
+    exploratory fallback. Malformed rows land in ``_corrupt_record`` via
+    PERMISSIVE mode rather than failing the scan."""
+    reader = spark.read.option("header", str(header).lower()).option("sep", sep).option(
+        "mode", "PERMISSIVE"
+    )
+    if schema is not None:
+        return reader.schema(schema).csv(path)
+    return reader.option("inferSchema", "true").csv(path)

@@ -129,3 +129,109 @@ def test_bucketed_join_avoids_shuffle(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
         spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
         spark.sql("DROP DATABASE IF EXISTS buckdemo")
+
+
+def test_csv_scan_roundtrip(spark, sf_dir, tmp_path):
+    """S1 CSV scan: parquet -> csv -> schema-first csv scan preserves rows
+    and dtypes (the reference's native ingest format)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_csv_table, load_table
+
+    cust = load_table(spark, "customer", sf_dir)
+    out = f"{tmp_path}/customer_csv"
+    cust.write.mode("overwrite").option("header", "true").csv(out)
+    back = load_csv_table(spark, out, schema=cust.schema)
+    assert back.schema == cust.schema
+    assert back.count() == cust.count()
+    assert back.exceptAll(cust).count() == 0 and cust.exceptAll(back).count() == 0
+
+
+def test_streaming_file_sink_checkpoint_roundtrip(spark, sf_dir, tmp_path):
+    """§2.13 sink: readStream -> writeStream to parquet with a checkpoint,
+    drain, batch-read the sink and compare against the batch aggregate.
+    Restarting the stream against the same checkpoint must be a no-op
+    (exactly-once: no duplicate output files/rows)."""
+    from pyspark.sql import functions as F
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table, normalize_event_ts
+
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sink = f"{tmp_path}/sink"
+    ckpt = f"{tmp_path}/ckpt"
+
+    def run_stream():
+        stream = normalize_event_ts(
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        q = (
+            stream.select("event_id", "user_id", "value")
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_stream()
+    batch = load_table(spark, "events", sf_dir).select("event_id", "user_id", "value")
+    first = spark.read.parquet(sink)
+    assert first.count() == batch.count()
+    assert first.exceptAll(batch).count() == 0
+
+    # restart against the same checkpoint: source offsets are committed, so
+    # nothing new is written (exactly-once against replays)
+    run_stream()
+    again = spark.read.parquet(sink)
+    assert again.count() == batch.count()
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """§2.13 late data: two micro-batches (maxFilesPerTrigger=1); the second
+    file carries an event EARLIER than the advanced watermark, which update
+    mode must drop — and an in-watermark late event, which must aggregate."""
+    import time as _t
+    from pyspark.sql import functions as F
+
+    src = f"{tmp_path}/stream_src"
+    # batch 1: events at 10:00 and 12:00 -> watermark advances to 12:00 - 1h = 11:00
+    spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 1.0), (2, "2024-01-01 12:00:00", 1.0)],
+        "id long, ts_s string, value double",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "value").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    # batch 2 written after the first trigger: one too-late row (09:00 < 11:00
+    # watermark) and one late-but-in-window row (11:30)
+    late_pdf = spark.createDataFrame(
+        [(3, "2024-01-01 09:00:00", 1.0), (4, "2024-01-01 11:30:00", 1.0)],
+        "id long, ts_s string, value double",
+    ).selectExpr("id", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+
+    schema = "id long, ts timestamp, value double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "1 hour")
+    )
+    agg = (
+        stream.groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("cnt"))
+        .select(F.col("w.start").alias("ws"), "cnt")
+    )
+    name = "wm_late_test"
+    q = agg.writeStream.format("memory").queryName(name).outputMode("update").start()
+    try:
+        q.processAllAvailable()  # batch 1 processed; watermark now 11:00
+        late_pdf.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()  # batch 2: id=3 dropped, id=4 counted
+    finally:
+        q.stop()
+    rows = {r["ws"].strftime("%H:%M"): r["cnt"] for r in spark.table(name).collect()}
+    # update sink holds the LATEST emitted row per window
+    assert rows.get("09:00") is None, f"too-late event leaked into state: {rows}"
+    assert rows.get("11:00") == 1, f"in-watermark late event not aggregated: {rows}"
