@@ -52,6 +52,11 @@ NO_NESTED_LOOP = [
     "kfold_target_encoding",
     "community_degree_features",
     "recency_frequency",
+    # the CC iteration runs eagerly inside the builder; this asserts the
+    # returned closure plan (cluster sizes join) stays equi-join-only
+    "dedup_clusters",
+    "dedup_canonical_docs",
+    "corpus_curation",
 ]
 
 # Queries where an intentional crossJoin(F.broadcast(tiny-side)) exists —
@@ -83,10 +88,14 @@ def test_no_cartesian_product(spark, queries, name):
 
 
 def test_flagship_broadcasts_dimensions(spark, queries):
-    """The |C|x|P| candidate space joins against dimension tables (part,
-    preferred category) — those must broadcast, not shuffle the big side."""
+    """The candidate fan-out must broadcast the pruned product side (the
+    dim joins against part now run inside the eager c_max/pruned pre-jobs,
+    so the returned plan's cross join IS the dim broadcast). A
+    CartesianProduct — both sides unbroadcast — is always a bug."""
     plan = _plan(spark, queries["flagship_diverse_topk"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in _joins(plan)
+    joins = _joins(plan)
+    assert "CartesianProduct" not in joins, "unbroadcast candidate fan-out"
+    assert "BroadcastNestedLoopJoin" in joins, "pruned product side not broadcast"
 
 
 def test_token_stats_column_pruning(spark, queries):
