@@ -235,3 +235,28 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # update sink holds the LATEST emitted row per window
     assert rows.get("09:00") is None, f"too-late event leaked into state: {rows}"
     assert rows.get("11:00") == 1, f"in-watermark late event not aggregated: {rows}"
+
+
+def test_streaming_dvid_ingest(spark, sf_dir, tmp_path):
+    """U3/S4 streaming analog: one micro-batch per injection, appended as a
+    dvid partition; totals match the source, snapshot(dvid<=k) prunes, and
+    a checkpointed restart adds nothing (idempotent)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.build import snapshot
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.streaming.ingest import stream_dvid_ingest
+
+    out, ckpt = f"{tmp_path}/state", f"{tmp_path}/ckpt"
+    counts = stream_dvid_ingest(spark, sf_dir, out, ckpt, rows_per_batch=400).collect()
+    total = load_table(spark, "events", sf_dir).count()
+    assert sum(r["cnt"] for r in counts) == total
+    assert len(counts) >= 2, "expected multiple injection batches"
+    assert [r["dvid"] for r in counts] == list(range(1, len(counts) + 1))
+
+    # partition-pruned snapshot: dvid<=2 reads exactly the first two batches
+    state = spark.read.parquet(out)
+    first_two = sum(r["cnt"] for r in counts[:2])
+    assert snapshot(state, 2).count() == first_two
+
+    # restart against the same checkpoint: offsets committed -> no growth
+    counts2 = stream_dvid_ingest(spark, sf_dir, out, ckpt, rows_per_batch=400).collect()
+    assert sum(r["cnt"] for r in counts2) == total
