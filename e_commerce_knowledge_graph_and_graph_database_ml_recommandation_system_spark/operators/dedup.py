@@ -224,3 +224,43 @@ def simhash_near_dup(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_lsh_verified(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.5,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """LSH-then-verify: band-bucket candidate pairs, then EXACT Jaccard on
+    the candidates only — the production near-dup shape at corpus scale.
+
+    The verify join is candidate-bounded (|candidates| × avg shingles), not
+    corpus-bounded like ngram_jaccard_pairs' shared-shingle self-join:
+    recall comes from the bands (any pair sharing one full band appears),
+    precision from the exact verification. Columns: doc_a, doc_b, jaccard.
+    """
+    cand = minhash_lsh_pairs(docs, n, num_hashes, bands, max_bucket_size)
+    sh = doc_shingles(docs, n)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.withColumnsRenamed({"doc_id": "doc_a"})
+    b = sh.withColumnsRenamed({"doc_id": "doc_b"})
+    inter = (
+        cand.join(a, "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        # start from cand (left join inter): disjoint candidate pairs have
+        # intersection 0 and are filtered by any threshold > 0
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+        .withColumn("jaccard", F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

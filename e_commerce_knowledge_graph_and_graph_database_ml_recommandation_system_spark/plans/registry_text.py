@@ -155,6 +155,49 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES, bands=_BANDS)
 
 
+@register(
+    "minhash_lsh_verified",
+    f"""
+WITH {_MINHASH_CTE.strip()},
+banded0 AS (
+    {_BAND_SELECTS}
+),
+banded AS (
+    SELECT * FROM banded0 WHERE band_key NOT IN (
+        SELECT band_key FROM banded0 GROUP BY band_key HAVING COUNT(*) > 1000
+    )
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT cand.doc_a, cand.doc_b, COUNT(*) AS inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+    GROUP BY cand.doc_a, cand.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(COALESCE(inter.inter, 0) / (sa.n_sh + sb.n_sh - COALESCE(inter.inter, 0)), 6) AS jaccard
+FROM cand
+LEFT JOIN inter USING (doc_a, doc_b)
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE ROUND(COALESCE(inter.inter, 0) / (sa.n_sh + sb.n_sh - COALESCE(inter.inter, 0)), 6) >= 0.5
+""",
+)
+def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-then-verify near-dup: banded candidates + exact Jaccard on the
+    candidate set only — the candidate-bounded verification join that
+    replaces ngram_jaccard_pairs' corpus-bounded self-join at scale."""
+    return dd.minhash_lsh_verified(
+        load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES, bands=_BANDS, threshold=0.5
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash + banded near-dup
 # ---------------------------------------------------------------------------
