@@ -656,3 +656,58 @@ def test_dedup_cluster_invariants(spark):
     assert split_pairs == 0
     pairs.unpersist()
     clusters.unpersist()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check: on randomized graphs, the distributed CC assignment
+    equals a driver-side union-find (the sequential oracle). Graph shapes
+    seeded by hypothesis-style cases without per-example Spark overhead:
+    several structured seeds in one parametrized body."""
+    import random
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import components as cc
+
+    def union_find_components(n_nodes, edges):
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # min-id representative per component
+        comp = {}
+        for v in range(n_nodes):
+            r = find(v)
+            comp.setdefault(r, []).append(v)
+        return {v: min(m) for r, m in comp.items() for v in m}
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        n = rng.randint(20, 60)
+        m = rng.randint(0, n * 2)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        want = union_find_components(n, edges)
+        nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
+        edges_df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
+        got = {r.id: r.comp for r in cc.connected_components(nodes_df, edges_df, max_iter=15).collect()}
+        assert got == want, f"seed {seed}: CC mismatch vs union-find"
+
+
+def test_lsh_verified_subset_of_exact_jaccard(spark):
+    """Precision property: every LSH-verified pair must appear in the exact
+    shared-shingle Jaccard pair set with the IDENTICAL jaccard value —
+    verification is exact, only recall is approximate."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import dedup as dd
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    lsh = dd.minhash_lsh_verified(docs, threshold=0.5)
+    exact = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+    assert lsh.exceptAll(exact).count() == 0, "LSH-verified pair not in exact pair set"
