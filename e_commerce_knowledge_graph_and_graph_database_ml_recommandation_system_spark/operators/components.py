@@ -118,3 +118,48 @@ def canonical_docs(clusters: DataFrame, quality: DataFrame) -> DataFrame:
             "quality_score",
         )
     )
+
+
+def dedup_clusters_collapsed(docs: DataFrame, pair_fn) -> DataFrame:
+    """dedup_clusters with EXACT-DUPLICATE COLLAPSE before pair generation —
+    the production order of operations (exact dedup, then near-dup).
+
+    Verbatim copies share every signature, so a doc duplicated d times
+    inflates banded near-dup joins by d² and the CC edge list with it (the
+    10x scale probe measured 25M simhash pairs from 20k docs under 4x
+    duplication). Collapsing identical word sequences to one representative
+    first makes pair volume a function of DISTINCT content only.
+
+    Provably output-identical to dedup_clusters: the collapse key is the
+    full word sequence, and both simhash and shingles are functions of it —
+    so identical-key docs have identical pair sets and always land in one
+    cluster, and cluster_id = min doc_id survives because each
+    representative is its group's min. The registry keeps the SAME DuckDB
+    oracle (uncollapsed recursive closure), so the hash gate enforces the
+    equivalence every round.
+
+    ``pair_fn``: callable docs_subset -> (doc_a, doc_b, ...) near-dup pairs.
+    """
+    from ..functions.text import words
+
+    keyed = docs.select(
+        "doc_id", F.md5(F.array_join(words(F.col("text")), " ")).alias("fp")
+    )
+    groups = keyed.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+    rep_docs = docs.join(
+        groups.select(F.col("rep").alias("doc_id")), "doc_id", "left_semi"
+    )
+    comp = connected_components(
+        groups.select(F.col("rep").alias("doc_id")),
+        pair_fn(rep_docs),
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+    ).withColumnsRenamed({"id": "rep", "comp": "cluster_id"})
+    assigned = (
+        keyed.join(groups, "fp")
+        .join(comp, "rep")
+        .select("doc_id", "cluster_id")
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return assigned.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")

@@ -286,7 +286,9 @@ SELECT doc_id, cluster_id, cluster_size FROM comp JOIN csize USING (cluster_id)
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return cc.dedup_clusters(docs, dd.simhash_near_dup(docs, max_hamming=3))
+    # exact-collapse first (provably identical output, enforced by the
+    # uncollapsed oracle): pair volume scales with distinct content
+    return cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
 
 
 _EN_SW_FWD = ", ".join(f"'{s}'" for s in ta.LANG_STOPWORDS["en"])
@@ -322,7 +324,7 @@ FROM ranked WHERE rn = 1
 )
 def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    clusters = cc.dedup_clusters(docs, dd.simhash_near_dup(docs, max_hamming=3))
+    clusters = cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
     return cc.canonical_docs(clusters, ta.quality_scores(docs))
 
 
@@ -565,7 +567,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact mean quality). Every stage is the already-oracle-checked
     operator; this entry hash-checks their composition end to end."""
     docs = load_table(spark, "documents", sf_dir)
-    clusters = cc.dedup_clusters(docs, dd.simhash_near_dup(docs, max_hamming=3))
+    clusters = cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
     kept = cc.canonical_docs(clusters, ta.quality_scores(docs)).filter(
         F.col("quality_score") >= 0.7
     )

@@ -24,11 +24,13 @@ def test_filter_pushdown_reaches_scan(spark):
 
 
 def test_dim_joins_broadcast(spark):
-    """Dim-table joins must be broadcast, not shuffled."""
+    """Dim-table joins must be broadcast, not shuffled. Flagship's dim joins
+    now run inside its eager c_max/pruned pre-jobs; its returned plan must
+    broadcast the pruned side (nested-loop fan-out, no CartesianProduct)."""
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
 
     plan = _explain(spark, registry.queries()["flagship_diverse_topk"](spark, SF))
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan and "CartesianProduct" not in plan
     plan2 = _explain(spark, registry.queries()["graph_stats"](spark, SF))
     assert "BroadcastHashJoin" in plan2  # nation x region
 
