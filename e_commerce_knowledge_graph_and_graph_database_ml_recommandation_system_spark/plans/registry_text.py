@@ -438,6 +438,33 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lang_id_confusion",
+    f"""
+WITH hits AS (
+    SELECT doc_id, lang,
+       {_HIT_SQL}
+    FROM documents
+),
+best AS (SELECT *, {_BEST_SQL} AS best FROM hits)
+SELECT lang AS true_lang, {_PRED_SQL} AS pred_lang, COUNT(*) AS n
+FROM best GROUP BY 1, 2
+""",
+)
+def q_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: confusion counts of the stopword-voting
+    heuristic against the documents table's ground-truth ``lang`` column —
+    one aggregate over the per-doc argmax."""
+    docs = load_table(spark, "documents", sf_dir)
+    pred = ta.lang_id(docs).select("doc_id", "pred_lang")
+    return (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
     "fingerprints",
     f"""
 SELECT doc_id, md5({_NORM}) AS fingerprint,
