@@ -96,3 +96,78 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         F.md5(norm).alias("fingerprint"),
         md5_int32(norm).alias("fingerprint32"),
     )
+
+
+# shared scrub patterns (kept engine-portable: RE2/ICU-safe, no lookaround)
+EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+URL_RE = "https?://[^\\s]+"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII/URL scrubbing (standard pretraining-data hygiene): count and
+    remove emails and URLs per document. Pure regexp expressions —
+    whole-stage codegen, no Python.
+
+    Columns: doc_id, n_emails, n_urls, scrubbed text, scrubbed_len.
+    The counts are what a curation dashboard aggregates; the scrubbed text
+    is the column a training-data sink would write."""
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), EMAIL_RE, "<EMAIL>"), URL_RE, "<URL>"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), F.lit(0))).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(URL_RE), F.lit(0))).alias("n_urls"),
+        scrubbed.alias("scrubbed"),
+        F.length(scrubbed).cast("long").alias("scrubbed_len"),
+    )
+
+
+def repetition_scores(docs: DataFrame, n: int = 2) -> DataFrame:
+    """Gopher-style repetition filters: the fraction of the document made of
+    its single most-frequent word n-gram, plus the duplicate-token
+    fraction. High values flag boilerplate/spam for the quality gate.
+
+    One explode + two nested aggregates per doc — shuffle keyed by doc_id,
+    map-side combinable. Columns: doc_id, n_tokens, top_bigram_count,
+    top_bigram_frac, dup_token_frac (all 6-dp rounded doubles)."""
+    w = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    grams = F.when(
+        F.size("ws") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - F.lit(n - 1)),
+            lambda i: F.concat_ws(" ", F.slice("ws", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_gram = (
+        w.select("doc_id", F.size("ws").alias("n_tokens"), F.explode_outer(grams).alias("g"))
+        .groupBy("doc_id", "n_tokens", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # max count over grams; NULL g (short doc) contributes 0
+    top = per_gram.groupBy("doc_id", "n_tokens").agg(
+        F.max(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("top_bigram_count")
+    )
+    toks = (
+        w.select("doc_id", F.explode_outer("ws").alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.when(F.col("t").isNotNull() & (F.col("c") > 1), F.col("c")).otherwise(0)).alias("dup_tokens"),
+        )
+    )
+    return (
+        top.join(toks, "doc_id")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("top_bigram_count").cast("long").alias("top_bigram_count"),
+            F.round(
+                F.col("top_bigram_count") * n / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+            F.round(F.col("dup_tokens") / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)), 6).alias(
+                "dup_token_frac"
+            ),
+        )
+    )

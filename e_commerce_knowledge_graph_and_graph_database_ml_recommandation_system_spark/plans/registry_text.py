@@ -551,6 +551,53 @@ def q_knn_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
 
 
+@register(
+    "pii_scrub",
+    """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS INTEGER) AS n_emails,
+       CAST(len(regexp_extract_all(text, 'https?://[^\\s]+')) AS INTEGER) AS n_urls,
+       regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                      'https?://[^\\s]+', '<URL>', 'g') AS scrubbed,
+       CAST(length(regexp_replace(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+                      'https?://[^\\s]+', '<URL>', 'g')) AS BIGINT) AS scrubbed_len
+FROM documents
+""",
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.pii_scrub(load_table(spark, "documents", sf_dir))
+
+
+_GRAMS2 = sql_word_ngrams("text", 2)
+
+@register(
+    "repetition_scores",
+    f"""
+WITH w AS (SELECT doc_id, {SQL_WORDS.format(c="text")} AS ws FROM documents),
+grams AS (
+    SELECT doc_id, len(ws) AS n_tokens, unnest({_GRAMS2.replace("text", "text")}) AS g
+    FROM documents JOIN w USING (doc_id)
+),
+per_gram AS (SELECT doc_id, n_tokens, g, COUNT(*) AS c FROM grams GROUP BY 1, 2, 3),
+top AS (SELECT doc_id, n_tokens, MAX(c) AS top_bigram_count FROM per_gram GROUP BY 1, 2),
+toks AS (
+    SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_tokens
+    FROM (SELECT doc_id, t, COUNT(*) AS c
+          FROM (SELECT doc_id, unnest(ws) AS t FROM w)
+          GROUP BY doc_id, t) GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(top.top_bigram_count, 0) AS BIGINT) AS top_bigram_count,
+       ROUND(COALESCE(top.top_bigram_count, 0) * 2 / NULLIF(CAST(len(w.ws) AS DOUBLE), 0), 6) AS top_bigram_frac,
+       ROUND(COALESCE(toks.dup_tokens, 0) / NULLIF(CAST(len(w.ws) AS DOUBLE), 0), 6) AS dup_token_frac
+FROM w LEFT JOIN top ON w.doc_id = top.doc_id LEFT JOIN toks ON w.doc_id = toks.doc_id
+""",
+)
+def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ta.repetition_scores(load_table(spark, "documents", sf_dir), n=2)
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: the full training-data pipeline end-to-end
 # ---------------------------------------------------------------------------
