@@ -171,3 +171,36 @@ def repetition_scores(docs: DataFrame, n: int = 2) -> DataFrame:
             ),
         )
     )
+
+
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16) -> DataFrame:
+    """Token-budget document chunking with overlap — the pretraining prep
+    step that turns curated docs into training windows.
+
+    stride = chunk_tokens - overlap; chunk i covers words
+    [i*stride+1, i*stride+chunk_tokens] (1-based); the last chunk starts
+    while any un-covered token remains: n_chunks = 1 if len <= chunk_tokens
+    else ceil((len - chunk_tokens)/stride) + 1. One explode per doc — row
+    count scales with corpus tokens / stride, shuffle-free (map-side only).
+
+    Columns: doc_id, chunk_idx, n_chunk_tokens, chunk_text.
+    """
+    stride = chunk_tokens - overlap
+    w = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    n_chunks = F.when(F.size("ws") <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((F.size("ws") - F.lit(chunk_tokens)) / F.lit(float(stride))).cast("int") + F.lit(1)
+    )
+    return (
+        w.select("doc_id", "ws", F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.slice("ws", F.col("chunk_idx") * stride + 1, chunk_tokens).alias("cw"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("cw").alias("n_chunk_tokens"),
+            F.array_join("cw", " ").alias("chunk_text"),
+        )
+    )

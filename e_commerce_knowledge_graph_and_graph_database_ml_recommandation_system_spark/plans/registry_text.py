@@ -598,6 +598,32 @@ def q_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.repetition_scores(load_table(spark, "documents", sf_dir), n=2)
 
 
+_WS = SQL_WORDS.format(c="text")
+
+@register(
+    "document_chunks",
+    f"""
+WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+n AS (
+    SELECT doc_id, ws,
+           CASE WHEN len(ws) <= 64 THEN 1
+                ELSE CAST(ceil((len(ws) - 64) / 48.0) AS INTEGER) + 1 END AS n_chunks
+    FROM w
+),
+e AS (SELECT doc_id, ws, unnest(range(0, n_chunks)) AS chunk_idx FROM n)
+SELECT doc_id,
+       CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(len(ws[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INTEGER) AS n_chunk_tokens,
+       array_to_string(ws[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text
+FROM e
+""",
+)
+def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget chunking (64-token windows, 16 overlap) — pretraining
+    window prep; chunk boundaries identical across engines by construction."""
+    return ta.chunk_documents(load_table(spark, "documents", sf_dir), chunk_tokens=64, overlap=16)
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: the full training-data pipeline end-to-end
 # ---------------------------------------------------------------------------
