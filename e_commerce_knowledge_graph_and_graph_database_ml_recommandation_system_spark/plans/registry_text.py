@@ -624,6 +624,45 @@ def q_document_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ta.chunk_documents(load_table(spark, "documents", sf_dir), chunk_tokens=64, overlap=16)
 
 
+@register(
+    "corpus_split_stats",
+    f"""
+WITH b AS (
+    SELECT doc_id,
+           {SQL_MD5_INT32.format(c="CAST(doc_id AS VARCHAR)")} % 100 AS bucket,
+           len({SQL_WORDS.format(c="text")}) AS n_tokens
+    FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val' ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1
+""",
+)
+def q_corpus_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split of the corpus (80/10/10 by md5 of doc_id —
+    engine-neutral, stable under re-ingest) with per-split doc and token
+    totals — the split audit a data pipeline records next to the corpus."""
+    from ..functions.text import md5_int32, words as _words
+
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.select(
+        F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(100)).alias("bucket"),
+        F.size(_words(F.col("text"))).alias("n_tokens"),
+    )
+    return (
+        b.select(
+            F.when(F.col("bucket") < 80, "train")
+            .when(F.col("bucket") < 90, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_tokens",
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").cast("long").alias("total_tokens"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # corpus curation: the full training-data pipeline end-to-end
 # ---------------------------------------------------------------------------
