@@ -262,3 +262,24 @@ def test_streaming_dvid_ingest(spark, sf_dir, tmp_path):
     # restart against the same checkpoint: offsets committed -> no growth
     counts2 = stream_dvid_ingest(spark, sf_dir, out, ckpt, rows_per_batch=400).collect()
     assert sum(r["cnt"] for r in counts2) == total
+
+
+def test_registry_contract_shape():
+    """Driver-contract meta-invariants: every oracle key has a query, names
+    are unique and non-empty SQL, and oracle-bearing entries precede every
+    rows-only entry (the driver may cap how many entries it checks)."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    q, o = mod.queries(), mod.oracle_sql()
+    assert set(o) <= set(q), f"oracle without query: {set(o) - set(q)}"
+    assert all(isinstance(s, str) and s.strip() for s in o.values())
+    names = list(q)
+    first_rows_only = next((i for i, n in enumerate(names) if n not in o), len(names))
+    assert all(n not in o for n in names[first_rows_only:]), (
+        "oracle-bearing query ordered after a rows-only entry"
+    )
