@@ -283,3 +283,24 @@ def test_registry_contract_shape():
     assert all(n not in o for n in names[first_rows_only:]), (
         "oracle-bearing query ordered after a rows-only entry"
     )
+
+
+def test_entry_point_facade(spark, sf_dir):
+    """The three reference entry points (SURVEY §3 EP1-EP3) run end to end
+    through the facade and produce coherent shapes."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark import api
+
+    nodes, edges, stats = api.ingest_and_build_graph(spark, sf_dir)
+    assert nodes.count() > 0 and edges.count() > 0
+    kinds = {r["kind"] for r in stats.collect()}
+    assert kinds == {"node", "edge"}
+
+    feats = api.engineer_features(spark, sf_dir)
+    cols = set(feats.columns)
+    assert {"id", "degree", "knn_avg_similarity", "community_id", "preferred_category"} <= cols
+    n = feats.count()
+    assert n > 0 and feats.select("id").distinct().count() == n
+
+    recs = api.train_and_recommend(spark, sf_dir)
+    assert {"customer_id", "rank", "product_id"} <= set(recs.columns)
+    assert recs.count() > 0
