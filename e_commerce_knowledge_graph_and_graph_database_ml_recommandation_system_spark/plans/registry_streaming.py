@@ -126,3 +126,51 @@ def q_events_stream_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     executed on a real readStream and hash-checked against the batch SQL."""
     out = sw.stream_enriched_counts(spark, sf_dir)
     return out.withColumn("window_start", F.date_format("window_start", "yyyy-MM-dd HH:mm:ss"))
+
+
+@register(
+    "events_asof_last_purchase",
+    """
+WITH r AS (
+    SELECT user_id, ts, value, event_id FROM (
+        SELECT user_id, ts, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+    ) WHERE rn = 1
+),
+l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+SELECT l.event_id, l.user_id,
+       strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts,
+       strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS last_purchase_ts,
+       ROUND(r.value, 6) AS last_purchase_value
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+""",
+)
+def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (the time-series operator Spark lacks natively): every
+    'view' event gets the user's latest 'purchase' at or before it. The
+    Spark side is the union + carry-forward-window composition
+    (operators/asof.py); the ORACLE is DuckDB's native ASOF JOIN — two
+    entirely different formulations, one hash."""
+    from ..operators.asof import as_of_join
+    from pyspark.sql import Window as W
+
+    events = load_table(spark, "events", sf_dir)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    # one right row per (key, ts): duplicate-ts winners are unspecified in
+    # native ASOF, so pin them identically on both engines
+    rn = F.row_number().over(W.partitionBy("user_id", "ts").orderBy(F.desc("event_id")))
+    purchases = (
+        purchases.withColumn("rn", rn).filter(F.col("rn") == 1).drop("rn", "event_id")
+    )
+    views = events.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    out = as_of_join(views, purchases, key="user_id", left_ts="ts", right_ts="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_purchase_ts"),
+        F.round("asof_value", 6).alias("last_purchase_value"),
+    )
