@@ -352,3 +352,43 @@ def q_edge_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.pmod(md5_int32(F.concat_ws("|", "src", "dst", F.col("ts").cast("string"))), F.lit(100)) >= 15
     )
     return edges.filter(keep).groupBy("type").agg(F.count("*").alias("kept"))
+
+
+@register(
+    "supplier_region_revenue",
+    """
+SELECT r.r_name AS region, n.n_name AS nation,
+       CAST(COUNT(DISTINCT s.s_suppkey) AS BIGINT) AS n_suppliers,
+       CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+GROUP BY r.r_name, n.n_name
+""",
+)
+def q_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-side revenue rollup (the TPC-H Q5 join chain over the only
+    fact→supplier path the testdata carries): lineitem ⋈ supplier ⋈ nation
+    ⋈ region, decimal-exact discounted revenue per (region, nation). The
+    three dim tables broadcast; the single shuffle is the final group-by."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "supplier", "nation", "region"))
+    joined = (
+        t["lineitem"].select("l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(t["supplier"].select("s_suppkey", "s_nationkey")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"].select("n_nationkey", "n_name", "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"].select("r_regionkey", "r_name")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    return joined.groupBy(
+        F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+    ).agg(
+        F.countDistinct("s_suppkey").alias("n_suppliers"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+        ).cast("double").alias("revenue"),
+    )
