@@ -105,8 +105,11 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # broadcast hint: pruned products are the POPULAR ones, so their
     # purchase pairs can be a large slice of all purchases — AQE broadcasts
     # when the filtered side turns out small, shuffles when it doesn't.
-    pruned_keys = [r["p_partkey"] for r in pruned_rows]
-    purchased_rel = purchased.filter(F.col("p_partkey").isin(pruned_keys))
+    # Broadcast semi-join, not a literal isin list: the pruned set is
+    # |cats|·(c_max+1) keys and c_max grows with the densest customer-
+    # category, so an In-predicate would become a 10⁴-10⁵-literal
+    # expression tree at 100× — the semi-join keeps the plan constant-size.
+    purchased_rel = purchased.join(F.broadcast(pruned.select("p_partkey")), "p_partkey", "left_semi")
     candidates = (
         customer.select("c_custkey")
         .crossJoin(F.broadcast(pruned))

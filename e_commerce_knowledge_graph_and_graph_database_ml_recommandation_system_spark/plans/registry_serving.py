@@ -75,8 +75,14 @@ def _candidates(spark: SparkSession, sf_dir: str, prune: tuple[str, int] | None 
                 .drop("pos", "c_max")
             )
 
+    # Only the PRUNED prefix is dim-sized by construction and safe to hint.
+    # The unpruned full distribution is |part|-sized: a forced broadcast
+    # hint would override AQE and ship a multi-GB table (or OOM the driver)
+    # at 100× part — leave it unhinted and let AQE pick broadcast vs
+    # shuffle from the observed size.
+    valid_side = F.broadcast(valid) if prune is not None else valid
     return (
-        cohort.crossJoin(F.broadcast(valid))
+        cohort.crossJoin(valid_side)
         .join(purchased, ["c_custkey", "p_partkey"], "left_anti")
         .select(
             F.col("c_custkey").alias("customer_id"),
