@@ -73,11 +73,13 @@ def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> int:
 
     Scale shape: XML fragments render executor-side and are written as
     DISTRIBUTED text part-files (no collect — rows never materialize on the
-    driver); the driver then streams header + part files + footer into the
-    single output file GraphML requires (buffered line copy, O(1) memory).
+    driver); the driver then streams header + fragments + footer into the
+    single output file GraphML requires. Fragments are read back through
+    ``spark.read.text(...).toLocalIterator()`` — codec-agnostic (a session
+    compression codec or nonstandard committer output would corrupt a raw
+    ``part-*`` glob) and still O(1) driver memory, one partition in flight.
     Nodes are concatenated before edges so element order matches networkx
     expectations for single-pass consumers."""
-    import glob
     import shutil
     import tempfile
 
@@ -85,15 +87,15 @@ def export_graphml(nodes: DataFrame, edges: DataFrame, path: str) -> int:
     with open(path, "w", encoding="utf-8") as fh:
         fh.write(_HEADER)
         for frag_df in (_node_xml(nodes), _edge_xml(edges)):
+            spark = frag_df.sparkSession
             tmp = tempfile.mkdtemp(prefix="graphml_frag_")
             frag_dir = f"{tmp}/parts"
             try:
                 frag_df.write.mode("overwrite").text(frag_dir)
-                for part in sorted(glob.glob(f"{frag_dir}/part-*")):
-                    with open(part, encoding="utf-8") as pf:
-                        for line in pf:
-                            fh.write(line)
-                            count += 1
+                for row in spark.read.text(frag_dir).toLocalIterator():
+                    fh.write(row[0])
+                    fh.write("\n")
+                    count += 1
             finally:
                 shutil.rmtree(tmp, ignore_errors=True)
         fh.write(_FOOTER)

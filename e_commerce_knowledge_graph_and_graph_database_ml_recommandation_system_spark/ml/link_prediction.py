@@ -247,6 +247,19 @@ def evaluate(model, assembler, df: DataFrame) -> dict:
     }
 
 
+def feature_importances(model, feature_cols: list[str] | None = None, top_n: int = 15):
+    """O3: gain-based feature-importance ranking (reference
+    ``xgboost_training_for_big_data.py:758-764``: sort the booster's gain
+    scores desc, take the top 15, map feature index → name). MLlib's
+    ``GBTClassificationModel.featureImportances`` is the normalized-gain
+    vector in VectorAssembler input order; ties break by feature name so
+    the ranking is deterministic."""
+    cols = list(feature_cols or FEATURE_COLS)
+    v = model.featureImportances
+    ranked = sorted(((cols[i], float(v[i])) for i in range(len(cols))), key=lambda t: (-t[1], t[0]))
+    return ranked[:top_n]
+
+
 def overfit_gate(train_auc: float, val_auc: float, max_gap: float = 0.06) -> bool:
     """M8: reject the model when train-val AUC gap exceeds the gate
     (reference ``xgboost_training_for_big_data.py:523-529``)."""

@@ -37,8 +37,8 @@ def as_of_join(
         F.col(key),
         F.col(right_ts).alias("_ts"),
         F.lit(1).alias("_is_r"),
-        F.col(right_ts).alias(f"{payload_prefix}{right_ts}"),
-        *[F.col(c).alias(f"{payload_prefix}{c}") for c in payload],
+        F.col(right_ts).alias(f"_p_{right_ts}"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
         *[
             F.lit(None).cast(left.schema[c].dataType).alias(f"_l_{c}")
             for c in left.columns
@@ -49,11 +49,18 @@ def as_of_join(
         F.col(key),
         F.col(left_ts).alias("_ts"),
         F.lit(0).alias("_is_r"),
-        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"{payload_prefix}{right_ts}"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{payload_prefix}{c}") for c in payload],
+        F.lit(None).cast(right.schema[right_ts].dataType).alias(f"_p_{right_ts}"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
         *[F.col(c).alias(f"_l_{c}") for c in left.columns if c != key],
     )
     u = r.unionByName(l)
+    # The whole right payload travels as ONE struct that is non-null exactly
+    # on right rows, and ONE last(ignorenulls) carries it: per-column carries
+    # would tear rows when a payload field is NULL (that field would arrive
+    # from an older right row than asof_ts — round-2 advice item).
+    r_struct = F.when(
+        F.col("_is_r") == 1, F.struct(*[F.col(f"_p_{c}") for c in [right_ts, *payload]])
+    )
     # right rows sort BEFORE left rows at equal ts (at-or-before inclusive)
     w = (
         Window.partitionBy(key)
@@ -65,14 +72,11 @@ def as_of_join(
         "_ts",
         "_is_r",
         *[F.col(c) for c in u.columns if c.startswith("_l_")],
-        *[
-            F.last(f"{payload_prefix}{c}", ignorenulls=True).over(w).alias(f"{payload_prefix}{c}")
-            for c in [right_ts, *payload]
-        ],
+        F.last(r_struct, ignorenulls=True).over(w).alias("_r"),
     )
     out_left = [c for c in left.columns if c != key]
     return carried.filter(F.col("_is_r") == 0).select(
         key,
         *[F.col(f"_l_{c}").alias(c) for c in out_left],
-        *[F.col(f"{payload_prefix}{c}") for c in [right_ts, *payload]],
+        *[F.col("_r").getField(f"_p_{c}").alias(f"{payload_prefix}{c}") for c in [right_ts, *payload]],
     )

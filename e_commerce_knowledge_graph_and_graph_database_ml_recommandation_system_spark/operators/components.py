@@ -138,12 +138,25 @@ def dedup_clusters_collapsed(docs: DataFrame, pair_fn) -> DataFrame:
     oracle (uncollapsed recursive closure), so the hash gate enforces the
     equivalence every round.
 
+    Zero-token docs (empty/punctuation-only text) are EXCLUDED from the
+    collapse: they produce no simhash/shingle rows, so the uncollapsed path
+    leaves each as its own singleton — collapsing them all onto md5('')
+    would merge them into one cluster and break the equivalence (round-2
+    advice item). Each gets a per-doc key and stays its own representative.
+
     ``pair_fn``: callable docs_subset -> (doc_a, doc_b, ...) near-dup pairs.
     """
     from ..functions.text import words
 
+    # zero-token ⇔ the normalized text is empty (normalize_text trims, so
+    # words('') == [''] and array_join gives '') — the same emptiness the
+    # simhash/shingle generators see through their tok != '' filters
+    joined = F.array_join(words(F.col("text")), " ")
     keyed = docs.select(
-        "doc_id", F.md5(F.array_join(words(F.col("text")), " ")).alias("fp")
+        "doc_id",
+        F.when(joined != "", F.md5(joined))
+        .otherwise(F.concat(F.lit("zero-token:"), F.col("doc_id").cast("string")))
+        .alias("fp"),
     )
     groups = keyed.groupBy("fp").agg(F.min("doc_id").alias("rep"))
     rep_docs = docs.join(

@@ -226,6 +226,24 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, ["metric", "value"])
 
 
+@register("feature_importances", None)
+def q_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: train the weighted GBT (leakage-safe target encoding, same wiring
+    as the metrics pipeline) and rank features by normalized gain — the
+    reference prints this after every training run
+    (``xgboost_training_for_big_data.py:758-764``). Rows-only: importances
+    are model-dependent; invariants (15 named rows, sum≈1, descending)
+    gated in tests."""
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    ds = lp.build_dataset(tables, target_encode=False).cache()
+    train, test = lp.split_train_test(ds)
+    train, _ = lp.split_safe_target_encoding(train, test)
+    model, _ = lp.train_gbt(train, max_iter=10)
+    ranked = lp.feature_importances(model, top_n=15)
+    rows = [(i + 1, name, float(imp)) for i, (name, imp) in enumerate(ranked)]
+    return spark.createDataFrame(rows, ["rank", "feature", "importance"])
+
+
 @register("ml_link_prediction_metrics", None)
 def q_ml_link_prediction_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M1→M9 end to end: dataset assembly, hash split, weighted GBT fit,

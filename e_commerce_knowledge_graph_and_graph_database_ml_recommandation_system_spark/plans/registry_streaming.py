@@ -21,7 +21,7 @@ _TUMBLING_SQL = """
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*) AS cnt,
-       ROUND(SUM(value), 6) AS sum_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
 FROM events
 GROUP BY 1, 2
 """
@@ -116,7 +116,7 @@ def q_events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT strftime(time_bucket(INTERVAL '15 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        c_mktsegment AS segment,
        COUNT(*) AS cnt,
-       ROUND(SUM(value), 6) AS sum_value
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY 1, 2
 """,

@@ -21,11 +21,19 @@ from pyspark.sql import functions as F
 from ..sources.tables import normalize_event_ts
 
 
+def _sum_value():
+    """value summed as DECIMAL (cast is deterministic: nearest 6dp decimal
+    to the double, identical in Spark and DuckDB), back to double only for
+    the final round — float SUM is summation-order-dependent and the orders
+    differ across engines/partitions (knn_aggregates' round-1 failure mode)."""
+    return F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6)
+
+
 def tumbling_counts(events: DataFrame, width: str = "5 minutes") -> DataFrame:
     """Tumbling event-time windows per event_type: count + sum(value)."""
     return (
         events.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), _sum_value().alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
     )
 
@@ -99,7 +107,7 @@ def stream_tumbling_counts(spark, sf_dir: str, width: str = "5 minutes") -> Data
     ).withWatermark("ts", "1 hour")
     agg = (
         stream.groupBy(F.window("ts", width).alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), _sum_value().alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "sum_value")
     )
     name = f"stream_tumbling_{abs(hash(sf_dir)) % 100000}"
@@ -135,7 +143,7 @@ def stream_enriched_counts(spark, sf_dir: str, width: str = "15 minutes") -> Dat
     joined = stream.join(F.broadcast(dim), stream.user_id == dim.c_custkey)
     agg = (
         joined.groupBy(F.window("ts", width).alias("w"), "c_mktsegment")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 6).alias("sum_value"))
+        .agg(F.count("*").alias("cnt"), _sum_value().alias("sum_value"))
         .select(
             F.col("w.start").alias("window_start"),
             F.col("c_mktsegment").alias("segment"),

@@ -214,6 +214,43 @@ def test_ml_pipeline_quality(spark):
     assert lp.overfit_gate(0.9, 0.7) is False
 
 
+def test_asof_join_null_payload_no_tear(spark):
+    """J10: a right row with a NULL payload field must be carried
+    atomically — the NULL stays NULL rather than backfilling from an older
+    right row (the per-column-carry tear, round-2 advice item)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.asof import as_of_join
+
+    left = spark.createDataFrame([(1, 10), (1, 25), (2, 5)], "k int, ts int")
+    right = spark.createDataFrame(
+        [(1, 5, "a", 1.0), (1, 20, "b", None), (2, 7, "c", 3.0)],
+        "k int, ts int, name string, val double",
+    )
+    out = {(r["k"], r["ts"]): r for r in as_of_join(left, right, key="k").collect()}
+    assert out[(1, 10)]["asof_ts"] == 5 and out[(1, 10)]["asof_val"] == 1.0
+    newest = out[(1, 25)]
+    assert newest["asof_ts"] == 20 and newest["asof_name"] == "b"
+    assert newest["asof_val"] is None, "NULL payload field backfilled from an older right row"
+    assert out[(2, 5)]["asof_ts"] is None and out[(2, 5)]["asof_name"] is None
+
+
+def test_feature_importance_ranking(spark):
+    """O3: the gain ranking has exactly 15 rows, every row names a real
+    feature, importances are normalized (sum ≈ 1) and sorted descending
+    (reference prints this after every run,
+    ``xgboost_training_for_big_data.py:758-764``)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import link_prediction as lp
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+
+    rows = sorted(registry.queries()["feature_importances"](spark, SF).collect(), key=lambda r: r["rank"])
+    assert [r["rank"] for r in rows] == list(range(1, 16))
+    names = [r["feature"] for r in rows]
+    assert len(set(names)) == 15 and set(names) <= set(lp.FEATURE_COLS)
+    imps = [r["importance"] for r in rows]
+    assert abs(sum(imps) - 1.0) < 1e-6, imps
+    assert all(a >= b for a, b in zip(imps, imps[1:])), imps
+    assert imps[0] > 0.0
+
+
 def test_graphml_export(spark, tmp_path):
     """S3: exported GraphML parses and carries every node/edge."""
     import xml.etree.ElementTree as ET
@@ -656,6 +693,33 @@ def test_dedup_cluster_invariants(spark):
     assert split_pairs == 0
     pairs.unpersist()
     clusters.unpersist()
+
+
+def test_dedup_collapse_zero_token_docs(spark):
+    """dedup_clusters_collapsed must equal the uncollapsed path even when
+    the corpus holds duplicate zero-token docs: they produce no simhash
+    rows, so the uncollapsed path leaves each a singleton — the collapse
+    must NOT merge them onto a shared md5('') key (round-2 advice item)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import components as cc
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import dedup as dd
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    base = load_table(spark, "documents", SF).select("doc_id", "text").limit(50)
+    extra = spark.createDataFrame(
+        [(900001, ""), (900002, ""), (900003, "!!! ???"), (900004, "!!! ???")],
+        "doc_id long, text string",
+    )
+    docs = base.unionByName(extra)
+    pair_fn = lambda d: dd.simhash_near_dup(d, max_hamming=3)  # noqa: E731
+
+    collapsed = cc.dedup_clusters_collapsed(docs, pair_fn)
+    uncollapsed = cc.dedup_clusters(docs, pair_fn(docs))
+    assert collapsed.exceptAll(uncollapsed).count() == 0
+    assert uncollapsed.exceptAll(collapsed).count() == 0
+    # the zero-token docs are singletons, not one merged cluster
+    zero = {r["doc_id"]: r for r in collapsed.filter(F.col("doc_id") >= 900001).collect()}
+    assert len(zero) == 4
+    assert all(r["cluster_size"] == 1 and r["cluster_id"] == d for d, r in zero.items())
 
 
 def test_connected_components_matches_union_find(spark):
