@@ -57,6 +57,35 @@ def diverse_topk(scored: DataFrame, k: int, score_col: str = "score", per_catego
     )
 
 
+def relaxed_diverse_topk(
+    scored: DataFrame, k: int, score_col: str = "score", max_per_category: int = 2
+) -> DataFrame:
+    """W6 variant with the reference's few-categories relaxation
+    (``took_recommandations_adamsampling_discount.py:283-317``): the greedy
+    pass caps picks at ``max_per_category``, and a fallback fills up when
+    that can't reach k. Declarative contract: the cap applies per customer
+    only when the capped pool can still fill k rows; when the candidate set
+    spans too few categories (capped pool < k rows) the cap is lifted for
+    that customer. Output carries a ``relaxed`` flag (1 = cap lifted)."""
+    w_cat = Window.partitionBy("customer_id", "category").orderBy(
+        F.desc(score_col), F.asc("product_id")
+    )
+    w_cust = Window.partitionBy("customer_id")
+    flagged = scored.withColumn("cat_rank", F.row_number().over(w_cat)).withColumn(
+        "capped_n", F.sum((F.col("cat_rank") <= max_per_category).cast("int")).over(w_cust)
+    )
+    eligible = flagged.filter(
+        (F.col("capped_n") < k) | (F.col("cat_rank") <= max_per_category)
+    )
+    w_all = Window.partitionBy("customer_id").orderBy(F.desc(score_col), F.asc("product_id"))
+    return (
+        eligible.withColumn("rank", F.row_number().over(w_all))
+        .filter(F.col("rank") <= k)
+        .withColumn("relaxed", (F.col("capped_n") < k).cast("int"))
+        .drop("cat_rank", "capped_n")
+    )
+
+
 def median_per_category(scored: DataFrame, score_col: str = "score") -> DataFrame:
     """W7: the middle-probability item per (customer, category) — the
     reference's category-fallback pick

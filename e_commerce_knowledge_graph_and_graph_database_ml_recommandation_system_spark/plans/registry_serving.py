@@ -223,6 +223,52 @@ def q_serve_greedy_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "serve_relaxed_diverse_topk",
+    f"""
+WITH {_CANDIDATES_CTE.strip()},
+pool AS (
+    SELECT customer_id, product_id, category, score
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id
+                                       ORDER BY score DESC, product_id ASC) AS pool_rank
+          FROM candidates)
+    WHERE pool_rank <= 7
+),
+catr AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY customer_id, category
+                                 ORDER BY score DESC, product_id ASC) AS cat_rank
+    FROM pool
+),
+flagged AS (
+    SELECT *, SUM(CASE WHEN cat_rank <= 2 THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY customer_id) AS capped_n
+    FROM catr
+)
+SELECT customer_id, rank, product_id, category, score, relaxed
+FROM (SELECT customer_id, product_id, category, score,
+             CAST(capped_n < 5 AS INT) AS relaxed,
+             ROW_NUMBER() OVER (PARTITION BY customer_id
+                                ORDER BY score DESC, product_id ASC) AS rank
+      FROM flagged
+      WHERE capped_n < 5 OR cat_rank <= 2)
+WHERE rank <= 5
+""",
+)
+def q_serve_relaxed_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W6 + the reference's few-categories relaxation
+    (``took_recommandations_adamsampling_discount.py:283-317``): over each
+    customer's top-7 candidate pool, pick 5 with ≤2 per category — lifting
+    the cap for customers whose pool spans too few categories to fill 5.
+    The pool is the exact global-prefix prune (lossless, same argument as
+    serve_topk_plain); the oracle runs the unpruned form."""
+    cands = _candidates(spark, sf_dir, prune=("global", 7)).select(
+        "customer_id", "product_id", "category", "score"
+    )
+    pool = tk.topk_per_customer(cands, k=7).drop("rank")
+    out = tk.relaxed_diverse_topk(pool, k=5, max_per_category=2)
+    return out.select("customer_id", "rank", "product_id", "category", "score", "relaxed")
+
+
+@register(
     "serve_median_per_category",
     f"""
 WITH {_CANDIDATES_CTE.strip()},
