@@ -18,7 +18,7 @@ from ..operators import multimodal as mm
 from ..operators import similarity as sim
 from ..operators.aggregates import knn_aggregates
 from ..sources.tables import load_table, load_tables
-from .registry import GRAPH_TABLES, register
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register
 
 # ---------------------------------------------------------------------------
 # A7 + X7: similarity graph -> per-node KNN aggregates (oracle-checked)
@@ -143,10 +143,45 @@ def q_node2vec_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alg.node_embeddings(walks, dim=32, window_size=5, seed=42)
 
 
-@register("label_propagation_communities", None)
+def _lpa_oracle_sql(rounds: int, final_select: str) -> str:
+    """DuckDB mirror of graph/algorithms.label_propagation: ``rounds``
+    synchronous label updates as chained CTEs — neighbor votes + a self
+    vote, winner by (count desc, label asc). Deterministic on both engines,
+    so the iterative graph algorithm gets a full hash oracle."""
+    sql = f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+e AS (
+    SELECT src, dst FROM edges WHERE type IN ('PURCHASED', 'CONTAINS')
+    UNION ALL
+    SELECT dst, src FROM edges WHERE type IN ('PURCHASED', 'CONTAINS')
+),
+l0 AS (SELECT DISTINCT src AS id, src AS label FROM e)"""
+    for k in range(1, rounds + 1):
+        sql += f""",
+l{k} AS (
+    SELECT id, label FROM (
+        SELECT id, label, ROW_NUMBER() OVER (PARTITION BY id ORDER BY cnt DESC, label ASC) AS rn
+        FROM (
+            SELECT v.id, v.label, COUNT(*) AS cnt FROM (
+                SELECT e.dst AS id, l.label FROM e JOIN l{k - 1} l ON e.src = l.id
+                UNION ALL
+                SELECT id, label FROM l{k - 1}
+            ) v GROUP BY v.id, v.label
+        )
+    ) WHERE rn = 1
+)"""
+    return sql + "\n" + final_select.format(last=f"l{rounds}")
+
+
+@register(
+    "label_propagation_communities",
+    _lpa_oracle_sql(5, "SELECT id, label AS community_id FROM {last}"),
+)
 def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8: deterministic synchronous LPA (5 rounds) over the PURCHASED/
-    CONTAINS projection."""
+    CONTAINS projection — hash-checked against a DuckDB oracle that unrolls
+    the same five vote rounds as chained CTEs (an iterative distributed
+    graph algorithm with a full cross-engine hash gate)."""
     edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
     e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
     return alg.label_propagation(e, max_iter=5)
@@ -183,9 +218,19 @@ def q_louvain_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return community_degree_features(d.select("id", "degree"), d.select("id", "community_id"))
 
 
-@register("community_stats", None)
+@register(
+    "community_stats",
+    _lpa_oracle_sql(
+        3,
+        """SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+       ROUND(AVG(CAST(sz AS DOUBLE)), 6) AS avg_size,
+       CAST(MAX(sz) AS BIGINT) AS max_size
+FROM (SELECT label, COUNT(*) AS sz FROM {last} GROUP BY label)""",
+    ),
+)
 def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X9: community count/size stats over the LPA partition."""
+    """X9: community count/size stats over the LPA(3) partition —
+    oracle-checked end to end through the unrolled vote rounds."""
     edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
     e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
     return alg.community_stats(alg.label_propagation(e, max_iter=3))
@@ -318,9 +363,36 @@ def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.media_metadata(load_table(spark, "documents", sf_dir))
 
 
-@register("multimodal_frame_features", None)
+@register(
+    "multimodal_frame_features",
+    """
+WITH frames AS (
+    SELECT doc_id, CAST(gs.i AS INT) AS frame_no,
+           substring(text, CAST(gs.i * 1024 + 1 AS BIGINT), 1024) AS chunk
+    FROM documents,
+         LATERAL (SELECT UNNEST(range(CAST(ceil(GREATEST(octet_length(encode(text)), 1) / 1024.0) AS BIGINT))) AS i) gs
+),
+feat AS (
+    SELECT doc_id,
+           ('0x' || substr(md5(chunk), 1, 8))::BIGINT AS h,
+           octet_length(encode(chunk)) AS n_bytes
+    FROM frames
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_frames,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       ROUND(AVG(h % 256), 6) AS mean_luma,
+       CAST(MAX(64 + h % 64) AS INT) AS max_width,
+       CAST(MAX(64 + (h >> 8) % 64) AS INT) AS max_height
+FROM feat GROUP BY doc_id
+""",
+)
 def q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode-stub → per-doc frame features (Arrow batch path)."""
+    """mapInPandas decode-stub → per-doc frame features. The stub codec is
+    deterministic (md5 over 1024-BYTE chunks), so even the Python escape
+    hatch gets a full DuckDB hash oracle — the SQL chunks with character
+    substring, byte-exact here because the synthetic corpus is ASCII (a
+    real binary corpus keeps the rows-only check)."""
     frames = mm.decode_frames(load_table(spark, "documents", sf_dir))
     return mm.frame_features(frames)
 
