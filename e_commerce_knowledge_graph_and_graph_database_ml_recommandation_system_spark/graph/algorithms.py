@@ -29,6 +29,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import md5_int32
+
 
 def _capped_edges(edges: DataFrame, max_degree: int | None = 10_000) -> DataFrame:
     """Half-edge list with hub out-neighborhoods capped to ``max_degree`` by
@@ -64,9 +66,16 @@ def random_walks(
     from every node. Returns (walk_id, walk ARRAY<STRING>).
 
     Each step: join the frontier to the cached adjacency on the current
-    node, pick neighbor ``floor(rand(seed+step) * size)`` — one shuffle per
-    step, frontier rows stay (walk_id, step, node). Walks stop at sinks.
-    """
+    node, pick neighbor ``floor(u * size)`` with the uniform u derived from
+    md5(walk_id|step|seed) — one shuffle per step, frontier rows stay
+    (walk_id, step, node). Walks stop at sinks.
+
+    The pick uniform is hash-derived, NOT ``F.rand(seed)``: rand's stream
+    is assigned per-partition, so rand-picked walks would silently change
+    under repartitioning (the same hazard documented on node2vec_walks).
+    The hash form is partition-independent, reproducible in any engine —
+    and SQL-expressible, so the flat walk relation carries a full DuckDB
+    oracle (``random_walks_flat``)."""
     e = edges.select("src", "dst")
     if undirected:
         e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -87,9 +96,15 @@ def random_walks(
     state = frontier
 
     for step in range(1, walk_len):
+        u = (
+            md5_int32(F.concat_ws("|", F.col("walk_id"), F.lit(str(step)), F.lit(str(seed)))).cast(
+                "double"
+            )
+            + 0.5
+        ) / 4294967296.0
         nxt = (
             state.join(adj, state.cur == adj.src, "inner")
-            .withColumn("pick", F.floor(F.rand(seed + step) * F.size("nbrs")).cast("int"))
+            .withColumn("pick", F.floor(u * F.size("nbrs")).cast("int"))
             .select(
                 "walk_id",
                 F.element_at(F.col("nbrs"), F.col("pick") + 1).alias("cur"),

@@ -130,9 +130,55 @@ def q_embedding_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("random_walks", None)
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: 2 seeded first-order walks × 6 steps from every graph node."""
+    """X4: 2 seeded first-order walks × 6 steps from every graph node
+    (array form; the flat relation below is the hash-checked one)."""
     edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
     return alg.random_walks(edges, num_walks=2, walk_len=6, seed=42)
+
+
+def _walks_oracle_sql(num_walks: int, walk_len: int, seed: int) -> str:
+    """DuckDB mirror of graph/algorithms.random_walks: sorted adjacency
+    lists, md5-uniform neighbor picks, one chained CTE per step. Assumes no
+    node exceeds the max_degree cap (true for the test corpus — the hash
+    gate itself flags a violation)."""
+    u = (
+        "((('0x' || substr(md5(concat_ws('|', walk_id, '{step}', '" + str(seed) + "')), 1, 8))::BIGINT"
+        " + 0.5) / 4294967296.0)"
+    )
+    sql = f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+e AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM e GROUP BY src),
+w0 AS (
+    SELECT concat_ws('#', s.src, wn.wn) AS walk_id, s.src AS cur
+    FROM (SELECT DISTINCT src FROM e) s
+    CROSS JOIN (SELECT UNNEST(range({num_walks})) AS wn) wn
+)"""
+    for k in range(1, walk_len):
+        uk = u.format(step=k)
+        sql += f""",
+w{k} AS (
+    SELECT w.walk_id,
+           a.nbrs[CAST(floor({uk} * len(a.nbrs)) AS INT) + 1] AS cur
+    FROM w{k - 1} w JOIN adj a ON w.cur = a.src
+)"""
+    trail = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({k} AS INTEGER) AS pos, cur AS node FROM w{k}" for k in range(walk_len)
+    )
+    return sql + "\n" + trail
+
+
+@register("random_walks_flat", _walks_oracle_sql(num_walks=2, walk_len=6, seed=42))
+def q_random_walks_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 with a FULL hash oracle: the walk trail as flat (walk_id, pos,
+    node) rows. The md5-derived picks are partition-independent and
+    engine-agnostic, so a distributed random-walk generator hash-matches
+    DuckDB step for step."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    walks = alg.random_walks(edges, num_walks=2, walk_len=6, seed=42)
+    return walks.select(
+        "walk_id", F.posexplode("walk").alias("pos", "node")
+    ).select("walk_id", F.col("pos").cast("int").alias("pos"), "node")
 
 
 @register("node2vec_embeddings", None)
