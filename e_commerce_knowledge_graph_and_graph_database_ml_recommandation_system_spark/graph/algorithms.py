@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_int32
@@ -136,6 +136,7 @@ def node2vec_walks(
     undirected: bool = True,
     max_degree: int | None = 10_000,
     candidate_cap: int | None = 256,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """X4 (second-order): p/q-biased Node2Vec walks — return bias 1/p,
     in-out bias 1/q, matching the reference configs (robust p=1.0 q=0.5
@@ -170,10 +171,26 @@ def node2vec_walks(
       second pass), bounding the step at Σ_walks min(d, ~cap). Same
       graceful-degrade contract as ``max_degree``: a uniform reproducible
       neighbor subsample, per step instead of globally. None disables.
+
+    ``hash_fn``: ``"xxhash64"`` (default — fastest JVM hash for the hot
+    per-candidate path) or ``"md5"`` (engine-agnostic: the identical
+    uniform is derivable in DuckDB, so the md5 form carries a full hash
+    oracle — ``node2vec_biased_walks_flat``).
     """
     e = edges.select("src", "dst")
     if undirected:
         e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+    def uniform(*salt) -> Column:
+        # salt elements are Columns or python scalars; md5 concatenates with
+        # '|' (mirrored literally by the DuckDB oracle), xxhash64 hashes raw
+        cols = [c if isinstance(c, Column) else F.lit(str(c)) for c in salt]
+        if hash_fn == "md5":
+            h = md5_int32(F.concat_ws("|", *cols))
+        else:
+            h = F.pmod(F.xxhash64(*cols), F.lit(4294967296))
+        return (h.cast("double") + 0.5) / 4294967296.0
+
     capped = _capped_edges(e, max_degree)
     adj = capped.groupBy("src").agg(F.array_sort(F.collect_list("dst")).alias("nbrs")).cache()
     # distance-1 relation: (prev, x) ∈ capped edges — same membership set as
@@ -207,20 +224,10 @@ def node2vec_walks(
             "walk_id", "cur", "prev", F.size("nbrs").alias("deg"), F.explode("nbrs").alias("x")
         )
         if candidate_cap is not None:
-            u_sel = (
-                F.pmod(
-                    F.xxhash64(F.col("walk_id"), F.lit(step), F.lit("sel"), F.col("x")),
-                    F.lit(4294967296),
-                ).cast("double")
-                + 0.5
-            ) / 4294967296.0
+            u_sel = uniform(F.col("walk_id"), step, "sel", F.col("x"))
             ex = ex.filter(u_sel * F.col("deg") < F.lit(float(candidate_cap)))
         ex = ex.drop("deg").join(mem, ["prev", "x"], "left")
-        u = (
-            F.pmod(F.xxhash64(F.col("walk_id"), F.lit(step), F.col("x")), F.lit(4294967296))
-            .cast("double")
-            + 0.5
-        ) / 4294967296.0
+        u = uniform(F.col("walk_id"), step, F.col("x"))
         w = (
             F.when(F.col("x") == F.col("prev"), F.lit(lp))
             .when(F.col("is_d1") == 1, F.lit(0.0))

@@ -50,6 +50,7 @@ def register(name: str, oracle: Optional[str] = None):
 # is the hard signal, so they sort first until sampled.
 _DRIVER_UNSAMPLED = (
     "random_walks_flat",
+    "node2vec_biased_walks_flat",
     "label_propagation_communities",
     "community_stats",
     "multimodal_frame_features",

@@ -445,9 +445,93 @@ def q_multimodal_frame_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("node2vec_biased_walks", None)
 def q_node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4 second-order: p/q-biased walks (robust config's p=1.0, q=0.5)."""
+    """X4 second-order: p/q-biased walks (robust config's p=1.0, q=0.5;
+    xxhash64 hot path — the md5 flat variant below is the hash-checked one)."""
     edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
     return alg.node2vec_walks(edges, num_walks=1, walk_len=5, p=1.0, q=0.5, seed=42)
+
+
+def _biased_walks_oracle_sql(
+    num_walks: int, walk_len: int, p: float, q: float, seed: int, cap: int
+) -> str:
+    """DuckDB mirror of graph/algorithms.node2vec_walks(hash_fn='md5'):
+    sorted adjacency lists (duplicates kept, as collect_list does), the
+    deterministic candidate-cap thinning, the (prev, x) distance-1 join,
+    and the Gumbel-argmax pick — each step one chained CTE. Floats embed
+    Python repr so both engines parse identical IEEE doubles; ln/Gumbel
+    arithmetic is the bit-parity pattern proven by the softmax-serving
+    oracles. Assumes degrees under the max_degree cap (true for the test
+    corpus; a violation flips the hash gate)."""
+    import math as _m
+
+    lp, lq = repr(_m.log(1.0 / p)), repr(_m.log(1.0 / q))
+
+    def u(salts: str) -> str:
+        return (
+            f"((('0x' || substr(md5(concat_ws('|', {salts})), 1, 8))::BIGINT + 0.5)"
+            " / 4294967296.0)"
+        )
+
+    sql = f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+e AS (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges),
+adj AS (SELECT src, list_sort(list(dst)) AS nbrs FROM e GROUP BY src),
+mem AS (SELECT DISTINCT src AS prev, dst AS x FROM e),
+s0 AS (
+    SELECT concat_ws('#', s.src, wn.wn, '{seed}') AS walk_id,
+           CAST(NULL AS VARCHAR) AS prev, s.src AS cur
+    FROM (SELECT DISTINCT src FROM e) s
+    CROSS JOIN (SELECT UNNEST(range({num_walks})) AS wn) wn
+)"""
+    for k in range(1, walk_len):
+        u_pick = u(f"f.walk_id, '{k}', f.x")
+        u_sel = u(f"c.walk_id, '{k}', 'sel', c.x")
+        sql += f""",
+s{k} AS (
+    SELECT walk_id, cur AS prev, x AS cur FROM (
+        SELECT f.walk_id, f.cur, f.x,
+               ROW_NUMBER() OVER (
+                   PARTITION BY f.walk_id
+                   ORDER BY ((CASE WHEN f.x = f.prev THEN {lp}
+                                   WHEN f.is_d1 THEN 0.0
+                                   ELSE {lq} END)
+                             - ln(-ln({u_pick}))) DESC, f.x DESC) AS rn
+        FROM (
+            SELECT c.walk_id, c.cur, c.prev, c.x, m.x IS NOT NULL AS is_d1
+            FROM (
+                SELECT w.walk_id, w.cur, w.prev, ex.x, len(a.nbrs) AS deg
+                FROM s{k - 1} w
+                JOIN adj a ON w.cur = a.src,
+                LATERAL (SELECT UNNEST(a.nbrs) AS x) ex
+            ) c
+            LEFT JOIN mem m ON m.prev = c.prev AND m.x = c.x
+            WHERE {u_sel} * c.deg < {float(cap)!r}
+        ) f
+    ) WHERE rn = 1
+)"""
+    trail = "\nUNION ALL\n".join(
+        f"SELECT walk_id, CAST({k} AS INTEGER) AS pos, cur AS node FROM s{k}"
+        for k in range(walk_len)
+    )
+    return sql + "\n" + trail
+
+
+@register(
+    "node2vec_biased_walks_flat",
+    _biased_walks_oracle_sql(num_walks=1, walk_len=5, p=1.0, q=0.5, seed=42, cap=256),
+)
+def q_node2vec_biased_walks_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 second-order with a FULL hash oracle: md5-derived thinning +
+    Gumbel-argmax picks are engine-agnostic, so the p/q-biased walk trail
+    (including the candidate-cap hatch, active on the >256-degree location
+    hubs at sf0.01) hash-matches DuckDB step for step."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    walks = alg.node2vec_walks(
+        edges, num_walks=1, walk_len=5, p=1.0, q=0.5, seed=42, hash_fn="md5"
+    )
+    return walks.select("walk_id", F.posexplode("walk").alias("pos", "node")).select(
+        "walk_id", F.col("pos").cast("int").alias("pos"), "node"
+    )
 
 
 @register("ann_ivf_topk", None)
