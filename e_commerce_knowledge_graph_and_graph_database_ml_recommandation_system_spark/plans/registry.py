@@ -51,6 +51,7 @@ def register(name: str, oracle: Optional[str] = None):
 _DRIVER_UNSAMPLED = (
     "random_walks_flat",
     "node2vec_biased_walks_flat",
+    "ann_lsh_topk",
     "label_propagation_communities",
     "community_stats",
     "multimodal_frame_features",

@@ -518,9 +518,49 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.embedding_near_dup(load_table(spark, "embeddings", sf_dir), threshold=0.35)
 
 
-# approximate path: rows-only (recall-vs-brute is a pytest invariant)
-@register("ann_lsh_topk", None)
+@register(
+    "ann_lsh_topk",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+planes AS (
+    SELECT t.t, p.p,
+           list_transform(range(64), d ->
+               ('0x' || substr(md5(concat('p_', t.t, '_', p.p, '_', d)), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0) AS w
+    FROM (SELECT UNNEST(range(8)) AS t) t, (SELECT UNNEST(range(4)) AS p) p
+),
+bits AS (
+    SELECT e.vec_id, pl.t,
+           SUM(CASE WHEN list_dot_product(e.v, pl.w) >= 0
+                    THEN CAST(pow(2.0, pl.p) AS BIGINT) ELSE 0 END) AS code
+    FROM e CROSS JOIN planes pl
+    GROUP BY e.vec_id, pl.t
+),
+buckets AS (SELECT vec_id, concat_ws('_', t, code) AS bucket FROM bits),
+cand AS (
+    SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+    FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+sims AS (
+    SELECT c.query_id, c.neighbor_id,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cosine
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.query_id
+    JOIN e eb ON eb.vec_id = c.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM sims)
+WHERE rank <= 5
+""",
+)
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN gets a FULL hash oracle: the md5-seeded hyperplanes,
+    sign buckets, any-table candidate union, exact-cosine verify, and
+    top-k are all reproducible in DuckDB (the md5 plane derivation exists
+    precisely so the numpy and SQL paths can never drift). Recall-vs-brute
+    remains a pytest invariant; this pins the ANN result itself."""
     return sim.lsh_topk(load_table(spark, "embeddings", sf_dir), k=5, n_planes=4, n_tables=8, dim=64)
 
 
