@@ -386,6 +386,80 @@ def similarity_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col
     return sym.groupBy("src", "dst").agg(F.max("similarity").alias("similarity"))
 
 
+def ivf_hash_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF ANN: the coarse quantizer's centroids are the
+    ``n_cells`` corpus vectors with the smallest md5('ivf_' || id) — a
+    seeded random sample (FAISS-style random init without Lloyd rounds),
+    so the whole index/probe/re-rank path is reproducible cross-engine
+    and carries a FULL DuckDB hash oracle, unlike the KMeans variant
+    (``ivf_topk``) whose float-sum centroid updates aren't bit-stable.
+
+    Every vector indexes into its argmax-cosine cell; each query probes
+    its ``n_probe`` best cells; candidates meet in a cell equi-join
+    (|N|²·n_probe/n_cells expected compares — never all-pairs) and are
+    exactly re-ranked. The centroid table is n_cells rows — dim-sized by
+    construction, the only collect. Cosines for the discrete cell
+    decisions use the one shared formula dot/(|a|·|b|) rounded to 9dp so
+    the numpy-free column path and DuckDB can never drift at a boundary;
+    ties break by cell asc, mirrored in the oracle's ROW_NUMBER order."""
+    v = _as_double(F.col(vec_col))
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("ivf_"), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
+        "long"
+    )
+    e = emb.select(F.col(id_col).alias("vid"), v.alias("v"), h.alias("h"))
+    cent_rows = e.orderBy("h", "vid").limit(n_cells).select("vid", "v").collect()
+
+    centers_lit = F.array(*[
+        F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(float(x)) for x in r["v"]]).alias("cv"))
+        for i, r in enumerate(cent_rows)
+    ])
+
+    def cell_sims(vec):
+        # struct(-cos, cell): ascending array_sort == (cos desc, cell asc)
+        return F.array_sort(
+            F.transform(
+                centers_lit,
+                lambda s: F.struct(
+                    (-F.round(_dot(vec, s["cv"]) / (_norm(vec) * _norm(s["cv"])), 9)).alias("negcos"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )
+
+    ranked_cells = e.withColumn("cs", cell_sims(F.col("v")))
+    indexed = ranked_cells.select("vid", "v", F.element_at("cs", 1)["cell"].alias("cell"))
+    probed = ranked_cells.select(
+        "vid", "v", F.explode(F.transform(F.slice("cs", 1, n_probe), lambda s: s["cell"])).alias("cell")
+    )
+
+    a = probed.select(F.col("vid").alias("query_id"), "cell", F.col("v").alias("va"))
+    b = indexed.select(F.col("vid").alias("neighbor_id"), "cell", F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     k: int = 5,

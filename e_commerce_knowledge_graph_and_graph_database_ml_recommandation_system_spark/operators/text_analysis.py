@@ -204,3 +204,45 @@ def chunk_documents(docs: DataFrame, chunk_tokens: int = 64, overlap: int = 16) 
             F.array_join("cw", " ").alias("chunk_text"),
         )
     )
+
+
+def pack_sequences(docs: DataFrame, budget: int = 256, n_buckets: int = 32) -> DataFrame:
+    """Sequence packing for LLM pretraining batches: concat-and-chop docs
+    into fixed token budgets (beyond-reference scope per BASELINE.json —
+    the step after curation/chunking that forms the actual training rows).
+
+    Docs shard deterministically into ``n_buckets`` by md5(doc_id); inside
+    a bucket they are ordered by (md5, doc_id) — a seeded shuffle — and each
+    doc joins the sequence ``floor(exclusive_prefix_tokens / budget)``.
+    That is the streaming concatenate-then-chop packing (a sequence may
+    overrun the budget by at most one doc's tail, exactly like GPT-style
+    packing that splits a doc across windows).
+
+    100-TB posture: the only window runs PER BUCKET — packing is
+    embarrassingly parallel across hash shards and never needs a global
+    sort; raising ``n_buckets`` to O(cluster cores) keeps every shard's
+    running sum memory-resident. Output: one row per (bucket, seq_id) with
+    n_docs, seq_tokens, fill_ratio — fully DuckDB-oracle-checkable.
+    """
+    from pyspark.sql import Window
+
+    h = md5_int32(F.concat(F.lit("pack_"), F.col("doc_id").cast("string")))
+    t = docs.select(
+        "doc_id",
+        F.size(words(F.col("text"))).alias("tokens"),
+        h.alias("h"),
+        F.pmod(h, F.lit(n_buckets)).cast("int").alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = t.withColumn(
+        "seq_id", F.floor(F.coalesce(F.sum("tokens").over(w), F.lit(0)) / F.lit(budget))
+    )
+    return packed.groupBy("bucket", "seq_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("tokens").cast("long").alias("seq_tokens"),
+        F.round(F.sum("tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )

@@ -49,6 +49,8 @@ def register(name: str, oracle: Optional[str] = None):
 # They are green under the local oracle suite, but the driver's sf0.01 run
 # is the hard signal, so they sort first until sampled.
 _DRIVER_UNSAMPLED = (
+    "document_packing",
+    "ann_ivf_hash_topk",
     "random_walks_flat",
     "node2vec_biased_walks_flat",
     "ann_lsh_topk",

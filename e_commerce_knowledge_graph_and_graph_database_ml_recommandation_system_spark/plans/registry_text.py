@@ -764,3 +764,89 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws_tokens").alias("total_tokens"),
         F.round(F.sum(q_dec).cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing + deterministic IVF (round-3 breadth)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "document_packing",
+    f"""
+WITH t AS (
+    SELECT doc_id,
+           len({SQL_WORDS.format(c="text")}) AS tokens,
+           ('0x' || substr(md5(concat('pack_', doc_id)), 1, 8))::BIGINT AS h
+    FROM documents
+),
+b AS (SELECT *, CAST(h % 32 AS INTEGER) AS bucket FROM t),
+p AS (
+    SELECT bucket, tokens,
+           COALESCE(SUM(tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prefix
+    FROM b
+)
+SELECT bucket, CAST(prefix // 256 AS BIGINT) AS seq_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(tokens) AS BIGINT) AS seq_tokens,
+       ROUND(SUM(tokens) / 256.0, 6) AS fill_ratio
+FROM p GROUP BY bucket, seq_id
+""",
+)
+def q_document_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chop into 256-token training windows,
+    md5-sharded into 32 independent buckets — the per-bucket window is the
+    100-TB hatch: no global sort, shards pack in parallel)."""
+    return ta.pack_sequences(load_table(spark, "documents", sf_dir), budget=256, n_buckets=32)
+
+
+@register(
+    "ann_ivf_hash_topk",
+    """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           ('0x' || substr(md5(concat('ivf_', vec_id)), 1, 8))::BIGINT AS h
+    FROM embeddings
+),
+cent AS (
+    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+    FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT 16)
+),
+sims AS (
+    SELECT e.vec_id, c.cell,
+           ROUND(list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos
+    FROM e CROSS JOIN cent c
+),
+ranked_cells AS (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+    FROM sims
+),
+assign AS (SELECT vec_id, cell FROM ranked_cells WHERE r = 1),
+probe AS (SELECT vec_id, cell FROM ranked_cells WHERE r <= 2),
+cand AS (
+    SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+    FROM probe p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+),
+res AS (
+    SELECT c.query_id, c.neighbor_id,
+           ROUND(list_dot_product(ea.v, eb.v) /
+                 (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine
+    FROM cand c JOIN e ea ON ea.vec_id = c.query_id JOIN e eb ON eb.vec_id = c.neighbor_id
+)
+SELECT query_id, rank, neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM res)
+WHERE rank <= 5
+""",
+)
+def q_ann_ivf_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-centroid IVF ANN (md5-sampled coarse quantizer) — the
+    hash-oracle-checked sibling of the KMeans ``ann_ivf_topk``: same
+    index/probe/re-rank dataflow, reproducible centroids, so the FULL
+    approximate result is pinned cross-engine. Recall-vs-brute stays a
+    pytest invariant for both variants."""
+    return sim.ivf_hash_topk(load_table(spark, "embeddings", sf_dir), k=5, n_cells=16, n_probe=2)

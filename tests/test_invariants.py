@@ -835,3 +835,41 @@ def test_lsh_verified_subset_of_exact_jaccard(spark):
     lsh = dd.minhash_lsh_verified(docs, threshold=0.5)
     exact = dd.ngram_jaccard_pairs(docs, threshold=0.5)
     assert lsh.exceptAll(exact).count() == 0, "LSH-verified pair not in exact pair set"
+
+
+def test_ivf_hash_topk_recall(spark):
+    """Deterministic-centroid IVF: recall@5 vs brute above floor, and
+    bit-stable across two runs (the property the KMeans variant lacks)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    brute = sim.brute_topk(emb, k=5).select("query_id", "neighbor_id")
+    a = sim.ivf_hash_topk(emb, k=5, n_cells=16, n_probe=2)
+    recall = brute.intersect(a.select("query_id", "neighbor_id")).count() / brute.count()
+    assert recall > 0.3, f"hash-IVF recall@5 too low: {recall:.2f}"
+    b = sim.ivf_hash_topk(emb, k=5, n_cells=16, n_probe=2)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_pack_sequences_conserves_tokens(spark):
+    """Sequence packing: every token lands in exactly one (bucket, seq) —
+    per-corpus token totals conserve, buckets partition the corpus, and
+    seq ids are a dense 0..max prefix within each bucket."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.functions.text import words
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import text_analysis as ta
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    packed = ta.pack_sequences(docs, budget=256, n_buckets=32)
+    total = docs.select(F.sum(F.size(words(F.col("text")))).alias("t")).collect()[0]["t"]
+    got = packed.agg(F.sum("seq_tokens").alias("t"), F.sum("n_docs").alias("d")).collect()[0]
+    assert got["t"] == total
+    assert got["d"] == docs.count()
+    holes = (
+        packed.groupBy("bucket")
+        .agg(F.max("seq_id").alias("mx"), F.count("*").alias("n"))
+        .filter(F.col("n") != F.col("mx") + 1)
+        .count()
+    )
+    assert holes == 0
