@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_int32, normalize_text, words
+from ..functions.text import md5_int32, normalize_text, word_ngrams, words
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -245,4 +245,64 @@ def pack_sequences(docs: DataFrame, budget: int = 256, n_buckets: int = 32) -> D
         F.count("*").alias("n_docs"),
         F.sum("tokens").cast("long").alias("seq_tokens"),
         F.round(F.sum("tokens") / F.lit(float(budget)), 6).alias("fill_ratio"),
+    )
+
+
+def decontaminate_splits(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Train/eval decontamination audit: flag val/test docs that share any
+    verbatim word n-gram with the train split — the standard pretraining
+    eval-leakage check (GPT-3's 13-gram / Llama's n-gram overlap audits;
+    n=8 suits this corpus's short docs). Beyond-reference scope per
+    BASELINE.json.
+
+    Split is the same md5 80/10/10 as corpus_split_stats. Grams hash to
+    60-bit ints before the membership join, so the shuffle carries longs,
+    not strings; the train-gram set is distinct-deduped so the semi-join
+    is gram-cardinality-bounded, never corpus-size × eval-size. At true
+    100-TB gram counts, widen the hash to 128-bit — 60 bits keeps the
+    DuckDB oracle exact (BIGINT-safe) at probe scale.
+
+    Output: one row per eval doc — n_grams, n_overlap, overlap_rate,
+    contaminated (any-hit flag).
+    """
+    gh = lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long")  # noqa: E731
+    lab = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(100)) < 80, "train")
+        .when(F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(100)) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train_g = (
+        lab.filter(F.col("split") == "train")
+        .select(F.explode(word_ngrams(F.col("text"), n)).alias("g"))
+        .select(gh(F.col("g")).alias("g"))
+        .distinct()
+    )
+    eval_docs = lab.filter(F.col("split") != "train")
+    eg = (
+        eval_docs.select("doc_id", "split", F.explode(word_ngrams(F.col("text"), n)).alias("g"))
+        .select("doc_id", "split", gh(F.col("g")).alias("g"))
+        .distinct()
+    )
+    tot = eg.groupBy("doc_id", "split").agg(F.count("*").alias("n_grams"))
+    hit = eg.join(train_g, "g", "left_semi").groupBy("doc_id", "split").agg(
+        F.count("*").alias("n_overlap")
+    )
+    return (
+        eval_docs.select("doc_id", "split")
+        .join(tot, ["doc_id", "split"], "left")
+        .join(hit, ["doc_id", "split"], "left")
+        .na.fill({"n_grams": 0, "n_overlap": 0})
+        .select(
+            "doc_id",
+            "split",
+            "n_grams",
+            "n_overlap",
+            F.round(
+                F.coalesce(F.col("n_overlap") / F.nullif(F.col("n_grams"), F.lit(0)), F.lit(0.0)), 6
+            ).alias("overlap_rate"),
+            (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+        )
     )

@@ -60,15 +60,24 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     Works directly on the relational tables (graph edge semantics inlined:
     orders≡PURCHASED, lineitem≡CONTAINS) so the whole plan is one Catalyst
     DAG — scans prune to the consumed columns only, `part` broadcasts, and
-    the only big shuffles are the positive-pair distinct and the final
-    per-customer window.
+    the only big shuffles are the two purchase-pair aggregates (c_max and
+    the positions fold) and the final per-customer window.
     """
     t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem", "part"))
     customer, part = t["customer"], t["part"]
     valid = scored_valid_products(t)
-    # materialize the purchase pairs once: three consumers (c_max aggregate,
-    # anti-join side, and nothing else recomputes orders⋈lineitem+distinct)
-    purchased = purchased_pairs(t).localCheckpoint()
+    # RAW (non-distinct) purchase pairs: the mex formulation dedups
+    # inherently (collect_set positions / countDistinct keys), so neither
+    # consumer needs the global distinct shuffle — nor the checkpoint that
+    # existed to keep that distinct from recomputing. orders⋈lineitem is a
+    # map-side broadcast join at this scale; its two consumers each rescan,
+    # which is cheaper than materializing 600k deduped rows once.
+    orders, lineitem = t["orders"], t["lineitem"]
+    purchased_raw = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_partkey"), orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+    )
 
     # EXACT candidate pruning: the score is customer-independent, so a
     # customer's per-category winner (cat_rank=1 among their unpurchased
@@ -80,55 +89,82 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # of the reference's 1500-2000 candidate cap, but lossless.
     # c_max is a SCALAR and the pruned prefix is |cats|·(c_max+1) rows —
     # dim-table sized by construction. Materialize both eagerly (two small
-    # jobs) and feed the main plan literals/broadcasts: leaving them lazy
-    # duplicates the purchased-pairs subtree into every consumer (Catalyst
-    # inlines shared subtrees — the same orders⋈lineitem distinct ran 3×).
-    c_max = (
-        purchased.join(F.broadcast(part.select("p_partkey", F.col("p_type").alias("category"))), "p_partkey")
+    # jobs) and feed the main plan literals/broadcasts: leaving the prefix
+    # lazy would recompute the lineitem prod-stats shuffle in each of its
+    # two broadcast consumers (Catalyst inlines shared subtrees).
+    # c_max stays a lazy 1-row aggregate broadcast into the prune filter
+    # (the serving pruner's pattern) so prefix derivation is ONE Spark job
+    # — a scalar collect would add a second driver barrier for nothing.
+    cmax_df = (
+        purchased_raw.join(
+            F.broadcast(part.select("p_partkey", F.col("p_type").alias("category"))), "p_partkey"
+        )
         .groupBy("c_custkey", "category")
-        .agg(F.count("*").alias("n"))
-        .agg(F.max("n").alias("c_max"))
-        .collect()[0]["c_max"]
-    ) or 0
+        .agg(F.countDistinct("p_partkey").alias("n"))
+        .agg(F.coalesce(F.max("n"), F.lit(0)).alias("c_max"))
+    )
     w_prune = Window.partitionBy("category").orderBy(F.desc("score"), F.asc("p_partkey"))
-    pruned_rows = (
+    prune_df = (
         valid.withColumn("cat_pos", F.row_number().over(w_prune))
-        .filter(F.col("cat_pos") <= F.lit(c_max) + 1)
-        .drop("cat_pos")
-        .collect()
+        .crossJoin(F.broadcast(cmax_df))
+        .filter(F.col("cat_pos") <= F.col("c_max") + 1)
+        .drop("c_max")
     )
-    pruned = spark.createDataFrame(pruned_rows, schema=valid.schema)
+    pruned_rows = prune_df.collect()
+    pruned = spark.createDataFrame(pruned_rows, schema=prune_df.schema)
 
-    # candidates: every (customer, pruned product) minus purchased (J6/J7).
-    # The exclusion only matters for products that survived pruning, so the
-    # anti side filters to pruned product keys first (lossless). No
-    # broadcast hint: pruned products are the POPULAR ones, so their
-    # purchase pairs can be a large slice of all purchases — AQE broadcasts
-    # when the filtered side turns out small, shuffles when it doesn't.
-    # Broadcast semi-join, not a literal isin list: the pruned set is
-    # |cats|·(c_max+1) keys and c_max grows with the densest customer-
-    # category, so an In-predicate would become a 10⁴-10⁵-literal
-    # expression tree at 100× — the semi-join keeps the plan constant-size.
-    purchased_rel = purchased.join(F.broadcast(pruned.select("p_partkey")), "p_partkey", "left_semi")
-    candidates = (
-        customer.select("c_custkey")
-        .crossJoin(F.broadcast(pruned))
-        .join(purchased_rel, ["c_custkey", "p_partkey"], "left_anti")
+    # Per-(customer, category) winner WITHOUT expanding candidates (J6/J7
+    # fused): the winner (best unpurchased product, score desc / p_partkey
+    # asc) is the FIRST prefix position the customer did not purchase —
+    # mex over their purchased positions within the prefix. So instead of
+    # materializing |C|×(cats·(c_max+1)) candidate rows and anti-joining
+    # (2.5M rows at sf0.1, prefix-size× more with denser categories), the
+    # plan touches only the purchases that land in the prefix (one
+    # broadcast equi-join on the dim-sized prefix), folds them to one
+    # positions-array row per (customer, category) — array length ≤
+    # c_max+1, bounded by construction — and computes the mex columnar.
+    # Volume: |C|×|cats| + |prefix purchases|, never |C|×prefix.
+    pip = purchased_raw.join(F.broadcast(pruned.select("p_partkey", "category", "cat_pos")), "p_partkey")
+    mex = (
+        pip.groupBy("c_custkey", "category")
+        .agg(F.sort_array(F.collect_set("cat_pos")).alias("pos_arr"))
+        .select(
+            "c_custkey",
+            "category",
+            # first index i (1-based) where pos_arr[i] != i; if the
+            # purchased positions are exactly 1..n, the winner is n+1
+            F.coalesce(
+                F.array_min(
+                    F.zip_with(
+                        "pos_arr",
+                        F.sequence(F.lit(1), F.size("pos_arr")),
+                        lambda x, i: F.when(x != i, i),
+                    )
+                ),
+                F.size("pos_arr") + 1,
+            ).alias("winner_pos"),
+        )
     )
 
-    # category-diverse top-k (W6): ≤1 per category, best k overall.
-    # The per-category winner (row_number=1 over score desc, p_partkey asc)
-    # is an argmax — computed as max_by over an ordering struct
-    # (score, -p_partkey), a HASH aggregate with map-side partials: the
-    # full candidate volume collapses to one row per (customer, category)
-    # BEFORE the shuffle, where a sort window would shuffle+sort every
-    # candidate row (2× runtime at sf0.1, worse with scale).
-    ord_struct = F.struct(F.col("score"), (-F.col("p_partkey")).alias("np"))
-    val_struct = F.struct("p_partkey", "p_name", "score")
+    # category-diverse top-k (W6): ≤1 per category, best k overall. The
+    # (customer × category) domain is |C|×|cats| rows — cats is dim-sized —
+    # and customers absent from mex (nothing purchased in the prefix) take
+    # winner_pos=1. A winner_pos past a short category's prefix (customer
+    # purchased every valid product in it) drops in the inner join, exactly
+    # like the exhausted-category case in the anti-join formulation.
+    cats_df = spark.createDataFrame(
+        sorted({(r["category"],) for r in pruned_rows}), schema=pruned.select("category").schema
+    )
     per_cat = (
-        candidates.groupBy("c_custkey", "category")
-        .agg(F.max_by(val_struct, ord_struct).alias("v"))
-        .select("c_custkey", "v.p_partkey", "v.p_name", "category", "v.score")
+        customer.select("c_custkey")
+        .crossJoin(F.broadcast(cats_df))
+        .join(mex, ["c_custkey", "category"], "left")
+        .na.fill({"winner_pos": 1})
+        .join(
+            F.broadcast(pruned.withColumnRenamed("category", "p_category")),
+            (F.col("category") == F.col("p_category")) & (F.col("winner_pos") == F.col("cat_pos")),
+        )
+        .select("c_custkey", "p_partkey", "p_name", "category", "score")
     )
     w_all = Window.partitionBy("c_custkey").orderBy(F.desc("score"), F.asc("p_partkey"))
     return (

@@ -850,3 +850,44 @@ def q_ann_ivf_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate result is pinned cross-engine. Recall-vs-brute stays a
     pytest invariant for both variants."""
     return sim.ivf_hash_topk(load_table(spark, "embeddings", sf_dir), k=5, n_cells=16, n_probe=2)
+
+
+_SPLIT_CASE = (
+    f"CASE WHEN {SQL_MD5_INT32.format(c='CAST(doc_id AS VARCHAR)')} % 100 < 80 THEN 'train' "
+    f"WHEN {SQL_MD5_INT32.format(c='CAST(doc_id AS VARCHAR)')} % 100 < 90 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+@register(
+    "decontamination",
+    f"""
+WITH lab AS (
+    SELECT doc_id, text, {_SPLIT_CASE} AS split FROM documents
+),
+tg AS (
+    SELECT DISTINCT ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+    FROM (SELECT unnest({sql_word_ngrams("text", 8)}) AS g FROM lab WHERE split = 'train')
+),
+eg AS (
+    SELECT DISTINCT doc_id, split, ('0x' || substr(md5(g), 1, 15))::BIGINT AS g
+    FROM (SELECT doc_id, split, unnest({sql_word_ngrams("text", 8)}) AS g
+          FROM lab WHERE split <> 'train')
+),
+tot AS (SELECT doc_id, split, COUNT(*) AS n_grams FROM eg GROUP BY doc_id, split),
+hit AS (SELECT doc_id, split, COUNT(*) AS n_overlap
+        FROM eg WHERE g IN (SELECT g FROM tg) GROUP BY doc_id, split)
+SELECT l.doc_id, l.split,
+       CAST(COALESCE(t.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(h.n_overlap, 0) AS BIGINT) AS n_overlap,
+       ROUND(COALESCE(COALESCE(h.n_overlap, 0) / NULLIF(t.n_grams, 0), 0), 6) AS overlap_rate,
+       CAST(COALESCE(h.n_overlap, 0) > 0 AS INT) AS contaminated
+FROM lab l LEFT JOIN tot t USING (doc_id, split) LEFT JOIN hit h USING (doc_id, split)
+WHERE l.split <> 'train'
+""",
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-leakage audit: verbatim 8-gram overlap between the md5-hash
+    train split and each val/test doc (the GPT-3/Llama-style n-gram
+    decontamination check, run as a gram-hash semi-join)."""
+    return ta.decontaminate_splits(load_table(spark, "documents", sf_dir), n=8)

@@ -873,3 +873,34 @@ def test_pack_sequences_conserves_tokens(spark):
         .count()
     )
     assert holes == 0
+
+
+def test_decontamination_flags_cross_split_duplicates(spark):
+    """Decontamination: an eval doc that verbatim-duplicates a train doc
+    (the corpus plants exact dups) must be flagged; rates stay in [0,1]."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.functions.text import normalize_text
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import text_analysis as ta
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    out = ta.decontaminate_splits(docs, n=8)
+    bad = out.filter((F.col("overlap_rate") < 0) | (F.col("overlap_rate") > 1)).count()
+    assert bad == 0
+    # eval docs whose normalized text equals some train doc's text must be contaminated
+    # (provided they carry at least one 8-gram)
+    lab = docs.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("nt"),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(100),
+        ).alias("b"),
+    )
+    train_t = lab.filter(F.col("b") < 80).select("nt").distinct()
+    dup_eval = lab.filter(F.col("b") >= 80).join(train_t, "nt").select("doc_id")
+    missed = (
+        dup_eval.join(out, "doc_id")
+        .filter((F.col("contaminated") == 0) & (F.col("n_grams") > 0))
+        .count()
+    )
+    assert missed == 0, "verbatim cross-split duplicate not flagged"

@@ -121,12 +121,16 @@ def test_unpruned_serving_candidates_no_forced_broadcast(spark):
 
 
 def test_flagship_no_literal_in_list(spark, queries):
-    """The purchased-exclusion side must reach pruned keys via a broadcast
-    semi-join, not a literal In-predicate that grows with |cats|·(c_max+1)
-    (round-2 judge item: plan-compile blowup at 100×)."""
+    """The purchased-exclusion must reach pruned keys via a join, not a
+    literal In-predicate that grows with |cats|·(c_max+1) (round-2 judge
+    item: plan-compile blowup at 100×). Since the mex rewrite the
+    exclusion is fused into the positions-fold: the plan must carry the
+    prefix-purchases broadcast join + the collect_set positions aggregate,
+    and no |C|×prefix LeftAnti expansion survives."""
     plan = _plan(spark, queries["flagship_diverse_topk"](spark, SF_DIR))
     assert not re.search(r"\bIn\(p_partkey, \[", plan), "literal isin list on p_partkey in plan"
-    assert "LeftSemi" in plan, "pruned-key semi-join missing from plan"
+    assert "collect_set" in plan, "purchased-positions fold missing from plan"
+    assert "LeftAnti" not in plan, "candidate-expansion anti-join reappeared"
 
 
 def test_token_stats_column_pruning(spark, queries):
