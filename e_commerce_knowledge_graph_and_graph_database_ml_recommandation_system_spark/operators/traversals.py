@@ -119,3 +119,73 @@ def purchased_exclusion_candidates(edges: DataFrame, nodes: DataFrame) -> DataFr
         customers.crossJoin(valid_products)
         .join(pos, ["customer_id", "product_id"], "left_anti")
     )
+
+
+# ---------------------------------------------------------------------------
+# numeric-key fast paths (late string materialization)
+#
+# build_edges derives every node id injectively from a numeric key
+# (graph/build.py: 'cust_<k>', 'order_<k>', 'prod_<k>'), so traversals can
+# run entirely on the raw longs and concat display ids AFTER the reducing
+# shuffle — the shuffle then carries 8-byte keys instead of ~15-byte
+# strings and the concat runs post-shuffle in parallel. This is the 100-TB
+# posture for every id-heavy reduction; the string-edge operators above
+# stay as the generic graph API (identical output, oracle-enforced).
+# ---------------------------------------------------------------------------
+
+
+def positive_pair_keys(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """J1 on raw keys: PURCHASED⋈CONTAINS on the order endpoint ≡
+    orders⋈lineitem on the order key. Columns (ckey, pkey), distinct."""
+    return (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_partkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("ckey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+
+
+def positive_pair_keys_after(orders: DataFrame, lineitem: DataFrame, cutoff: str) -> DataFrame:
+    """J3 on raw keys: the PURCHASED-edge ts is o_orderdate, so the cutoff
+    prunes the orders scan before the join."""
+    return (
+        orders.filter(F.col("o_orderdate") > F.lit(cutoff))
+        .select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_partkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("ckey"), F.col("l_partkey").alias("pkey"))
+        .distinct()
+    )
+
+
+def negative_pair_keys(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame, part: DataFrame, modulus: int = 50
+) -> DataFrame:
+    """J4 on raw keys — same modular-bucket equi-join sample and anti-join
+    as negative_pairs, minus the string ids until the very end. The part
+    side is a dim → broadcast hint, and customers repartition to cores
+    first: the bucket key has only `modulus` distinct values, so a shuffle
+    join would cap parallelism at `modulus` tasks (and a single-row-group
+    scan at 1)."""
+    spark = customer.sparkSession
+    customers = customer.select(
+        F.col("c_custkey").alias("ckey"),
+        F.pmod(F.col("c_custkey") * F.lit(131), F.lit(modulus)).alias("bucket"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    products = part.select(
+        F.col("p_partkey").alias("pkey"),
+        F.pmod(
+            F.lit(modulus) - F.pmod(F.col("p_partkey") * F.lit(7919), F.lit(modulus)), F.lit(modulus)
+        ).alias("bucket"),
+    )
+    pairs = customers.join(F.broadcast(products), "bucket").select("ckey", "pkey")
+    return pairs.join(positive_pair_keys(orders, lineitem), ["ckey", "pkey"], "left_anti")
+
+
+def pair_ids(pairs: DataFrame) -> DataFrame:
+    """Materialize the graph string ids from (ckey, pkey) — call AFTER the
+    reducing operation, never before."""
+    return pairs.select(
+        F.concat_ws("_", F.lit("cust"), F.col("ckey")).alias("customer_id"),
+        F.concat_ws("_", F.lit("prod"), F.col("pkey")).alias("product_id"),
+        *[c for c in pairs.columns if c not in ("ckey", "pkey")],
+    )

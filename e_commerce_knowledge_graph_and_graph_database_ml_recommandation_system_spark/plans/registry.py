@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import Callable, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..graph.build import build_edges, build_graph, build_nodes, graph_stats
@@ -270,8 +270,11 @@ WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
 """,
 )
 def q_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
-    return trav.positive_pairs(edges)
+    # numeric-key fast path (trav.positive_pair_keys): same pair set as
+    # trav.positive_pairs over build_edges — id derivation is injective —
+    # but the distinct shuffles 8-byte keys and concats ids post-shuffle
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    return trav.pair_ids(trav.positive_pair_keys(t["orders"], t["lineitem"]))
 
 
 @register(
@@ -285,8 +288,8 @@ WHERE p.type = 'PURCHASED' AND c.type = 'CONTAINS'
 """,
 )
 def q_positive_pairs_after_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
-    return trav.positive_pairs_after(edges, "1999-01-01")
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    return trav.pair_ids(trav.positive_pair_keys_after(t["orders"], t["lineitem"], "1999-01-01"))
 
 
 @register(
@@ -309,8 +312,10 @@ ANTI JOIN pos USING (customer_id, product_id)
 """,
 )
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nodes, edges = _graph(spark, sf_dir)
-    return trav.negative_pairs(edges, nodes)
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem", "customer", "part"))
+    return trav.pair_ids(
+        trav.negative_pair_keys(t["orders"], t["lineitem"], t["customer"], t["part"])
+    )
 
 
 # --------------------------------------------------------------------------
@@ -340,8 +345,39 @@ WHERE rn = 1
 """,
 )
 def q_preferred_category(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nodes, edges = _graph(spark, sf_dir)
-    return agg_ops.preferred_category(edges, nodes)
+    # numeric-key fast path of agg_ops.preferred_category (A5/X10): the
+    # 2-hop + category join counts on raw longs with the part dim
+    # broadcast; the customer id string materializes on the 1-row-per-
+    # customer result only
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem", "part"))
+    counts = (
+        t["orders"]
+        .select("o_orderkey", "o_custkey")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                t["part"].select(
+                    F.col("p_partkey").alias("l_partkey"), F.col("p_type").alias("category")
+                )
+            ),
+            "l_partkey",
+        )
+        .groupBy("o_custkey", "category")
+        .agg(F.count("*").alias("cnt"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("cnt"), F.asc("category"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.concat_ws("_", F.lit("cust"), F.col("o_custkey")).alias("customer_id"),
+            F.col("category").alias("preferred_category"),
+            F.col("cnt").alias("purchase_cnt"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
@@ -415,20 +451,18 @@ FROM tf JOIN enc ON tf.category = enc.category AND tf.fold = enc.fold
 """,
 )
 def q_kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    nodes, edges = build_nodes(tables), build_edges(tables)
-    pos = trav.positive_pairs(edges).withColumn("label", F.lit(1))
-    neg = trav.negative_pairs(edges, nodes).withColumn("label", F.lit(0))
+    # numeric-key assembly end to end: pos/neg pairs on raw longs, category
+    # via broadcast part dim on pkey, string ids concat'd only on the final
+    # 118k output rows (late materialization — see trav.positive_pair_keys)
+    tables = load_tables(spark, sf_dir, names=("orders", "lineitem", "customer", "part"))
+    o, li, cu, pa = tables["orders"], tables["lineitem"], tables["customer"], tables["part"]
+    pos = trav.positive_pair_keys(o, li).withColumn("label", F.lit(1))
+    neg = trav.negative_pair_keys(o, li, cu, pa).withColumn("label", F.lit(0))
     train = pos.unionByName(neg)
-    # product dim broadcast: recovers the numeric key + category per pair
-    part = tables["part"].select(
-        F.concat_ws("_", F.lit("prod"), F.col("p_partkey")).alias("product_id"),
-        F.col("p_partkey").alias("pkey"),
-        F.col("p_type").alias("category"),
-    )
-    tf = train.join(F.broadcast(part), "product_id")
+    part_dim = pa.select(F.col("p_partkey").alias("pkey"), F.col("p_type").alias("category"))
+    tf = train.join(F.broadcast(part_dim), "pkey")
     enc = agg_ops.kfold_target_encoding(tf, key="category", label_col="label", id_col="pkey")
-    return enc.select(
+    return trav.pair_ids(enc).select(
         "customer_id",
         "product_id",
         "label",
@@ -480,8 +514,20 @@ FROM agg
 )
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    edges = build_edges(tables)
-    pos = trav.positive_pairs(edges)
+    # positives NUMERICALLY (the identical pair set as the graph 2-hop:
+    # PURCHASED edges come from orders, CONTAINS from lineitem) — the 1/13
+    # candidate sample is |C|×|P|/13 ≈ 23M rows at sf0.1, and left-joining
+    # it on two longs lets AQE broadcast the positive side instead of
+    # shuffling 23M string-keyed rows through a sort-merge join. No hint:
+    # at 100× the positive set outgrows broadcast and AQE shuffles, which
+    # is then correct.
+    orders, lineitem = tables["orders"], tables["lineitem"]
+    pos_num = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_partkey"), orders.o_orderkey == lineitem.l_orderkey)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
+        .distinct()
+    )
     # (7c + p) % 13 == 0 as an equi-join on modular buckets (see
     # traversals.negative_pairs): generates the 1/13 sample directly
     cust_b = tables["customer"].select(
@@ -490,13 +536,17 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_b = tables["part"].select(
         "p_partkey", F.pmod(F.lit(13) - F.pmod(F.col("p_partkey"), F.lit(13)), F.lit(13)).alias("bucket")
     )
-    cp = (
-        cust_b.join(part_b, "bucket")
-        .withColumn("customer_id", F.concat_ws("_", F.lit("cust"), F.col("c_custkey")))
-        .withColumn("product_id", F.concat_ws("_", F.lit("prod"), F.col("p_partkey")))
+    # broadcast the dim side and spread customers across cores FIRST: the
+    # bucket key has only 13 distinct values, so a shuffle join would cap
+    # parallelism at 13 tasks (and the customer parquet is one split) —
+    # broadcasting part_b makes pair generation map-side with parallelism
+    # = customer partitions, so the 23M-row expansion + the 9× grid
+    # aggregation pipeline across every core in one stage.
+    cp = cust_b.repartition(spark.sparkContext.defaultParallelism).join(
+        F.broadcast(part_b), "bucket"
     )
     scored = (
-        cp.join(pos.withColumn("hit", F.lit(1)), ["customer_id", "product_id"], "left")
+        cp.join(pos_num.withColumn("hit", F.lit(1)), ["c_custkey", "p_partkey"], "left")
         .select(
             (
                 F.pmod(F.col("c_custkey") * 131 + F.col("p_partkey") * 7919, F.lit(1000))
