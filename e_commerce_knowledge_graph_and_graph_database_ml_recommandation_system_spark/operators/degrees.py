@@ -62,7 +62,13 @@ def degree_features(nodes: DataFrame, edges: DataFrame) -> DataFrame:
     """
     deg = node_degrees(edges)
     d = nodes.select("id", "label").join(deg, "id", "left").na.fill({"degree": 0})
+    return degree_feature_stats(d)
 
+
+def degree_feature_stats(d: DataFrame) -> DataFrame:
+    """W1-W3 statistics layer over a prepared (id, label, degree) frame —
+    shared by the generic explode path (degree_features) and source-pushdown
+    degree derivations (plans/registry.q_degree_features)."""
     # tiny histogram of (label, degree)
     hist = d.groupBy("label", "degree").agg(F.count("*").alias("cnt"))
 

@@ -175,8 +175,40 @@ SELECT 'edge', type, COUNT(*) FROM edges GROUP BY type
 """,
 )
 def q_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nodes, edges = _graph(spark, sf_dir)
-    return graph_stats(nodes, edges)
+    # count-pushdown fast path of graph_stats (G5): every histogram bucket
+    # is a count over the SOURCE of that label/type, mirroring build_nodes/
+    # build_edges construction (including the Location join and the
+    # Category/BELONGS_TO dedups) without materializing a single node or
+    # edge row — plain-table counts come from parquet metadata, the two
+    # dedup counts are dim-sized aggregates. One unioned plan, one job.
+    t = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+
+    def cnt(df: DataFrame, kind: str, key: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("cnt")).select(
+            F.lit(kind).alias("kind"), F.lit(key).alias("key"), "cnt"
+        )
+
+    nation, region = t["nation"], t["region"]
+    loc_src = nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    ship_src = t["orders"].join(
+        F.broadcast(t["customer"].select("c_custkey")),
+        t["orders"].o_custkey == F.col("c_custkey"),
+    )
+    parts = [
+        cnt(t["customer"], "node", "Customer"),
+        cnt(t["part"], "node", "Product"),
+        cnt(t["orders"], "node", "Order"),
+        cnt(loc_src, "node", "Location"),
+        cnt(t["part"].select("p_type").distinct(), "node", "Category"),
+        cnt(t["orders"], "edge", "PURCHASED"),
+        cnt(t["lineitem"], "edge", "CONTAINS"),
+        cnt(ship_src, "edge", "SHIPPED_TO"),
+        cnt(t["part"].select("p_partkey", "p_type").distinct(), "edge", "BELONGS_TO"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -242,8 +274,81 @@ FROM d
 """,
 )
 def q_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nodes, edges = _graph(spark, sf_dir)
-    df = deg_ops.degree_features(nodes, edges)
+    # source-pushdown degree derivation: each label's undirected degree is
+    # a per-key aggregate over the tables its edges come from (PURCHASED/
+    # SHIPPED_TO: orders, CONTAINS: lineitem, BELONGS_TO: part) — the
+    # aggregate-through-union rewrite of node_degrees' half-edge explode
+    # (920k string rows at sf0.1; string ids blocked Catalyst from doing
+    # this pushdown itself). Ids concat AFTER the per-key aggregates; the
+    # W1-W3 statistics layer (deg_ops.degree_feature_stats) is shared with
+    # the generic path, whose explode form remains the arbitrary-graph API.
+    t = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    cust, orders, li, part = t["customer"], t["orders"], t["lineitem"], t["part"]
+    nation, region = t["nation"], t["region"]
+
+    o_per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("n"))
+    li_per_order = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("n"))
+    li_per_part = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count("*").alias("n"))
+    ship_per_nation = (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("n"))
+    )
+    # an order's SHIPPED_TO edge exists iff its customer row exists
+    has_cust = cust.select(F.col("c_custkey").alias("k")).distinct().withColumn("ship", F.lit(1))
+
+    def lab(df, prefix, label):
+        return df.select(
+            F.concat_ws("_", F.lit(prefix), F.col("k")).alias("id"),
+            F.lit(label).alias("label"),
+            F.col("degree"),
+        )
+
+    d_cust = lab(
+        cust.select(F.col("c_custkey").alias("k"))
+        .join(o_per_cust, "k", "left")
+        .select("k", F.coalesce("n", F.lit(0)).alias("degree")),
+        "cust",
+        "Customer",
+    )
+    d_order = lab(
+        orders.select(F.col("o_orderkey").alias("k"), F.col("o_custkey"))
+        .join(li_per_order, "k", "left")
+        .join(F.broadcast(has_cust.withColumnRenamed("k", "o_custkey")), "o_custkey", "left")
+        .select(
+            "k",
+            (F.lit(1) + F.coalesce("n", F.lit(0)) + F.coalesce("ship", F.lit(0))).alias("degree"),
+        ),
+        "order",
+        "Order",
+    )
+    d_prod = lab(
+        part.select(F.col("p_partkey").alias("k"))
+        .join(li_per_part, "k", "left")
+        .select("k", (F.coalesce("n", F.lit(0)) + F.lit(1)).alias("degree")),
+        "prod",
+        "Product",
+    )
+    d_loc = lab(
+        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select(F.col("n_nationkey").alias("k"))
+        .join(ship_per_nation, "k", "left")
+        .select("k", F.coalesce("n", F.lit(0)).alias("degree")),
+        "loc",
+        "Location",
+    )
+    d_cat = lab(
+        part.select(F.col("p_type").alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("degree")),
+        "cat",
+        "Category",
+    )
+
+    d = d_cust
+    for x in (d_prod, d_order, d_loc, d_cat):
+        d = d.unionByName(x)
+    df = deg_ops.degree_feature_stats(d)
     return df.select(
         "id",
         "label",
