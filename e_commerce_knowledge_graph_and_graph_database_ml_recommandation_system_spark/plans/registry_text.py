@@ -891,3 +891,52 @@ def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     train split and each val/test doc (the GPT-3/Llama-style n-gram
     decontamination check, run as a gram-hash semi-join)."""
     return ta.decontaminate_splits(load_table(spark, "documents", sf_dir), n=8)
+
+
+@register(
+    "stratified_corpus_sample",
+    f"""
+WITH {_QUALITY_SCORE_CTE.strip()},
+strata AS (
+    SELECT d.doc_id, d.lang,
+           CAST(LEAST(FLOOR(q.quality_score * 5), 4) AS INTEGER) AS q_bucket,
+           q.quality_score,
+           md5(concat('s_', d.doc_id)) AS h
+    FROM documents d JOIN qual q USING (doc_id)
+)
+SELECT lang, q_bucket, rank, doc_id, quality_score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, q_bucket
+                                   ORDER BY h, doc_id) AS rank
+      FROM strata)
+WHERE rank <= 3
+""",
+)
+def q_stratified_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic corpus sampling: per (language × quality
+    quintile) stratum, the 3 docs with the smallest md5('s_' || doc_id) —
+    the seeded equivalent of uniform-per-stratum sampling used to build
+    balanced eval/annotation sets from a curated corpus. Strata windows
+    partition by (lang, bucket) — embarrassingly parallel, no global sort;
+    quality buckets come from the oracle-checked quality_scores operator,
+    so both engines bucket identically."""
+    docs = load_table(spark, "documents", sf_dir)
+    qual = ta.quality_scores(docs).select("doc_id", "quality_score")
+    strata = (
+        docs.select("doc_id", "lang")
+        .join(qual, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.least(F.floor(F.col("quality_score") * 5), F.lit(4)).cast("int").alias("q_bucket"),
+            "quality_score",
+            F.md5(F.concat(F.lit("s_"), F.col("doc_id").cast("string"))).alias("h"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang", "q_bucket").orderBy("h", "doc_id")
+    return (
+        strata.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("lang", "q_bucket", "rank", "doc_id", "quality_score")
+    )
