@@ -439,22 +439,58 @@ def ivf_hash_topk(
         "vid", "v", F.explode(F.transform(F.slice("cs", 1, n_probe), lambda s: s["cell"])).alias("cell")
     )
 
-    a = probed.select(F.col("vid").alias("query_id"), "cell", F.col("v").alias("va"))
-    b = indexed.select(F.col("vid").alias("neighbor_id"), "cell", F.col("v").alias("vb"))
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(_dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb"))), 6).alias(
-                "cosine"
-            ),
-        )
+    # within-cell exact re-rank via cogrouped BLAS (one gemm per cell, the
+    # lsh_topk bucket pattern): the |pairs|·dim HOF dot was the scale
+    # bottleneck (105 s for 50M pairs at the 10× probe; the gemm form is
+    # seconds). Per-cell local top-k under the SAME total order as the
+    # oracle — (6dp cosine desc, neighbor_id asc) — provably contains each
+    # query's global top-k, so the final window only ranks k rows per
+    # (query, probed cell). Cell count scales with corpus size at 100 TB,
+    # so per-cell work — and each gemm — stays bounded.
+    import numpy as np
+    import pandas as pd
+
+    kk = k
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def cell_topk(qpdf: pd.DataFrame, xpdf: pd.DataFrame):
+        if qpdf.empty or xpdf.empty:
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        Q = np.stack(qpdf["v"].to_numpy())
+        X = np.stack(xpdf["v"].to_numpy())
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        xn = np.linalg.norm(X, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        xn[xn == 0] = 1.0
+        S = np.round((Q / qn) @ (X / xn).T, 6)
+        qids = qpdf["vid"].to_numpy()
+        xids = xpdf["vid"].to_numpy()
+        out_q, out_n, out_c = [], [], []
+        for i in range(S.shape[0]):
+            sims = S[i]
+            # total order: cosine desc, neighbor_id asc; exclude self
+            order = np.lexsort((xids, -sims))
+            taken = 0
+            for j in order:
+                if xids[j] == qids[i]:
+                    continue
+                out_q.append(qids[i])
+                out_n.append(xids[j])
+                out_c.append(sims[j])
+                taken += 1
+                if taken == kk:
+                    break
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
+
+    local = (
+        probed.select("cell", "vid", "v")
+        .groupBy("cell")
+        .cogroup(indexed.select("cell", "vid", "v").groupBy("cell"))
+        .applyInPandas(cell_topk, f"query_id {id_type}, neighbor_id {id_type}, cosine double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        pairs.withColumn("rank", F.row_number().over(w))
+        local.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )

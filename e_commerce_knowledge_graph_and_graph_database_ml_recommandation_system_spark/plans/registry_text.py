@@ -940,3 +940,47 @@ def q_stratified_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("lang", "q_bucket", "rank", "doc_id", "quality_score")
     )
+
+
+@register(
+    "corpus_mixture_weights",
+    f"""
+WITH t AS (SELECT source, len({SQL_WORDS.format(c="text")}) AS tokens FROM documents),
+agg AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(tokens) AS BIGINT) AS total_tokens
+    FROM t GROUP BY source
+),
+tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS all_toks, COUNT(*) AS n_sources FROM agg)
+SELECT source, n_docs, total_tokens,
+       ROUND(total_tokens / all_toks, 6) AS token_share,
+       ROUND((1.0 / n_sources) / (total_tokens / all_toks), 6) AS mix_weight
+FROM agg CROSS JOIN tot
+""",
+)
+def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing audit: per-source token shares and the up/down-
+    sampling weight that would equalize the mixture (the pretraining
+    data-mixing step; target = uniform across sources, swap the literal
+    for a tuned mixture in production). One groupBy over sources + a
+    1-row totals broadcast — no row-scale shuffle beyond the count."""
+    from ..functions.text import words as _words
+
+    docs = load_table(spark, "documents", sf_dir)
+    agg = (
+        docs.select("source", F.size(_words(F.col("text"))).alias("tokens"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("tokens").cast("long").alias("total_tokens"))
+    )
+    tot = agg.agg(
+        F.sum("total_tokens").cast("double").alias("all_toks"),
+        F.count("*").alias("n_sources"),
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("all_toks"), 6).alias("token_share"),
+        F.round((1.0 / F.col("n_sources")) / (F.col("total_tokens") / F.col("all_toks")), 6).alias(
+            "mix_weight"
+        ),
+    )

@@ -904,3 +904,77 @@ def test_decontamination_flags_cross_split_duplicates(spark):
         .count()
     )
     assert missed == 0, "verbatim cross-split duplicate not flagged"
+
+
+def test_flagship_mex_randomized_edge_cases(spark, tmp_path):
+    """Property check of flagship's mex formulation against the unpruned
+    DuckDB oracle on randomized sub-corpora engineered to hit edge cases
+    the fixed testdata rarely exercises: a customer who purchased EVERY
+    valid product of a category (that category must drop for them),
+    categories with fewer valid products than c_max+1 (short prefixes),
+    and score ties from duplicated purchase patterns."""
+    import duckdb
+    import pandas as pd
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.flagship import (
+        FLAGSHIP_ORACLE_SQL,
+        flagship,
+    )
+
+    from .oracle_utils import assert_oracle_match
+
+    base = {
+        t: pd.read_parquet(f"{SF}/{t}.parquet") for t in ("customer", "orders", "lineitem", "part")
+    }
+    for seed in (0, 1, 2):
+        cust = base["customer"].sample(frac=0.3, random_state=seed)
+        part = base["part"].sample(n=25, random_state=seed)
+        orders = base["orders"][base["orders"].o_custkey.isin(cust.c_custkey)].sample(
+            frac=0.6, random_state=seed
+        )
+        li = base["lineitem"][
+            base["lineitem"].l_orderkey.isin(orders.o_orderkey)
+            & base["lineitem"].l_partkey.isin(part.p_partkey)
+        ]
+        # engineer: first sampled customer purchases EVERY product of the
+        # first sampled category (fresh synthetic orders + lineitems)
+        c0 = int(cust.c_custkey.iloc[0])
+        cat0 = part.p_type.iloc[0]
+        cat_parts = part[part.p_type == cat0]
+        o_tpl = base["orders"].iloc[0].copy()
+        l_tpl = base["lineitem"].iloc[0].copy()
+        new_o, new_l = [], []
+        next_ok = int(base["orders"].o_orderkey.max()) + 1
+        for i, pk in enumerate(cat_parts.p_partkey):
+            o = o_tpl.copy()
+            o["o_orderkey"] = next_ok + i
+            o["o_custkey"] = c0
+            new_o.append(o)
+            row = l_tpl.copy()
+            row["l_orderkey"] = next_ok + i
+            row["l_partkey"] = int(pk)
+            new_l.append(row)
+        orders = pd.concat([orders, pd.DataFrame(new_o)], ignore_index=True)
+        li = pd.concat([li, pd.DataFrame(new_l)], ignore_index=True)
+
+        d = tmp_path / f"case{seed}"
+        d.mkdir()
+        for name, df in (("customer", cust), ("orders", orders), ("lineitem", li), ("part", part)):
+            # pandas defaults to TIMESTAMP(NANOS), which Spark's vectorized
+            # reader rejects — coerce to micros like the driver testdata
+            df.to_parquet(
+                d / f"{name}.parquet",
+                index=False,
+                coerce_timestamps="us",
+                allow_truncated_timestamps=True,
+            )
+
+        con = duckdb.connect()
+        for name in ("customer", "orders", "lineitem", "part"):
+            con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{d}/{name}.parquet'")
+        out = flagship(spark, str(d))
+        assert_oracle_match(out, con, FLAGSHIP_ORACLE_SQL, f"flagship-rand-{seed}")
+        # the engineered customer must get NO recommendation from cat0
+        hit = out.filter((F.col("c_custkey") == c0) & (F.col("category") == cat0)).count()
+        assert hit == 0, "exhausted category still recommended"
+        con.close()
