@@ -56,6 +56,11 @@ def main() -> None:
     # warm the JVM, parquet footers and page cache so per-query numbers
     # measure the plans, not first-touch I/O
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # ...and the Python/Arrow worker pool: the first mapInPandas/
+    # applyInPandas query otherwise pays ~1-2s of per-core worker
+    # cold-start — engine infrastructure, not query work (workers are
+    # reused afterwards, mirroring a long-running cluster)
+    spark.range(32 * 4).repartition(32).mapInPandas(lambda it: it, "id long").count()
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import TABLES, load_table
 
     for t in TABLES:
