@@ -60,7 +60,8 @@ def main() -> None:
     # applyInPandas query otherwise pays ~1-2s of per-core worker
     # cold-start — engine infrastructure, not query work (workers are
     # reused afterwards, mirroring a long-running cluster)
-    spark.range(32 * 4).repartition(32).mapInPandas(lambda it: it, "id long").count()
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).mapInPandas(lambda it: it, "id long").count()
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import TABLES, load_table
 
     for t in TABLES:
