@@ -283,6 +283,20 @@ def test_registry_contract_shape():
     assert all(n not in o for n in names[first_rows_only:]), (
         "oracle-bearing query ordered after a rows-only entry"
     )
+    # never-driver-sampled oracles must lead (a typo'd name in the list
+    # would silently lose its front-of-queue slot) and must all be real
+    # oracle-bearing entries
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.registry import (
+        _DRIVER_UNSAMPLED,
+    )
+
+    assert set(_DRIVER_UNSAMPLED) <= set(o), (
+        f"unsampled names not oracle-bearing: {set(_DRIVER_UNSAMPLED) - set(o)}"
+    )
+    lead = set(names[: len(_DRIVER_UNSAMPLED)])
+    assert lead == set(_DRIVER_UNSAMPLED), (
+        f"unsampled oracles not leading the registry: missing {set(_DRIVER_UNSAMPLED) - lead}"
+    )
 
 
 def test_entry_point_facade(spark, sf_dir):
