@@ -264,3 +264,58 @@ def minhash_lsh_verified(
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+
+
+def incremental_dedup(docs: DataFrame, n_batches: int = 2, max_hamming: int = 3) -> DataFrame:
+    """Cross-batch (incremental) NEAR-dup admission check: each NEW ingest
+    batch is screened against the EXISTING corpus before admission — the
+    production shape where a crawl increment must not re-admit documents
+    the corpus already holds, verbatim or lightly edited (reference
+    analog: the dvid-tagged incremental injections,
+    ``second_third_and_forth_data_injection.py:71-110``).
+
+    Batch = md5(doc_id) % n_batches (deterministic stand-in for ingest
+    time; batches 0..n-2 = existing corpus, n-1 = the increment). The
+    match relation is SimHash hamming ≤ max_hamming through the same
+    lossless 4-band blocking as simhash_near_dup, restricted to
+    new × existing — an asymmetric banded equi-join, so cost scales with
+    the INCREMENT, not the corpus². Output per new doc: is_dup, the best
+    existing match (min hamming, then min doc_id) and its hamming.
+    """
+    from ..functions.text import md5_int32
+
+    batch = F.pmod(md5_int32(F.concat(F.lit("b_"), F.col("doc_id").cast("string"))), F.lit(n_batches))
+    sh = simhash(docs).withColumn("batch", batch)
+    stacked = sh.select(
+        "doc_id",
+        "simhash",
+        "batch",
+        F.explode(
+            F.array(*[
+                F.concat_ws("_", F.lit(b), F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255)))
+                for b in range(4)
+            ])
+        ).alias("band_key"),
+    )
+    new_b = stacked.filter(F.col("batch") == n_batches - 1).select(
+        "doc_id", F.col("simhash").alias("hn"), "band_key"
+    )
+    old_b = stacked.filter(F.col("batch") < n_batches - 1).select(
+        F.col("doc_id").alias("dup_of"), F.col("simhash").alias("he"), "band_key"
+    )
+    cand = (
+        new_b.join(old_b, "band_key")
+        .select("doc_id", "dup_of", F.bit_count(F.col("hn").bitwiseXOR(F.col("he"))).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    best = cand.groupBy("doc_id").agg(
+        F.min_by(F.struct("dup_of", "hamming"), F.struct("hamming", "dup_of")).alias("m")
+    ).select("doc_id", F.col("m.dup_of").alias("dup_of"), F.col("m.hamming").alias("hamming"))
+    new_docs = sh.filter(F.col("batch") == n_batches - 1).select("doc_id")
+    return new_docs.join(best, "doc_id", "left").select(
+        "doc_id",
+        F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+        "dup_of",
+        "hamming",
+    )

@@ -984,3 +984,46 @@ def q_corpus_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mix_weight"
         ),
     )
+
+
+@register(
+    "incremental_dedup",
+    f"""
+WITH {_SIMHASH_CTE.strip()},
+bat AS (
+    SELECT doc_id, ('0x' || substr(md5(concat('b_', doc_id)), 1, 8))::BIGINT % 2 AS batch
+    FROM documents
+),
+sb AS (SELECT s.doc_id, s.simhash, b.batch FROM sims s JOIN bat b USING (doc_id)),
+bands AS (
+    SELECT doc_id, simhash, batch,
+           concat_ws('_', g.b, (simhash >> (g.b * 8)) & 255) AS band_key
+    FROM sb CROSS JOIN (SELECT UNNEST(range(4)) AS b) g
+),
+cand AS (
+    SELECT DISTINCT n.doc_id, e.doc_id AS dup_of,
+           bit_count(xor(n.simhash, e.simhash)) AS hamming
+    FROM bands n JOIN bands e ON n.band_key = e.band_key
+    WHERE n.batch = 1 AND e.batch = 0
+),
+best AS (
+    SELECT doc_id, dup_of, hamming
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY hamming ASC, dup_of ASC) AS rn
+          FROM cand WHERE hamming <= 3)
+    WHERE rn = 1
+)
+SELECT n.doc_id,
+       CAST(b.dup_of IS NOT NULL AS INT) AS is_dup,
+       b.dup_of,
+       b.hamming
+FROM (SELECT doc_id FROM bat WHERE batch = 1) n
+LEFT JOIN best b USING (doc_id)
+""",
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-batch near-dup admission check: the new ingest batch screened
+    against the existing corpus through the lossless 4-band SimHash join
+    (dedupe-before-admit — the incremental-injection analog of the
+    reference's dvid batches, upgraded to near-dup matching)."""
+    return dd.incremental_dedup(load_table(spark, "documents", sf_dir), n_batches=2, max_hamming=3)
