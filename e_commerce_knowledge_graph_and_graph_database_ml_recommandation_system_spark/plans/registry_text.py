@@ -1027,3 +1027,55 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedupe-before-admit — the incremental-injection analog of the
     reference's dvid batches, upgraded to near-dup matching)."""
     return dd.incremental_dedup(load_table(spark, "documents", sf_dir), n_batches=2, max_hamming=3)
+
+
+@register(
+    "vocab_top_tokens",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest({SQL_WORDS.format(c="text")}) AS tok FROM documents
+),
+freq AS (
+    SELECT tok,
+           CAST(COUNT(*) AS BIGINT) AS term_freq,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM tok WHERE tok <> '' GROUP BY tok
+)
+SELECT rank, tok, term_freq, doc_freq,
+       ROUND(doc_freq / (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents), 6) AS doc_frac
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY term_freq DESC, tok ASC) AS rank FROM freq)
+WHERE rank <= 50
+""",
+)
+def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-construction audit: the corpus's top-50 tokens by term
+    frequency with document frequency and coverage fraction — the token-
+    census a tokenizer-training / vocab-pruning pass starts from. One
+    explode + one (token) aggregate with map-side combine; the final
+    top-50 is a tiny TakeOrdered over the token census, never a global
+    row sort."""
+    docs = load_table(spark, "documents", sf_dir)
+    from ..functions.text import words as _words
+    from pyspark.sql import Window
+
+    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    freq = tok.groupBy("tok").agg(
+        F.count("*").alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    w = Window.orderBy(F.desc("term_freq"), F.asc("tok"))
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 50)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "rank",
+            "tok",
+            "term_freq",
+            "doc_freq",
+            F.round(F.col("doc_freq") / F.col("n"), 6).alias("doc_frac"),
+        )
+    )
