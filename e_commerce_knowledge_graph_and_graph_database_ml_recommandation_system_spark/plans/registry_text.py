@@ -1079,3 +1079,62 @@ def q_vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("doc_freq") / F.col("n"), 6).alias("doc_frac"),
         )
     )
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest({SQL_WORDS.format(c="text")}) AS tok FROM documents
+),
+tf AS (
+    SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+    FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.tok, tf.tf,
+           ROUND(tf.tf * LN(n.n_docs / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (tok) CROSS JOIN n
+)
+SELECT doc_id, rank, tok, tf, tfidf
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, tok ASC) AS rank
+      FROM scored)
+WHERE rank <= 5
+""",
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-5 TF-IDF terms (tf · ln(N/df)) — the keyword/topic
+    signal a retrieval or doc-tagging pipeline derives per document. Two
+    token aggregates (per-doc tf, corpus df — both map-side combinable)
+    joined on token, then a per-doc ranking window; the df side is
+    vocabulary-sized, broadcastable at any corpus scale."""
+    from pyspark.sql import Window
+
+    from ..functions.text import words as _words
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(df, "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "tok",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select("doc_id", "rank", "tok", "tf", "tfidf")
+    )
