@@ -30,7 +30,12 @@ def words(c: Column) -> Column:
 
 def word_ngrams(c: Column, n: int) -> Column:
     """word n-gram (shingle) array; empty array when fewer than n words."""
-    w = words(c)
+    return word_ngrams_from(words(c), n)
+
+
+def word_ngrams_from(w: Column, n: int) -> Column:
+    """n-gram array over an already-split word array (avoids re-tokenizing
+    when the caller also needs the words themselves)."""
     return F.when(
         F.size(w) >= n,
         F.transform(

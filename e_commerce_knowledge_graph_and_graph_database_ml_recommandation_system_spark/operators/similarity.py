@@ -386,29 +386,15 @@ def similarity_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col
     return sym.groupBy("src", "dst").agg(F.max("similarity").alias("similarity"))
 
 
-def ivf_hash_topk(
-    emb: DataFrame,
-    k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+def _hash_cell_ranked(
+    emb: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:
-    """Deterministic IVF ANN: the coarse quantizer's centroids are the
-    ``n_cells`` corpus vectors with the smallest md5('ivf_' || id) — a
-    seeded random sample (FAISS-style random init without Lloyd rounds),
-    so the whole index/probe/re-rank path is reproducible cross-engine
-    and carries a FULL DuckDB hash oracle, unlike the KMeans variant
-    (``ivf_topk``) whose float-sum centroid updates aren't bit-stable.
-
-    Every vector indexes into its argmax-cosine cell; each query probes
-    its ``n_probe`` best cells; candidates meet in a cell equi-join
-    (|N|²·n_probe/n_cells expected compares — never all-pairs) and are
-    exactly re-ranked. The centroid table is n_cells rows — dim-sized by
-    construction, the only collect. Cosines for the discrete cell
-    decisions use the one shared formula dot/(|a|·|b|) rounded to 9dp so
-    the numpy-free column path and DuckDB can never drift at a boundary;
-    ties break by cell asc, mirrored in the oracle's ROW_NUMBER order."""
+    """Shared deterministic coarse quantizer for ivf_hash_topk / semdedup:
+    centroids are the ``n_cells`` corpus vectors with the smallest
+    md5('ivf_' || id) (a seeded sample — reproducible cross-engine), and
+    every vector gets its centroid-cosine ranking as an array column
+    ``cs`` sorted by (9dp cosine desc, cell asc). The centroid collect is
+    n_cells rows — dim-sized by construction."""
     v = _as_double(F.col(vec_col))
     h = F.conv(F.substring(F.md5(F.concat(F.lit("ivf_"), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
         "long"
@@ -433,7 +419,94 @@ def ivf_hash_topk(
             )
         )
 
-    ranked_cells = e.withColumn("cs", cell_sims(F.col("v")))
+    return e.withColumn("cs", cell_sims(F.col("v")))
+
+
+def semdedup(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): cluster
+    embeddings with a cheap coarse quantizer, then inside each cluster
+    prune every vector that sits within ``threshold`` cosine of a
+    lower-id member — keep-first semantics, so exactly one representative
+    of each within-cell near-duplicate set survives. Beyond-reference
+    scope per BASELINE.json.
+
+    The quantizer is the shared md5-sampled deterministic centroid set
+    (``_hash_cell_ranked``), so the whole pipeline — assignment, pairwise
+    cosines (6dp), prune decisions — is bit-reproducible and carries a
+    FULL DuckDB hash oracle. 100-TB posture: pairwise work is per-cell
+    (one gemm per cell via applyInPandas); n_cells scales with corpus
+    size so cell populations stay bounded, mirroring ivf_hash_topk's
+    posture; no all-pairs join anywhere.
+
+    Columns: vec_id, cell, n_lower_dups, max_lower_cos (6dp; -1.0 sentinel
+    for the cell's lowest id, which has no lower member), pruned (int).
+    """
+    import numpy as np
+    import pandas as pd
+
+    ranked = _hash_cell_ranked(emb, n_cells, id_col, vec_col)
+    indexed = ranked.select("vid", "v", F.element_at("cs", 1)["cell"].alias("cell"))
+    id_type = emb.schema[id_col].dataType.simpleString()
+    tau = threshold
+
+    def cell_stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vid").reset_index(drop=True)
+        X = np.stack(pdf["v"].to_numpy())
+        nrm = np.linalg.norm(X, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        U = X / nrm
+        S = np.round(U @ U.T, 6)
+        n = len(pdf)
+        n_dups = np.zeros(n, dtype=np.int64)
+        mx = np.full(n, -1.0)
+        for i in range(1, n):
+            lower = S[i, :i]
+            n_dups[i] = int((lower >= tau).sum())
+            mx[i] = lower.max()
+        return pd.DataFrame({
+            "vec_id": pdf["vid"],
+            "cell": pdf["cell"].astype("int32"),
+            "n_lower_dups": n_dups,
+            "max_lower_cos": mx,
+            "pruned": (n_dups > 0).astype("int32"),
+        })
+
+    return indexed.groupBy("cell").applyInPandas(
+        cell_stats,
+        f"vec_id {id_type}, cell int, n_lower_dups long, max_lower_cos double, pruned int",
+    )
+
+
+def ivf_hash_topk(
+    emb: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF ANN: the coarse quantizer's centroids are the
+    ``n_cells`` corpus vectors with the smallest md5('ivf_' || id) — a
+    seeded random sample (FAISS-style random init without Lloyd rounds),
+    so the whole index/probe/re-rank path is reproducible cross-engine
+    and carries a FULL DuckDB hash oracle, unlike the KMeans variant
+    (``ivf_topk``) whose float-sum centroid updates aren't bit-stable.
+
+    Every vector indexes into its argmax-cosine cell; each query probes
+    its ``n_probe`` best cells; candidates meet in a cell equi-join
+    (|N|²·n_probe/n_cells expected compares — never all-pairs) and are
+    exactly re-ranked. The centroid table is n_cells rows — dim-sized by
+    construction, the only collect. Cosines for the discrete cell
+    decisions use the one shared formula dot/(|a|·|b|) rounded to 9dp so
+    the numpy-free column path and DuckDB can never drift at a boundary;
+    ties break by cell asc, mirrored in the oracle's ROW_NUMBER order."""
+    ranked_cells = _hash_cell_ranked(emb, n_cells, id_col, vec_col)
     indexed = ranked_cells.select("vid", "v", F.element_at("cs", 1)["cell"].alias("cell"))
     probed = ranked_cells.select(
         "vid", "v", F.explode(F.transform(F.slice("cs", 1, n_probe), lambda s: s["cell"])).alias("cell")

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_int32, normalize_text, word_ngrams, words
+from ..functions.text import md5_int32, normalize_text, word_ngrams, word_ngrams_from, words
 
 # tiny per-language stopword lists for the n-gram/stopword-hit heuristic
 LANG_STOPWORDS: dict[str, list[str]] = {
@@ -304,5 +304,101 @@ def decontaminate_splits(docs: DataFrame, n: int = 8) -> DataFrame:
                 F.coalesce(F.col("n_overlap") / F.nullif(F.col("n_grams"), F.lit(0)), F.lit(0.0)), 6
             ).alias("overlap_rate"),
             (F.col("n_overlap") > 0).cast("int").alias("contaminated"),
+        )
+    )
+
+
+def duplicate_span_coverage(docs: DataFrame, n: int = 8) -> DataFrame:
+    """Duplicate-span coverage: per document, the fraction of tokens lying
+    inside a word n-gram that occurs more than once in the corpus — the
+    distributed approximation of exact-substring dedup (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", which uses
+    a suffix array; at n-gram granularity the same signal is a pure
+    aggregate + semi-join). Beyond-reference scope per BASELINE.json.
+
+    Dataflow: posexplode n-grams with their start position -> count gram
+    instances corpus-wide (map-side-combinable agg on the md5 gram key) ->
+    semi-join instances against grams with count >= 2 -> explode each
+    duplicated instance into its n covered token positions -> distinct
+    (doc, position) -> per-doc coverage. No pair generation anywhere, so
+    a pathological common gram costs per-instance marking, never a
+    |docs-sharing-gram|² blowup — the shuffles are keyed by gram hash and
+    doc_id and both combine map-side. 100-TB posture: row volume is
+    tokens × 1 (grams) + dup_tokens × n (positions), linear in corpus size.
+
+    Columns: doc_id, n_tokens, dup_tokens, dup_coverage (6dp).
+    """
+    w = docs.select("doc_id", words(F.col("text")).alias("ws"))
+    grams = w.select(
+        "doc_id",
+        F.size("ws").alias("n_tokens"),
+        F.posexplode_outer(word_ngrams_from(F.col("ws"), n)),
+    ).select("doc_id", "n_tokens", F.col("pos"), F.md5(F.col("col")).alias("gh"))
+    dup = (
+        grams.filter(F.col("gh").isNotNull())
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("gh")
+    )
+    covered = (
+        grams.filter(F.col("gh").isNotNull())
+        .join(dup, "gh", "left_semi")
+        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos"))
+        .distinct()
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+    )
+    base = w.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
+    return (
+        base.join(covered, "doc_id", "left")
+        .na.fill({"dup_tokens": 0})
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.col("dup_tokens").cast("long").alias("dup_tokens"),
+            F.round(F.col("dup_tokens") / F.nullif(F.col("n_tokens").cast("double"), F.lit(0.0)), 6).alias(
+                "dup_coverage"
+            ),
+        )
+    )
+
+
+def unigram_logprob(docs: DataFrame) -> DataFrame:
+    """Unigram language-model scoring: fit token frequencies on the corpus
+    itself, then score each document by its mean negative log-probability
+    — the perplexity-style quality filter (CCNet/Wikipedia-LM filtering
+    uses KenLM; the unigram LM is its first-order, fully-SQL-expressible
+    form). Low avg_neg_logprob ≈ stereotypical text, high ≈ rare-token
+    soup. Beyond-reference scope per BASELINE.json.
+
+    Cross-engine determinism: per-distinct-token ``-ln p`` is rounded to
+    9 dp and cast to DECIMAL(18,10) (lossless for a 9-dp value), so the
+    per-doc sum is integer-weighted decimal arithmetic — exact and
+    summation-order independent; only the final mean is a double, rounded
+    to 6 dp. 100-TB posture: two map-side-combinable aggregates (corpus
+    token counts = vocabulary-sized, per-doc token counts) joined on the
+    token — the vocabulary side is broadcastable after aggregation.
+
+    Columns: doc_id, n_tokens, avg_neg_logprob (6dp).
+    """
+    toks = docs.select("doc_id", F.explode(words(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("n_total"))
+    neglogp = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("n_total") / F.col("cnt")), 9).cast("decimal(18,10)").alias("nlp"),
+    )
+    per_doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        per_doc_tok.join(F.broadcast(neglogp), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(F.col("c") * F.col("nlp")).cast("double") / F.sum("c").cast("double"), 6
+            ).alias("avg_neg_logprob"),
         )
     )

@@ -49,6 +49,9 @@ def register(name: str, oracle: Optional[str] = None):
 # They are green under the local oracle suite, but the driver's sf0.01 run
 # is the hard signal, so they sort first until sampled.
 _DRIVER_UNSAMPLED = (
+    "duplicate_span_coverage",
+    "unigram_logprob",
+    "semdedup_prune",
     "tfidf_top_terms",
     "vocab_top_tokens",
     "incremental_dedup",

@@ -1138,3 +1138,114 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("doc_id", "rank", "tok", "tf", "tfidf")
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate-span coverage, unigram-LM scoring, SemDeDup (round-3 breadth)
+# ---------------------------------------------------------------------------
+
+_WS8 = SQL_WORDS.format(c="text")
+
+
+@register(
+    "duplicate_span_coverage",
+    f"""
+WITH w AS (SELECT doc_id, {_WS8} AS ws FROM documents),
+inst AS (
+    SELECT doc_id, u.pos, md5(u.g) AS gh
+    FROM (SELECT doc_id,
+                 unnest(CASE WHEN len(ws) >= 8 THEN
+                     list_transform(range(1, len(ws) - 6),
+                                    i -> struct_pack(pos := i, g := array_to_string(ws[i:i+7], ' ')))
+                     ELSE [] END) AS u
+          FROM w)
+),
+dupg AS (SELECT gh FROM inst GROUP BY gh HAVING COUNT(*) >= 2),
+cov AS (
+    SELECT DISTINCT i.doc_id, i.pos + d.d AS tpos
+    FROM inst i JOIN dupg USING (gh) CROSS JOIN (SELECT unnest(range(8)) AS d) d
+),
+cnt AS (SELECT doc_id, COUNT(*) AS dup_tokens FROM cov GROUP BY doc_id)
+SELECT w.doc_id,
+       CAST(len(w.ws) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(cnt.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       ROUND(COALESCE(cnt.dup_tokens, 0) / CAST(len(w.ws) AS DOUBLE), 6) AS dup_coverage
+FROM w LEFT JOIN cnt USING (doc_id)
+""",
+)
+def q_duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc fraction of tokens inside a corpus-duplicated 8-gram — the
+    n-gram-granular form of exact-substring dedup (Lee et al. 2021)."""
+    return ta.duplicate_span_coverage(load_table(spark, "documents", sf_dir), n=8)
+
+
+@register(
+    "unigram_logprob",
+    f"""
+WITH toks AS (
+    SELECT doc_id, tok FROM (SELECT doc_id, unnest({_WS8}) AS tok FROM documents)
+    WHERE tok <> ''
+),
+vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+tot AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS n_total FROM vocab),
+nlp AS (
+    SELECT tok, CAST(ROUND(LN(n_total / cnt), 9) AS DECIMAL(18,10)) AS nlp
+    FROM vocab CROSS JOIN tot
+),
+dt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok)
+SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(c * nlp.nlp) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6) AS avg_neg_logprob
+FROM dt JOIN nlp USING (tok)
+GROUP BY doc_id
+""",
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity-style scoring (the SQL-expressible first-order
+    form of CCNet/KenLM quality filtering); docs with zero non-empty
+    tokens carry no probability mass and drop out on both engines."""
+    return ta.unigram_logprob(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "semdedup_prune",
+    """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           ('0x' || substr(md5(concat('ivf_', vec_id)), 1, 8))::BIGINT AS h
+    FROM embeddings
+),
+cent AS (
+    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+    FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT 16)
+),
+sims AS (
+    SELECT e.vec_id, c.cell,
+           ROUND(list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos
+    FROM e CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+        FROM sims
+    ) WHERE r = 1
+),
+pairs AS (
+    SELECT b.vec_id AS vec_id,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+)
+SELECT m.vec_id, CAST(m.cell AS INT) AS cell,
+       CAST(COALESCE(SUM(CASE WHEN p.cos >= 0.4 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_lower_dups,
+       ROUND(COALESCE(MAX(p.cos), -1.0), 6) AS max_lower_cos,
+       CAST(COALESCE(SUM(CASE WHEN p.cos >= 0.4 THEN 1 ELSE 0 END), 0) > 0 AS INT) AS pruned
+FROM assign m LEFT JOIN pairs p USING (vec_id)
+GROUP BY m.vec_id, m.cell
+""",
+)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): within-cluster embedding near-dup
+    pruning over the deterministic md5-sampled coarse quantizer."""
+    return sim.semdedup(load_table(spark, "embeddings", sf_dir), threshold=0.4, n_cells=16)
