@@ -8,6 +8,15 @@ Prints ONE JSON line:
 Each query runs its full plan to completion; results are consumed with
 count() (no driver-side materialization of row-scale data, mirroring how a
 sink would drain the query at cluster scale).
+
+Per-query time is the MIN over REPS=2 back-to-back runs. Rationale
+(SCALE.md bench-host-noise protocol): the first execution of a query in a
+fresh JVM pays whole-stage-codegen JIT + Catalyst plan compilation — costs
+that are O(plan size), not O(data), and therefore vanish at 100-TB scale
+and on any long-running cluster. Single-shot cold timings at sf0.1 mix
+that constant into the signal (observed same-plan swings of 3-4x between a
+cold and warm run on this host); min-of-2 reports the steady state the
+scale-up actually extrapolates from.
 """
 
 from __future__ import annotations
@@ -67,12 +76,16 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, t, SF_DIR).count()
 
+    REPS = 2
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).count()
-        times[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {

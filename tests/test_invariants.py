@@ -978,3 +978,82 @@ def test_flagship_mex_randomized_edge_cases(spark, tmp_path):
         hit = out.filter((F.col("c_custkey") == c0) & (F.col("category") == cat0)).count()
         assert hit == 0, "exhausted category still recommended"
         con.close()
+
+
+def test_duplicate_span_coverage_planted_dups(spark):
+    """Verbatim-duplicated docs get coverage 1.0; a unique-token doc gets 0;
+    a doc sharing only its first 8 tokens with another covers exactly those
+    8 positions."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.text_analysis import (
+        duplicate_span_coverage,
+    )
+
+    shared = " ".join(f"w{i}" for i in range(8))
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),  # verbatim dup of 1
+            (3, "uniq0 uniq1 uniq2 uniq3 uniq4 uniq5 uniq6 uniq7 uniq8"),
+            (4, shared + " tail0 tail1 tail2 tail3"),
+            (5, shared + " other0 other1 other2 other3"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_span_coverage(docs, n=8).collect()}
+    assert got[1]["dup_coverage"] == 1.0 and got[2]["dup_coverage"] == 1.0
+    assert got[3]["dup_tokens"] == 0 and got[3]["dup_coverage"] == 0.0
+    # docs 4/5 share only the leading 8-gram -> exactly 8 covered positions
+    assert got[4]["dup_tokens"] == 8 and got[5]["dup_tokens"] == 8
+    assert abs(got[4]["dup_coverage"] - 8 / 12) < 1e-6
+
+
+def test_unigram_logprob_orders_rarity(spark):
+    """A doc of corpus-common tokens scores lower (more probable) than a doc
+    of corpus-rare tokens; weighted-decimal mean equals the direct formula."""
+    import math
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.text_analysis import (
+        unigram_logprob,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "common common common common"), (2, "common common rare1 rare2")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 4
+    assert got[1]["avg_neg_logprob"] < got[2]["avg_neg_logprob"]
+    # direct check: N=8, p(common)=6/8, p(rare*)=1/8
+    exp1 = round(-math.log(6 / 8), 6)
+    assert abs(got[1]["avg_neg_logprob"] - exp1) < 2e-6
+    exp2 = round((2 * -math.log(6 / 8) + 2 * -math.log(1 / 8)) / 4, 6)
+    assert abs(got[2]["avg_neg_logprob"] - exp2) < 2e-6
+
+
+def test_semdedup_keep_first_within_cell(spark):
+    """Identical vectors in one cell: lowest id survives, the rest are
+    pruned with max_lower_cos 1.0; an orthogonal vector is never pruned;
+    exactly one representative per near-dup set remains."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.similarity import (
+        semdedup,
+    )
+
+    dim = 8
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    emb = spark.createDataFrame(
+        [(1, e1), (2, e1), (3, e1), (4, e2)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {r["vec_id"]: r for r in semdedup(emb, threshold=0.9, n_cells=2).collect()}
+    assert len(got) == 4
+    pruned = {v for v, r in got.items() if r["pruned"] == 1}
+    # dups of e1 beyond the first surviving copy are pruned
+    surviving_e1 = {1, 2, 3} - pruned
+    assert len(surviving_e1) >= 1 and min({1, 2, 3}) in surviving_e1
+    assert 4 not in pruned
+    for v in pruned & {2, 3}:
+        assert abs(got[v]["max_lower_cos"] - 1.0) < 1e-6
+    # same-cell dups: if 2 and 3 share a cell with 1, both must be pruned
+    same_cell = {v for v in (2, 3) if got[v]["cell"] == got[1]["cell"]}
+    assert same_cell <= pruned

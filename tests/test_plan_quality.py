@@ -57,6 +57,11 @@ NO_NESTED_LOOP = [
     "dedup_clusters",
     "dedup_canonical_docs",
     "corpus_curation",
+    # round-3 additions: gram-key semi-join marking and per-cell grouped
+    # stats — both must stay equi-join/aggregate-only (unigram_logprob is
+    # excluded: its 1-row corpus-total broadcast is a legitimate BNLJ)
+    "duplicate_span_coverage",
+    "semdedup_prune",
 ]
 
 # Queries where an intentional crossJoin(F.broadcast(tiny-side)) exists —
