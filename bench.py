@@ -51,6 +51,11 @@ HEADLINE = [
     "events_session_windows",
     "pricing_summary",
     "union_heterogeneous",
+    # beyond-reference heavyweights (round 3): clustering closure, the full
+    # curation stack, and the span-dedup signal
+    "dedup_clusters",
+    "corpus_curation_semantic",
+    "duplicate_span_coverage",
 ]
 
 

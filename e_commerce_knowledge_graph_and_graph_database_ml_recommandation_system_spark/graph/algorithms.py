@@ -678,3 +678,64 @@ def modularity(edges: DataFrame, communities: DataFrame, undirected: bool = True
         .collect()[0]["s"]
     )
     return intra / m2 - deg_sq / (m2 * m2)
+
+
+def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFrame:
+    """Fixed-iteration PageRank over the directed (distinct) edge list —
+    node importance on the property graph (beyond-reference graph layer;
+    same iterative-join shape as label_propagation, which mirrors the
+    reference's NetworkX-based analytics in ``Louvain_community_algorithm.py``).
+
+    Cross-engine determinism: ranks live as DECIMAL(26,12); every division
+    happens in DOUBLE on identical operands and is rounded to 12 dp before
+    re-entering the decimal domain, so per-iteration sums (decimal) are
+    exact and summation-order independent — the full rank vector after
+    ``iters`` rounds hash-matches an unrolled SQL oracle. Dangling mass
+    (nodes with no out-edges) is redistributed uniformly each round.
+
+    Scale: per iteration = one equi-join (edges ⋈ ranks) + one aggregate
+    keyed by dst + a 1-row dangling aggregate broadcast back — the classic
+    distributed PageRank dataflow; state is one (id, rank) row per node.
+    Nodes are edge endpoints (isolated nodes have no defined rank here).
+    Returns (id, rank DOUBLE 6dp).
+    """
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct().cache()
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    dec = "decimal(26,12)"
+    ranks = nodes.select("id", F.round(F.lit(1.0) / F.lit(n), 12).cast(dec).alias("r"))
+    for _ in range(iters):
+        ranks = ranks.localCheckpoint(eager=False)
+        shares = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.round(F.col("r").cast("double") / F.col("outdeg"), 12).cast(dec).alias("share"),
+            )
+        )
+        contrib = shares.groupBy("id").agg(F.sum("share").alias("contrib"))
+        dang = (
+            ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0).cast(dec)).alias("dang"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) / F.lit(n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0).cast(dec)).cast("double")
+                        + F.col("dang").cast("double") / F.lit(n)
+                    ),
+                    12,
+                ).cast(dec).alias("r"),
+            )
+        )
+    out = ranks.select("id", F.round(F.col("r").cast("double"), 6).alias("rank"))
+    return out

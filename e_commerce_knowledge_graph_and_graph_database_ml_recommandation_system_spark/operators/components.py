@@ -34,6 +34,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: distinct-edge count at or below which the component labeling runs as a
+#: driver-local union-find over the EDGE ENDPOINTS only (nodes touched by
+#: no edge never leave the cluster — they are singletons by construction,
+#: labeled via a join). The fetch is one Arrow toPandas of (src, dst) —
+#: 5M edges ≈ 80 MB — and the union-find loop is ~1s/M edges; the node
+#: table itself NEVER moves to the driver. The distributed pointer-jumping
+#: rounds remain the >threshold path and are forced under test with
+#: local_edge_max=0 (the Louvain hybrid's pattern): each distributed round
+#: costs 2 joins + 1 aggregate + a lineage checkpoint — the right trade at
+#: 100 TB, pure fixed overhead on a driver-bounded edge list.
+LOCAL_EDGE_MAX = 5_000_000
+
+
+def _cc_local(nodes: DataFrame, e_dist: DataFrame, id_col: str) -> DataFrame:
+    """Driver-local min-label union-find over the distinct (one-directional)
+    edge list; output contract identical to the distributed rounds (comp =
+    min reachable id). Union-by-min keeps every root the minimum of its
+    set, so find(x) IS the component label."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    pdf = e_dist.toPandas()
+    for a, b in zip(pdf["s"].tolist(), pdf["d"].tolist()):
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    mapping = [(x, find(x)) for x in parent]
+    spark = nodes.sparkSession
+    id_field = nodes.select(F.col(id_col).alias("id")).schema[0]
+    from pyspark.sql.types import StructField, StructType
+
+    schema = StructType([id_field, StructField("mapped", id_field.dataType)])
+    map_df = spark.createDataFrame(mapping, schema=schema)
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(map_df, "id", "left")
+        .select("id", F.coalesce("mapped", "id").alias("comp"))
+    )
+
 
 def connected_components(
     nodes: DataFrame,
@@ -42,15 +92,31 @@ def connected_components(
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 25,
+    local_edge_max: int = LOCAL_EDGE_MAX,
 ) -> DataFrame:
     """(id, component) for every node; component = min node id reachable.
 
     ``nodes``: one column ``id_col`` (distinct ids, singletons included).
     ``edges``: undirected pairs (``src_col``, ``dst_col``); direction and
     duplicates don't matter — symmetrized and distinct-ed here.
+
+    Size-dispatched: ≤``local_edge_max`` distinct edges finish as a
+    driver-local union-find (same labels by construction; only the edge
+    list moves to the driver, one direction, via Arrow); above it — or
+    with ``local_edge_max=0`` under test — the distributed pointer-jumping
+    rounds run over the symmetrized relation.
     """
-    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-    sym = e.union(e.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct().cache()
+    e_dist = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).distinct().cache()
+
+    if e_dist.count() <= local_edge_max:
+        out = _cc_local(nodes, e_dist, id_col)
+        e_dist.unpersist()
+        return out
+
+    sym = (
+        e_dist.union(e_dist.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct().cache()
+    )
+    e_dist.unpersist()
 
     lab = nodes.select(F.col(id_col).alias("id"), F.col(id_col).alias("comp")).localCheckpoint()
 
@@ -88,12 +154,19 @@ def connected_components(
     return lab.select("id", "comp")
 
 
-def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+def dedup_clusters(
+    docs: DataFrame, pairs: DataFrame, local_edge_max: int = LOCAL_EDGE_MAX
+) -> DataFrame:
     """Cluster assignment for every document from near-dup pairs:
     (doc_id, cluster_id, cluster_size). cluster_id = min doc_id in the
     cluster; singletons keep cluster_size = 1."""
     comp = connected_components(
-        docs.select("doc_id"), pairs, id_col="doc_id", src_col="doc_a", dst_col="doc_b"
+        docs.select("doc_id"),
+        pairs,
+        id_col="doc_id",
+        src_col="doc_a",
+        dst_col="doc_b",
+        local_edge_max=local_edge_max,
     ).withColumnsRenamed({"id": "doc_id", "comp": "cluster_id"})
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
@@ -120,7 +193,9 @@ def canonical_docs(clusters: DataFrame, quality: DataFrame) -> DataFrame:
     )
 
 
-def dedup_clusters_collapsed(docs: DataFrame, pair_fn) -> DataFrame:
+def dedup_clusters_collapsed(
+    docs: DataFrame, pair_fn, local_edge_max: int = LOCAL_EDGE_MAX
+) -> DataFrame:
     """dedup_clusters with EXACT-DUPLICATE COLLAPSE before pair generation —
     the production order of operations (exact dedup, then near-dup).
 
@@ -168,6 +243,7 @@ def dedup_clusters_collapsed(docs: DataFrame, pair_fn) -> DataFrame:
         id_col="doc_id",
         src_col="doc_a",
         dst_col="doc_b",
+        local_edge_max=local_edge_max,
     ).withColumnsRenamed({"id": "rep", "comp": "cluster_id"})
     assigned = (
         keyed.join(groups, "fp")

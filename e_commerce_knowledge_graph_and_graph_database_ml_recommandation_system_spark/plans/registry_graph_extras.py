@@ -289,3 +289,59 @@ def q_serve_adam_mixture_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R4: 0.3·uniform + 0.7·p mixture over normalized p, T=2.0 (reference
     ``took_recommandations_adamsampling_discount.py:58-100``)."""
     return _gumbel_variant(spark, sf_dir, temperature=2.0, seed=45, uniform_mix=0.3)
+
+
+# ---------------------------------------------------------------------------
+# PageRank (beyond-reference graph layer): fixed-iteration, decimal-exact
+# ---------------------------------------------------------------------------
+
+
+def _pagerank_oracle_sql(iters: int = 5) -> str:
+    """Unrolled-iteration DuckDB mirror of graph.algorithms.pagerank: the
+    same DECIMAL(26,12) rank domain, 12-dp rounded double divisions, and
+    uniform dangling redistribution — the LPA chained-CTE technique applied
+    to a float-valued iterative algorithm."""
+    dec = "DECIMAL(26,12)"
+    parts = [
+        "de AS (SELECT DISTINCT src, dst FROM edges)",
+        "nodes_pr AS (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes_pr)",
+        "od AS (SELECT src, COUNT(*) AS outdeg FROM de GROUP BY src)",
+        f"r0 AS (SELECT id, CAST(ROUND(1.0 / nn.n, 12) AS {dec}) AS r FROM nodes_pr CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS (SELECT de.dst AS id, "
+            f"CAST(ROUND(CAST(r.r AS DOUBLE) / od.outdeg, 12) AS {dec}) AS share "
+            f"FROM de JOIN r{p} r ON de.src = r.id JOIN od ON de.src = od.src)"
+        )
+        parts.append(f"c{i} AS (SELECT id, SUM(share) AS contrib FROM s{i} GROUP BY id)")
+        parts.append(
+            f"g{i} AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS {dec}) AS dang "
+            f"FROM r{p} r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT n.id, "
+            f"CAST(ROUND((1.0 - 0.85) / nn.n + 0.85 * "
+            f"(CAST(COALESCE(c.contrib, 0) AS DOUBLE) + CAST(g.dang AS DOUBLE) / nn.n), 12) AS {dec}) AS r "
+            f"FROM nodes_pr n CROSS JOIN nn CROSS JOIN g{i} g LEFT JOIN c{i} c ON n.id = c.id)"
+        )
+    from .registry import GRAPH_EDGES_CTE as _E
+
+    return (
+        f"WITH {_E.strip()},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(CAST(r AS DOUBLE), 6) AS rank FROM r{iters}"
+    )
+
+
+@register("graph_pagerank", _pagerank_oracle_sql(iters=5))
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank over the property graph's directed edges —
+    the FULL rank vector hash-checked against the unrolled decimal-exact
+    oracle (a float-valued iterative graph algorithm under the strongest
+    correctness gate; companion to label_propagation_communities)."""
+    from ..graph.algorithms import pagerank
+
+    return pagerank(build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES)), iters=5)

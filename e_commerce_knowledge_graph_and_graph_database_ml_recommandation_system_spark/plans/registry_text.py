@@ -1249,3 +1249,110 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): within-cluster embedding near-dup
     pruning over the deterministic md5-sampled coarse quantizer."""
     return sim.semdedup(load_table(spark, "embeddings", sf_dir), threshold=0.4, n_cells=16)
+
+
+_SEMDEDUP_KEPT_CTE = """
+se AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           ('0x' || substr(md5(concat('ivf_', vec_id)), 1, 8))::BIGINT AS h
+    FROM embeddings
+),
+scent AS (
+    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+    FROM (SELECT * FROM se ORDER BY h, vec_id LIMIT 16)
+),
+ssims AS (
+    SELECT se.vec_id, c.cell,
+           ROUND(list_dot_product(se.v, c.cv) /
+                 (sqrt(list_dot_product(se.v, se.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos
+    FROM se CROSS JOIN scent c
+),
+sassign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+        FROM ssims
+    ) WHERE r = 1
+),
+spairs AS (
+    SELECT b.vec_id AS vec_id,
+           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+    FROM sassign a JOIN sassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN se ea ON ea.vec_id = a.vec_id JOIN se eb ON eb.vec_id = b.vec_id
+),
+skept AS (
+    SELECT m.vec_id FROM sassign m LEFT JOIN spairs p USING (vec_id)
+    GROUP BY m.vec_id
+    HAVING COALESCE(SUM(CASE WHEN p.cos >= 0.4 THEN 1 ELSE 0 END), 0) = 0
+)
+"""
+
+
+@register(
+    "corpus_curation_semantic",
+    f"""
+WITH RECURSIVE {_CLUSTERS_CTE.strip()},
+{_QUALITY_SCORE_CTE.strip()},
+canon AS (
+    SELECT cluster_id, doc_id, cluster_size, quality_score FROM (
+        SELECT comp.cluster_id, comp.doc_id, csize.cluster_size, qual.quality_score,
+               ROW_NUMBER() OVER (PARTITION BY comp.cluster_id
+                                  ORDER BY qual.quality_score DESC, comp.doc_id ASC) AS rn
+        FROM comp JOIN csize USING (cluster_id) JOIN qual USING (doc_id)
+    ) WHERE rn = 1 AND quality_score >= 0.7
+),
+{_SEMDEDUP_KEPT_CTE.strip()},
+hits AS (
+    SELECT doc_id,
+       {_HIT_SQL}
+    FROM documents
+),
+best AS (SELECT *, {_BEST_SQL} AS best FROM hits),
+lang AS (SELECT doc_id, {_PRED_SQL} AS pred_lang FROM best),
+wtoks AS (SELECT doc_id, CAST(len({SQL_WORDS.format(c="text")}) AS BIGINT) AS ws_tokens FROM documents)
+SELECT lang.pred_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(canon.cluster_size) AS BIGINT) AS n_docs_represented,
+       CAST(SUM(wtoks.ws_tokens) AS BIGINT) AS total_tokens,
+       ROUND(CAST(SUM(CAST(canon.quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) AS avg_quality
+FROM canon
+JOIN skept ON canon.doc_id = skept.vec_id
+JOIN lang USING (doc_id) JOIN wtoks USING (doc_id)
+GROUP BY lang.pred_lang
+""",
+)
+def q_corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_curation + the semantic layer: the doc must ALSO survive
+    SemDeDup embedding pruning (vec_id ≡ doc_id in the corpus) — i.e. the
+    full modern curation stack: lexical near-dup clustering -> best-doc
+    selection -> quality gate -> semantic near-dup pruning -> per-language
+    corpus stats. Every stage is an already-oracle-checked operator; this
+    pins their composition. 100-TB posture is the union of the stages':
+    banded pair joins, pointer-jumping CC, per-cell gemms — no new
+    all-pairs or driver-bound step is introduced by the composition."""
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    clusters = cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
+    kept = cc.canonical_docs(clusters, ta.quality_scores(docs)).filter(
+        F.col("quality_score") >= 0.7
+    )
+    sem_kept = (
+        sim.semdedup(emb, threshold=0.4, n_cells=16)
+        .filter(F.col("pruned") == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    lang = ta.lang_id(docs).select("doc_id", "pred_lang")
+    toks = ta.token_stats(docs).select("doc_id", F.col("ws_tokens").cast("long").alias("ws_tokens"))
+    joined = (
+        kept.withColumnRenamed("canonical_doc_id", "doc_id")
+        .join(sem_kept, "doc_id")
+        .join(lang, "doc_id")
+        .join(toks, "doc_id")
+    )
+    q_dec = F.col("quality_score").cast("decimal(18,6)")
+    return joined.groupBy("pred_lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("cluster_size").alias("n_docs_represented"),
+        F.sum("ws_tokens").alias("total_tokens"),
+        F.round(F.sum(q_dec).cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
+    )

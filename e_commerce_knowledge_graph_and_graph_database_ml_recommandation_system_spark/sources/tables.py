@@ -95,3 +95,32 @@ def load_csv_table(
     if schema is not None:
         return reader.schema(schema).csv(path)
     return reader.option("inferSchema", "true").csv(path)
+
+
+def write_jsonl(df: DataFrame, path: str, partitions: int | None = None, compression: str | None = "gzip") -> None:
+    """JSONL corpus sink — the interchange format LLM training-data
+    pipelines actually exchange (one JSON object per line, gzip-sharded).
+    Beyond-reference scope per BASELINE.json.
+
+    Output is a directory of part files (the distributed layout — a 100-TB
+    corpus is never one file); ``partitions`` optionally coalesces small
+    outputs. Spark's json writer streams per-partition with no driver
+    materialization."""
+    if partitions is not None:
+        df = df.coalesce(partitions)
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)
+
+
+def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSONL corpus scan. Schema-first when given (no inference pass — at
+    100 TB inference is a full extra read over every gzip shard, and gzip
+    is not splittable, so the inference scan is also maximally skewed);
+    PERMISSIVE mode lands malformed lines in ``_corrupt_record`` instead of
+    failing the job."""
+    reader = spark.read.option("mode", "PERMISSIVE")
+    if schema is not None:
+        return reader.schema(schema).json(path)
+    return reader.json(path)

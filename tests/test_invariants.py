@@ -713,14 +713,23 @@ def test_connected_components_chain_and_determinism(spark):
         "id long",
     )
     e = spark.createDataFrame(edges, "src long, dst long")
-    got = {r.id: r.comp for r in cc.connected_components(nodes, e, max_iter=10).collect()}
-    assert all(got[i] == 0 for i in range(30)), "chain not fully labeled with min id"
-    assert all(got[i] == i for i in range(100, 105)), "isolated nodes must be singletons"
-    assert got[200] == got[201] == got[202] == 200
+    # both dispatch paths: driver-local union-find (default) and the
+    # forced distributed pointer-jumping rounds (local_edge_max=0)
+    for lem in (cc.LOCAL_EDGE_MAX, 0):
+        got = {
+            r.id: r.comp
+            for r in cc.connected_components(nodes, e, max_iter=10, local_edge_max=lem).collect()
+        }
+        assert all(got[i] == 0 for i in range(30)), "chain not fully labeled with min id"
+        assert all(got[i] == i for i in range(100, 105)), "isolated nodes must be singletons"
+        assert got[200] == got[201] == got[202] == 200
 
-    # determinism: a second run produces the identical assignment
-    got2 = {r.id: r.comp for r in cc.connected_components(nodes, e, max_iter=10).collect()}
-    assert got == got2
+        # determinism: a second run produces the identical assignment
+        got2 = {
+            r.id: r.comp
+            for r in cc.connected_components(nodes, e, max_iter=10, local_edge_max=lem).collect()
+        }
+        assert got == got2
 
 
 def test_dedup_cluster_invariants(spark):
@@ -820,8 +829,14 @@ def test_connected_components_matches_union_find(spark):
         want = union_find_components(n, edges)
         nodes_df = spark.createDataFrame([(i,) for i in range(n)], "id long")
         edges_df = spark.createDataFrame(edges or [(0, 0)], "src long, dst long")
-        got = {r.id: r.comp for r in cc.connected_components(nodes_df, edges_df, max_iter=15).collect()}
-        assert got == want, f"seed {seed}: CC mismatch vs union-find"
+        for lem in (cc.LOCAL_EDGE_MAX, 0):  # local union-find AND distributed rounds
+            got = {
+                r.id: r.comp
+                for r in cc.connected_components(
+                    nodes_df, edges_df, max_iter=15, local_edge_max=lem
+                ).collect()
+            }
+            assert got == want, f"seed {seed} lem {lem}: CC mismatch vs union-find"
 
 
 def test_lsh_verified_subset_of_exact_jaccard(spark):

@@ -318,3 +318,37 @@ def test_entry_point_facade(spark, sf_dir):
     recs = api.train_and_recommend(spark, sf_dir)
     assert {"customer_id", "rank", "product_id"} <= set(recs.columns)
     assert recs.count() > 0
+
+
+def test_jsonl_corpus_roundtrip(spark, sf_dir, tmp_path):
+    """S2-family JSONL sink/scan (the LLM-corpus interchange format):
+    gzip-sharded write, schema-first read back, content identical; a
+    malformed line lands in _corrupt_record instead of failing the scan."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import (
+        load_jsonl,
+        load_table,
+        write_jsonl,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text", "lang", "source")
+    path = str(tmp_path / "corpus_jsonl")
+    write_jsonl(docs, path, partitions=4)
+
+    back = load_jsonl(spark, path, schema="doc_id long, text string, lang string, source string")
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).count() == 0 and docs.exceptAll(back).count() == 0
+
+    # malformed line -> _corrupt_record, not a job failure
+    bad = str(tmp_path / "bad_jsonl")
+    import gzip, os
+
+    os.makedirs(bad, exist_ok=True)
+    with gzip.open(f"{bad}/part-00000.json.gz", "wt") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("NOT JSON AT ALL\n")
+    got = load_jsonl(
+        spark, bad, schema="doc_id long, text string, _corrupt_record string"
+    )
+    rows = got.collect()
+    assert len(rows) == 2
+    assert sum(r["_corrupt_record"] is not None for r in rows) == 1
