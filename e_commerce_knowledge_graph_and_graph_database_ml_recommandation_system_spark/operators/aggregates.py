@@ -163,3 +163,116 @@ def threshold_sweep(scored: DataFrame, prob_col: str, label_col: str, grid=None)
         F.coalesce(rec, F.lit(0.0)).alias("rec"),
         F.coalesce(2 * prec * rec / F.nullif(prec + rec, F.lit(0)), F.lit(0.0)).alias("f1"),
     )
+
+
+def kmv_distinct_sketch(
+    df, group_cols: list[str], value_col: str, k: int = 64
+):
+    """KMV (k-minimum-values) distinct-count sketch per group — the
+    mergeable cardinality sketch OLAP engines keep next to rollups
+    (Bar-Yossef et al. 2002; the deterministic cousin of HyperLogLog).
+    Beyond-reference scope: corpus audits at 100 TB count distincts per
+    source/shard and merge sketches instead of re-scanning.
+
+    Engine-agnostic by construction: the hash is md5-uint32 (the repo's
+    shared primitive), so the k minimum hash values — and therefore the
+    estimate (k−1)·2³²/h_k — are IDENTICAL in any engine, giving a full
+    DuckDB oracle for a sketch operator (impossible for HLL, whose
+    register layout is implementation-defined).
+
+    Dataflow: distinct (group, value) -> per-group k smallest hashes via
+    one sort-window prefix -> one row per group. The shuffle carries
+    (group, hash) longs; the window ranks within group only. Exact count
+    rides along (same distinct pass) so the output exposes the relative
+    error the estimate achieves.
+
+    Columns: *group_cols, n_exact, h_k, estimate (6dp), rel_error (6dp).
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_int32
+
+    d = df.select(*group_cols, F.col(value_col).alias("v")).distinct()
+    h = d.withColumn("h", md5_int32(F.concat(F.lit("kmv_"), F.col("v").cast("string"))))
+    w = Window.partitionBy(*group_cols).orderBy(F.asc("h"), F.asc("v"))
+    ranked = h.withColumn("rn", F.row_number().over(w))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.max(F.when(F.col("rn") == k, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(
+        F.col("h_k").isNotNull(), F.round(F.lit(float(k - 1)) * F.lit(4294967296.0) / F.col("h_k"), 6)
+    ).otherwise(F.col("n_exact").cast("double"))  # < k distincts: sketch is exact
+    return agg.select(
+        *group_cols,
+        F.col("n_exact").cast("long").alias("n_exact"),
+        "h_k",
+        est.alias("estimate"),
+        F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
+    )
+
+
+def cms_token_frequencies(
+    toks, value_col: str = "tok", depth: int = 4, width: int = 256, top_n: int = 20
+):
+    """Count-min-sketch frequency estimation over a token stream, reported
+    for the exact top-``top_n`` tokens next to their true counts — the
+    streaming heavy-hitters sketch (Cormode & Muthukrishnan 2005) as a
+    Spark aggregate. Beyond-reference scope: at 100 TB the (depth×width)
+    counter grid is the thing you keep per shard and merge by cell-wise
+    sum instead of re-counting the corpus.
+
+    Deterministic by construction: cells are exact COUNT aggregates over
+    md5-bucketed rows, so the full sketch — and every estimate
+    (min over rows of the token's cell) — is engine-identical, giving a
+    FULL DuckDB oracle (like kmv_distinct_sketch, impossible for
+    RNG-seeded sketch libraries). CMS guarantees estimate >= exact; the
+    overestimate column shows realized collision error at this grid size.
+
+    Dataflow: one md5 bucket id per (row, token) -> depth×width cell
+    counts (map-side combinable, grid-sized result) -> broadcast the grid
+    back onto the top-n tokens. Columns: tok, n_exact, cms_estimate,
+    overestimate.
+    """
+    from ..functions.text import md5_int32
+
+    cells = []
+    for d in range(depth):
+        cells.append(
+            toks.select(
+                F.lit(d).alias("row"),
+                F.pmod(
+                    md5_int32(F.concat(F.lit(f"cms{d}_"), F.col(value_col).cast("string"))),
+                    F.lit(width),
+                ).alias("bucket"),
+            )
+        )
+    grid_in = cells[0]
+    for c in cells[1:]:
+        grid_in = grid_in.unionByName(c)
+    grid = grid_in.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cell"))
+
+    exact = toks.groupBy(F.col(value_col).alias("tok")).agg(F.count(F.lit(1)).alias("n_exact"))
+    # TakeOrdered (no global window): vocabulary-sized input, k-sized result
+    top = exact.orderBy(F.desc("n_exact"), F.asc("tok")).limit(top_n)
+
+    est_rows = None
+    for d in range(depth):
+        r = top.select(
+            "tok",
+            "n_exact",
+            F.lit(d).alias("row"),
+            F.pmod(md5_int32(F.concat(F.lit(f"cms{d}_"), F.col("tok"))), F.lit(width)).alias("bucket"),
+        )
+        est_rows = r if est_rows is None else est_rows.unionByName(r)
+    return (
+        est_rows.join(F.broadcast(grid), ["row", "bucket"])
+        .groupBy("tok", "n_exact")
+        .agg(F.min("cell").alias("cms_estimate"))
+        .select(
+            "tok",
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("cms_estimate").cast("long").alias("cms_estimate"),
+            (F.col("cms_estimate") - F.col("n_exact")).cast("long").alias("overestimate"),
+        )
+    )

@@ -1356,3 +1356,92 @@ def q_corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws_tokens").alias("total_tokens"),
         F.round(F.sum(q_dec).cast("double") / F.count(F.lit(1)), 6).alias("avg_quality"),
     )
+
+
+@register(
+    "kmv_vocab_sketch",
+    f"""
+WITH toks AS (
+    SELECT DISTINCT source, tok
+    FROM (SELECT source, unnest({_WS8}) AS tok FROM documents)
+    WHERE tok <> ''
+),
+h AS (
+    SELECT source, tok AS v,
+           {SQL_MD5_INT32.format(c="concat('kmv_', tok)")} AS h
+    FROM toks
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h ASC, v ASC) AS rn
+    FROM h
+),
+agg AS (
+    SELECT source, COUNT(*) AS n_exact,
+           MAX(CASE WHEN rn = 16 THEN h END) AS h_k
+    FROM ranked GROUP BY source
+)
+SELECT source,
+       CAST(n_exact AS BIGINT) AS n_exact,
+       h_k,
+       CASE WHEN h_k IS NOT NULL THEN ROUND(15.0 * 4294967296.0 / h_k, 6)
+            ELSE CAST(n_exact AS DOUBLE) END AS estimate,
+       ROUND(ABS(CASE WHEN h_k IS NOT NULL THEN ROUND(15.0 * 4294967296.0 / h_k, 6)
+                      ELSE CAST(n_exact AS DOUBLE) END - n_exact) / n_exact, 6) AS rel_error
+FROM agg
+""",
+)
+def q_kmv_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-count sketch (k=16) of the per-source token vocabulary
+    — a mergeable cardinality sketch with a FULL hash oracle (md5-KMV is
+    engine-agnostic, unlike HLL register layouts); exact count rides along
+    to expose the realized relative error."""
+    from ..functions.text import words as _words
+    from ..operators.aggregates import kmv_distinct_sketch
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("source", F.explode(_words(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return kmv_distinct_sketch(toks, ["source"], "tok", k=16)
+
+
+@register(
+    "cms_token_frequencies",
+    f"""
+WITH toks AS (
+    SELECT tok FROM (SELECT unnest({_WS8}) AS tok FROM documents) WHERE tok <> ''
+),
+grid AS (
+    SELECT row, bucket, COUNT(*) AS cell FROM (
+        SELECT d.d AS row,
+               {SQL_MD5_INT32.format(c="concat('cms', d.d, '_', tok)")} % 256 AS bucket
+        FROM toks CROSS JOIN (SELECT UNNEST(range(4)) AS d) d
+    ) GROUP BY row, bucket
+),
+exact AS (SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok),
+top AS (SELECT * FROM exact ORDER BY n_exact DESC, tok ASC LIMIT 20),
+est AS (
+    SELECT t.tok, t.n_exact, MIN(g.cell) AS cms_estimate
+    FROM (SELECT tok, n_exact, d.d AS row,
+                 {SQL_MD5_INT32.format(c="concat('cms', d.d, '_', tok)")} % 256 AS bucket
+          FROM top CROSS JOIN (SELECT UNNEST(range(4)) AS d) d) t
+    JOIN grid g ON g.row = t.row AND g.bucket = t.bucket
+    GROUP BY t.tok, t.n_exact
+)
+SELECT tok, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST(cms_estimate AS BIGINT) AS cms_estimate,
+       CAST(cms_estimate - n_exact AS BIGINT) AS overestimate
+FROM est
+""",
+)
+def q_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch token-frequency estimates for the exact top-20
+    tokens — the deterministic md5-celled CMS grid under a FULL hash
+    oracle; overestimate exposes realized collision error (always >= 0 by
+    the CMS guarantee)."""
+    from ..functions.text import words as _words
+    from ..operators.aggregates import cms_token_frequencies
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(_words(F.col("text"))).alias("tok")).filter(F.col("tok") != "")
+    return cms_token_frequencies(toks, value_col="tok", depth=4, width=256, top_n=20)
