@@ -402,3 +402,106 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
             ).alias("avg_neg_logprob"),
         )
     )
+
+
+def bloom_gram_prefilter(
+    docs: DataFrame, n: int = 8, m_bits: int = 65536, k_hashes: int = 3
+) -> DataFrame:
+    """Bloom-filter decontamination prefilter: build a Bloom filter over the
+    train split's word n-grams, probe every val/test gram through it, and
+    report per eval doc the Bloom hit count next to the exact semi-join
+    overlap — realized false positives included. Beyond-reference scope:
+    at 100 TB the broadcastable ``m_bits``-bit filter replaces the
+    gram-shuffle semi-join as the first decontamination pass (probe-side
+    work is a broadcast hash join against m_bits/63 longs), and only
+    Bloom-positive docs proceed to the exact check.
+
+    Deterministic by construction (md5 bit positions, 63 usable bits per
+    word so the sign bit never participates — two's-complement-free
+    cross-engine), so the filter bitmap AND every probe result carry a
+    FULL DuckDB oracle — the repo's sketch-family discipline (KMV, CMS).
+
+    Split is the same md5 80/10/10 as corpus_split_stats/decontamination.
+    Columns: doc_id, split, n_grams, exact_overlap, bloom_overlap,
+    false_positives (= bloom − exact ≥ 0 by the no-false-negative
+    guarantee).
+    """
+    lab = docs.select(
+        "doc_id",
+        "text",
+        F.when(F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(100)) < 80, "train")
+        .when(F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(100)) < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    train_g = (
+        lab.filter(F.col("split") == "train")
+        .select(F.explode(word_ngrams(F.col("text"), n)).alias("g"))
+        .distinct()
+    )
+
+    def positions(gcol):
+        return [
+            F.pmod(md5_int32(F.concat(F.lit(f"bloom{j}_"), gcol)), F.lit(m_bits))
+            for j in range(k_hashes)
+        ]
+
+    bits_in = None
+    for pos in positions(F.col("g")):
+        p = train_g.select(F.floor(pos / 63).cast("long").alias("word"), pos.alias("p"))
+        bits_in = p if bits_in is None else bits_in.unionByName(p)
+    bitmap = bits_in.groupBy("word").agg(
+        # shiftleft needs the SQL form for a column shift amount
+        F.bit_or(F.expr("shiftleft(cast(1 as bigint), cast(p % 63 as int))")).alias("bits")
+    )
+
+    eval_g = (
+        lab.filter(F.col("split") != "train")
+        .select("doc_id", "split", F.explode(word_ngrams(F.col("text"), n)).alias("g"))
+        .distinct()
+    )
+    # probe: every hash position of the gram must be set
+    probe = eval_g
+    for j, pos in enumerate(positions(F.col("g"))):
+        probe = probe.withColumn(f"w{j}", F.floor(pos / 63).cast("long")).withColumn(
+            f"b{j}", pos % 63
+        )
+    for j in range(k_hashes):
+        probe = probe.join(
+            F.broadcast(bitmap.withColumnsRenamed({"word": f"w{j}", "bits": f"bits{j}"})),
+            f"w{j}",
+            "left",
+        )
+    hit = F.lit(True)
+    for j in range(k_hashes):
+        # shiftright with a column shift amount needs the SQL form
+        hit = hit & (
+            F.coalesce(
+                F.expr(f"pmod(shiftright(bits{j}, cast(b{j} as int)), 2)"), F.lit(0).cast("long")
+            )
+            == 1
+        )
+    bloom = probe.groupBy("doc_id", "split").agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        F.sum(hit.cast("long")).alias("bloom_overlap"),
+    )
+    exact = (
+        eval_g.join(train_g, "g", "left_semi")
+        .groupBy("doc_id", "split")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    return (
+        lab.filter(F.col("split") != "train")
+        .select("doc_id", "split")
+        .join(bloom, ["doc_id", "split"], "left")
+        .join(exact, ["doc_id", "split"], "left")
+        .na.fill({"n_grams": 0, "bloom_overlap": 0, "exact_overlap": 0})
+        .select(
+            "doc_id",
+            "split",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("exact_overlap").cast("long").alias("exact_overlap"),
+            F.col("bloom_overlap").cast("long").alias("bloom_overlap"),
+            (F.col("bloom_overlap") - F.col("exact_overlap")).cast("long").alias("false_positives"),
+        )
+    )

@@ -1445,3 +1445,75 @@ def q_cms_token_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     toks = docs.select(F.explode(_words(F.col("text"))).alias("tok")).filter(F.col("tok") != "")
     return cms_token_frequencies(toks, value_col="tok", depth=4, width=256, top_n=20)
+
+
+def _bloom_oracle_sql(n: int = 8, m_bits: int = 65536, k_hashes: int = 3) -> str:
+    """DuckDB mirror of operators/text_analysis.bloom_gram_prefilter —
+    identical md5 bit positions, 63 usable bits per word (sign bit never
+    participates), bit_or bitmap, k-way probe joins."""
+    grams = sql_word_ngrams("text", n)
+    md5i = SQL_MD5_INT32
+    pos = [md5i.format(c=f"concat('bloom{j}_', g)") + f" % {m_bits}" for j in range(k_hashes)]
+    pos_cols = ", ".join(f"{p} AS p{j}" for j, p in enumerate(pos))
+    joins = "\n".join(
+        f"LEFT JOIN bitmap b{j} ON b{j}.word = e.p{j} // 63" for j in range(k_hashes)
+    )
+    hits = " AND ".join(
+        f"COALESCE((b{j}.bits >> CAST(e.p{j} % 63 AS INT)) % 2, 0) = 1" for j in range(k_hashes)
+    )
+    pos_selects = []
+    for j in range(k_hashes):
+        h = md5i.format(c=f"concat('bloom{j}_', g)")
+        pos_selects.append(f"SELECT {h} % {m_bits} AS p FROM tg")
+    bloom_pos_union = "\nUNION ALL\n".join(pos_selects)
+    return f"""
+WITH lab AS (
+    SELECT doc_id, text, {_SPLIT_CASE} AS split FROM documents
+),
+tg AS (
+    SELECT DISTINCT g FROM (SELECT unnest({grams}) AS g FROM lab WHERE split = 'train')
+),
+tb AS (
+{bloom_pos_union}
+),
+bitmap AS (
+    SELECT p // 63 AS word, bit_or(1::BIGINT << CAST(p % 63 AS INT)) AS bits
+    FROM tb GROUP BY p // 63
+),
+eg AS (
+    SELECT DISTINCT doc_id, split, g
+    FROM (SELECT doc_id, split, unnest({grams}) AS g FROM lab WHERE split <> 'train')
+),
+probe AS (
+    SELECT e.doc_id, e.split,
+           CASE WHEN {hits} THEN 1 ELSE 0 END AS hit
+    FROM (SELECT doc_id, split, g, {pos_cols} FROM eg) e
+{joins}
+),
+bloom AS (
+    SELECT doc_id, split, COUNT(*) AS n_grams, SUM(hit) AS bloom_overlap
+    FROM probe GROUP BY doc_id, split
+),
+exact AS (
+    SELECT doc_id, split, COUNT(*) AS exact_overlap
+    FROM eg SEMI JOIN tg USING (g)
+    GROUP BY doc_id, split
+)
+SELECT l.doc_id, l.split,
+       CAST(COALESCE(b.n_grams, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(x.exact_overlap, 0) AS BIGINT) AS exact_overlap,
+       CAST(COALESCE(b.bloom_overlap, 0) AS BIGINT) AS bloom_overlap,
+       CAST(COALESCE(b.bloom_overlap, 0) - COALESCE(x.exact_overlap, 0) AS BIGINT) AS false_positives
+FROM (SELECT doc_id, split FROM lab WHERE split <> 'train') l
+LEFT JOIN bloom b USING (doc_id, split)
+LEFT JOIN exact x USING (doc_id, split)
+"""
+
+
+@register("bloom_decontamination_prefilter", _bloom_oracle_sql())
+def q_bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter: broadcastable md5-Bloom over
+    train 8-grams probed by every eval gram, reported against the exact
+    semi-join overlap (false_positives >= 0 by the no-false-negative
+    guarantee) — the third member of the oracle-checked sketch family."""
+    return ta.bloom_gram_prefilter(load_table(spark, "documents", sf_dir), n=8)
