@@ -70,3 +70,34 @@ def train_and_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.registry_graph_extras import q_model_scoring_topk
 
     return q_model_scoring_topk(spark, sf_dir)
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str, quality_min: float = 0.7) -> DataFrame:
+    """EP4 (beyond-reference, BASELINE.json north star): the training-data
+    curation pipeline as one call — lexical near-dup clustering (SimHash +
+    connected components, exact-collapse pre-pass), best-doc-per-cluster
+    selection, quality gate, SemDeDup semantic pruning — returning the
+    keep-list (doc_id, cluster_id, cluster_size, quality_score) a corpus
+    sink would write. Per-language rollups of exactly this list are the
+    oracle-checked ``corpus_curation_semantic`` registry query."""
+    from .operators import components as cc
+    from .operators import dedup as dd
+    from .operators import similarity as sim
+    from .operators import text_analysis as ta
+
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    clusters = cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
+    kept = cc.canonical_docs(clusters, ta.quality_scores(docs)).filter(
+        F.col("quality_score") >= quality_min
+    )
+    sem_kept = (
+        sim.semdedup(emb, threshold=0.4, n_cells=16)
+        .filter(F.col("pruned") == 0)
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    return (
+        kept.withColumnRenamed("canonical_doc_id", "doc_id")
+        .join(sem_kept, "doc_id")
+        .select("doc_id", "cluster_id", "cluster_size", "quality_score")
+    )

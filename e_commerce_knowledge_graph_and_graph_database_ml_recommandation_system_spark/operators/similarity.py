@@ -387,7 +387,11 @@ def similarity_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col
 
 
 def _hash_cell_ranked(
-    emb: DataFrame, n_cells: int, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    n_cells: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_source: DataFrame | None = None,
 ) -> DataFrame:
     """Shared deterministic coarse quantizer for ivf_hash_topk / semdedup:
     centroids are the ``n_cells`` corpus vectors with the smallest
@@ -400,7 +404,16 @@ def _hash_cell_ranked(
         "long"
     )
     e = emb.select(F.col(id_col).alias("vid"), v.alias("v"), h.alias("h"))
-    cent_rows = e.orderBy("h", "vid").limit(n_cells).select("vid", "v").collect()
+    src = e
+    if centroid_source is not None:
+        src = centroid_source.select(
+            F.col(id_col).alias("vid"),
+            _as_double(F.col(vec_col)).alias("v"),
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("ivf_"), F.col(id_col).cast("string"))), 1, 8), 16, 10
+            ).cast("long").alias("h"),
+        )
+    cent_rows = src.orderBy("h", "vid").limit(n_cells).select("vid", "v").collect()
 
     centers_lit = F.array(*[
         F.struct(F.lit(i).alias("cell"), F.array(*[F.lit(float(x)) for x in r["v"]]).alias("cv"))
@@ -635,4 +648,78 @@ def ivf_topk(
         pairs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
+    )
+
+
+def semdedup_incremental(
+    emb: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Incremental semantic admission check — the embedding-modality
+    sibling of ``dedup.incremental_dedup``: the new ingest batch
+    (md5('b_'||id) % 2 == 1, the same deterministic batch split) is
+    screened against the EXISTING corpus (batch 0) through the
+    deterministic coarse quantizer, whose centroids derive from the
+    existing corpus only — exactly the production shape, where the index
+    predates the arriving batch.
+
+    Asymmetric by construction: candidate pairs are new × existing within
+    a cell, so the join is increment-bounded (|new|·cell-density), never
+    corpus²; re-screening the whole corpus is never needed. Fully
+    deterministic -> FULL DuckDB hash oracle.
+
+    Columns: vec_id (new batch), is_dup (cos6 ≥ threshold vs any existing
+    member of its cell), dup_of, cosine (best match: cos desc, id asc;
+    NULLs when no existing vector reaches the threshold).
+    """
+    batch = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("b_"), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(2),
+    )
+    existing = emb.filter(batch == 0)
+    ranked = _hash_cell_ranked(emb, n_cells, id_col, vec_col, centroid_source=existing)
+    b2 = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("b_"), F.col("vid").cast("string"))), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(2),
+    )
+    assign = ranked.select("vid", "v", F.element_at("cs", 1)["cell"].alias("cell"), b2.alias("batch"))
+    new = assign.filter(F.col("batch") == 1).select(
+        F.col("vid").alias("nid"), F.col("v").alias("nv"), "cell"
+    )
+    old = assign.filter(F.col("batch") == 0).select(
+        F.col("vid").alias("oid"), F.col("v").alias("ov"), "cell"
+    )
+    cand = (
+        new.join(old, "cell")
+        .select(
+            "nid",
+            "oid",
+            F.round(
+                _dot(F.col("nv"), F.col("ov")) / (_norm(F.col("nv")) * _norm(F.col("ov"))), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("nid").orderBy(F.desc("cosine"), F.asc("oid"))
+    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        new.select(F.col("nid").alias(id_col))
+        .join(
+            best.select(F.col("nid").alias(id_col), F.col("oid").alias("dup_of"), "cosine"),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.col("dup_of").isNotNull().cast("int").alias("is_dup"),
+            "dup_of",
+            "cosine",
+        )
     )

@@ -392,8 +392,11 @@ def unigram_logprob(docs: DataFrame) -> DataFrame:
         F.round(F.log(F.col("n_total") / F.col("cnt")), 9).cast("decimal(18,10)").alias("nlp"),
     )
     per_doc_tok = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # no forced broadcast hint: the vocabulary side is usually dim-sized
+    # (AQE will pick a broadcast join), but a web-scale corpus can push the
+    # vocabulary past broadcast limits — let AQE decide from observed size
     return (
-        per_doc_tok.join(F.broadcast(neglogp), "tok")
+        per_doc_tok.join(neglogp, "tok")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_tokens"),

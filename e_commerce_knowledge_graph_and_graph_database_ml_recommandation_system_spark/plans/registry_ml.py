@@ -538,3 +538,60 @@ def q_node2vec_biased_walks_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN top-k (seeded KMeans coarse quantizer, probe=2)."""
     return sim.ivf_topk(load_table(spark, "embeddings", sf_dir), k=5, n_cells=8, n_probe=2)
+
+
+@register("quality_classifier_metrics", None)
+def q_quality_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering — the fastText/WebText-classifier
+    stage of an LLM data pipeline (GPT-3 trained a classifier on
+    WebText-vs-CommonCrawl; here the positive class is the heuristic
+    top-quality quartile) as a pyspark.ml LogisticRegression over cheap
+    per-doc text statistics. Beyond-reference scope per BASELINE.json.
+
+    Rows-only (model fit), gated by invariants in pytest: deterministic
+    md5 80/20 split, seeded fit, holdout AUC floor, and the score column
+    bounded to [0,1]. At 100 TB the trained coefficient vector is a
+    broadcastable constant and scoring is one whole-stage-codegen pass —
+    the exact production economics of classifier-based filtering."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+    from pyspark.ml.feature import VectorAssembler
+
+    from ..functions.text import md5_int32
+    from ..operators import text_analysis as ta
+    from ..sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    q = ta.quality_scores(docs)
+    rep = ta.repetition_scores(docs).select("doc_id", "top_bigram_frac", "dup_token_frac")
+    t = ta.token_stats(docs).select("doc_id", "ttr")
+    feats = ["n_chars", "n_words", "punct_ratio", "stopword_ratio", "mean_word_len",
+             "alpha_ratio", "top_bigram_frac", "dup_token_frac", "ttr"]
+    # label: top-quality quartile by the heuristic composite (the stand-in
+    # for human/reference-corpus labels)
+    thresh = q.approxQuantile("quality_score", [0.75], 0.001)[0]
+    ds = (
+        q.join(rep, "doc_id")
+        .join(t, "doc_id")
+        .na.fill(0.0)
+        .withColumn("label", (F.col("quality_score") >= F.lit(thresh)).cast("double"))
+        .withColumn("holdout", F.pmod(md5_int32(F.concat(F.lit("qc_"), F.col("doc_id").cast("string"))), F.lit(100)) >= 80)
+    )
+    assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(ds)
+    train = assembled.filter(~F.col("holdout"))
+    test = assembled.filter(F.col("holdout"))
+    lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=50, regParam=0.01)
+    model = lr.fit(train)
+    scored = model.transform(test)
+    auc = BinaryClassificationEvaluator(
+        labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    ).evaluate(scored)
+    pos_rate = ds.agg(F.avg("label")).collect()[0][0]
+    rows = [
+        ("holdout_auc_roc", float(auc)),
+        ("train_rows", float(train.count())),
+        ("test_rows", float(test.count())),
+        ("positive_rate", float(pos_rate)),
+        ("n_features", float(len(feats))),
+    ]
+    return spark.createDataFrame(rows, ["metric", "value"])

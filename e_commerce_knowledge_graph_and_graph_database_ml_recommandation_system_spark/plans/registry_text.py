@@ -1517,3 +1517,116 @@ def q_bloom_decontamination_prefilter(spark: SparkSession, sf_dir: str) -> DataF
     semi-join overlap (false_positives >= 0 by the no-false-negative
     guarantee) — the third member of the oracle-checked sketch family."""
     return ta.bloom_gram_prefilter(load_table(spark, "documents", sf_dir), n=8)
+
+
+@register(
+    "semdedup_incremental",
+    """
+WITH e AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           ('0x' || substr(md5(concat('ivf_', vec_id)), 1, 8))::BIGINT AS h,
+           ('0x' || substr(md5(concat('b_', vec_id)), 1, 8))::BIGINT % 2 AS batch
+    FROM embeddings
+),
+cent AS (
+    SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell
+    FROM (SELECT * FROM e WHERE batch = 0 ORDER BY h, vec_id LIMIT 16)
+),
+sims AS (
+    SELECT e.vec_id, c.cell,
+           ROUND(list_dot_product(e.v, c.cv) /
+                 (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos
+    FROM e CROSS JOIN cent c
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r
+        FROM sims
+    ) WHERE r = 1
+),
+cand AS (
+    SELECT n.vec_id AS nid, o.vec_id AS oid,
+           ROUND(list_dot_product(en.v, eo.v) /
+                 (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(eo.v, eo.v))), 6) AS cosine
+    FROM assign n JOIN e en ON en.vec_id = n.vec_id AND en.batch = 1
+    JOIN assign o ON o.cell = n.cell
+    JOIN e eo ON eo.vec_id = o.vec_id AND eo.batch = 0
+),
+best AS (
+    SELECT nid, oid, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY nid ORDER BY cosine DESC, oid ASC) AS rn
+        FROM cand WHERE cosine >= 0.4
+    ) WHERE rn = 1
+)
+SELECT n.vec_id,
+       CAST(b.oid IS NOT NULL AS INT) AS is_dup,
+       b.oid AS dup_of,
+       b.cosine
+FROM (SELECT vec_id FROM e WHERE batch = 1) n
+LEFT JOIN best b ON b.nid = n.vec_id
+""",
+)
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental semantic admission: the new ingest batch screened
+    against the existing corpus within the existing-corpus-derived
+    quantizer cells — increment-bounded, the embedding-modality sibling
+    of incremental_dedup."""
+    return sim.semdedup_incremental(load_table(spark, "embeddings", sf_dir), threshold=0.4, n_cells=16)
+
+
+@register(
+    "corpus_datacard",
+    f"""
+WITH w AS (SELECT doc_id, source, text, {_WS8} AS ws FROM documents),
+tok AS (SELECT doc_id, unnest(ws) AS tok FROM w),
+toks AS (SELECT doc_id, tok FROM tok WHERE tok <> ''),
+qual AS (
+    SELECT doc_id,
+           ROUND(LEAST(len({_WS8}) / 20.0, 1.0) * 0.3
+             + (1.0 - LEAST((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+                            / NULLIF(CAST(length(text) AS DOUBLE), 0), 1.0)) * 0.2
+             + LEAST(len(list_intersect(list_distinct({_WS8}), [{_EN_SW_FWD}])) / 3.0, 1.0) * 0.3
+             + COALESCE(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                        / NULLIF(CAST(length(text) AS DOUBLE), 0), 0.0) * 0.2, 6) AS quality_score
+    FROM documents
+)
+SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM w) AS n_docs,
+    (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) FROM w) AS n_sources,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM toks) AS total_tokens,
+    (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) FROM toks) AS vocab_size,
+    (SELECT CAST(COUNT(*) - COUNT(DISTINCT {SQL_NORMALIZE.format(c="text")}) AS BIGINT) FROM documents) AS exact_dup_docs,
+    (SELECT ROUND(CAST(SUM(CAST(quality_score AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*), 6) FROM qual) AS mean_quality
+""",
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus datasheet (the 'data card' a curation run publishes):
+    docs, sources, token totals, vocabulary size, exact-duplicate count,
+    decimal-exact mean quality. Each statistic is a single aggregate —
+    one pass over the corpus at any scale."""
+    from ..functions.text import normalize_text, words as _words
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    q = ta.quality_scores(docs)
+    base = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        (F.count(F.lit(1)) - F.countDistinct(normalize_text(F.col("text")))).alias("exact_dup_docs"),
+    )
+    tk = toks.agg(
+        F.count(F.lit(1)).alias("total_tokens"), F.countDistinct("tok").alias("vocab_size")
+    )
+    mq = q.agg(
+        F.round(
+            F.sum(F.col("quality_score").cast("decimal(18,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_quality")
+    )
+    return (
+        base.crossJoin(tk)
+        .crossJoin(mq)
+        .select("n_docs", "n_sources", "total_tokens", "vocab_size", "exact_dup_docs", "mean_quality")
+    )

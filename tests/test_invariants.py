@@ -1072,3 +1072,66 @@ def test_semdedup_keep_first_within_cell(spark):
     # same-cell dups: if 2 and 3 share a cell with 1, both must be pruned
     same_cell = {v for v in (2, 3) if got[v]["cell"] == got[1]["cell"]}
     assert same_cell <= pruned
+
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    """Bloom guarantee: every exact train-overlap gram is Bloom-positive,
+    so bloom_overlap >= exact_overlap on EVERY eval doc (false_positives
+    >= 0); docs with zero exact overlap may still be Bloom-positive."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.text_analysis import (
+        bloom_gram_prefilter,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    out = bloom_gram_prefilter(docs, n=8).collect()
+    assert len(out) > 0
+    assert all(r["false_positives"] >= 0 for r in out), "false negative: bloom < exact"
+    assert all(r["bloom_overlap"] <= r["n_grams"] for r in out)
+
+
+def test_semdedup_incremental_asymmetry(spark):
+    """Only new-batch vectors appear in the output; every flagged dup_of is
+    an existing-batch vector; verbatim copies across batches are flagged
+    with cosine 1.0."""
+    import hashlib
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.similarity import (
+        semdedup_incremental,
+    )
+
+    def batch(i):
+        return int(hashlib.md5(f"b_{i}".encode()).hexdigest()[:8], 16) % 2
+
+    # find one existing-batch and one new-batch id, give them identical vectors
+    ids = list(range(40))
+    old_id = next(i for i in ids if batch(i) == 0)
+    new_id = next(i for i in ids if batch(i) == 1)
+    dim = 8
+    rows = []
+    for i in ids:
+        if i in (old_id, new_id):
+            v = [1.0] * dim
+        else:
+            v = [float((i * 7 + d) % 5) for d in range(dim)]
+        rows.append((i, v))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in semdedup_incremental(emb, threshold=0.99, n_cells=2).collect()}
+
+    assert set(out) == {i for i in ids if batch(i) == 1}, "output must be the new batch only"
+    for r in out.values():
+        if r["dup_of"] is not None:
+            assert batch(r["dup_of"]) == 0, "dup_of must reference the existing corpus"
+    assert out[new_id]["is_dup"] == 1 and out[new_id]["dup_of"] == old_id
+    assert abs(out[new_id]["cosine"] - 1.0) < 1e-6
+
+
+def test_quality_classifier_gates(spark):
+    """Model-based quality filtering: deterministic split, AUC floor on the
+    holdout, sane row accounting."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+
+    out = {r["metric"]: r["value"] for r in registry.queries()["quality_classifier_metrics"](spark, SF).collect()}
+    assert out["holdout_auc_roc"] > 0.8, f"AUC too low: {out['holdout_auc_roc']}"
+    assert out["train_rows"] + out["test_rows"] == 500
+    assert 0.1 < out["positive_rate"] < 0.5

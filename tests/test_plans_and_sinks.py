@@ -352,3 +352,18 @@ def test_jsonl_corpus_roundtrip(spark, sf_dir, tmp_path):
     rows = got.collect()
     assert len(rows) == 2
     assert sum(r["_corrupt_record"] is not None for r in rows) == 1
+
+
+def test_curate_corpus_facade(spark, sf_dir):
+    """EP4 facade: the keep-list is consistent with the oracle-checked
+    per-language rollup (same doc count) and structurally sound."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark import api
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+
+    kept = api.curate_corpus(spark, sf_dir).cache()
+    n = kept.count()
+    assert n > 0
+    assert kept.select("doc_id").distinct().count() == n
+    assert kept.filter(F.col("quality_score") < 0.7).count() == 0
+    rollup = registry.queries()["corpus_curation_semantic"](spark, sf_dir)
+    assert rollup.agg(F.sum("n_docs")).collect()[0][0] == n
