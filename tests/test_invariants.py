@@ -1135,3 +1135,39 @@ def test_quality_classifier_gates(spark):
     assert out["holdout_auc_roc"] > 0.8, f"AUC too low: {out['holdout_auc_roc']}"
     assert out["train_rows"] + out["test_rows"] == 500
     assert 0.1 < out["positive_rate"] < 0.5
+
+
+def test_kmv_sketch_mergeability(spark):
+    """KMV's merge identity: the global k-minimum hash set is contained in
+    the union of per-group k-minimum sets, so merging per-source sketches
+    reproduces the direct global sketch EXACTLY (same h_k, same estimate)
+    — the property that lets 100-TB shards sketch independently."""
+    import hashlib
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.aggregates import (
+        kmv_distinct_sketch,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.functions.text import words as _words
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    k = 16
+    docs = load_table(spark, "documents", SF)
+    toks = docs.select("source", F.explode(_words(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    # direct global sketch (single group)
+    direct = kmv_distinct_sketch(toks.withColumn("g", F.lit("all")), ["g"], "tok", k=k).collect()[0]
+
+    # merge: k smallest hashes across the union of per-source k-min sets
+    def h32(v):
+        return int(hashlib.md5(f"kmv_{v}".encode()).hexdigest()[:8], 16)
+
+    per_source_tokens = toks.distinct().collect()
+    by_src = {}
+    for r in per_source_tokens:
+        by_src.setdefault(r["source"], set()).add(r["tok"])
+    union_kmin = set()
+    for vs in by_src.values():
+        union_kmin |= set(sorted({h32(v) for v in vs})[:k])
+    merged = sorted(union_kmin)[:k]
+    assert merged[-1] == direct["h_k"], "merged sketch must equal the direct global sketch"
