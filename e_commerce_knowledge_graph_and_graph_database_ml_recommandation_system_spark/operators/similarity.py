@@ -696,23 +696,49 @@ def semdedup_incremental(
     old = assign.filter(F.col("batch") == 0).select(
         F.col("vid").alias("oid"), F.col("v").alias("ov"), "cell"
     )
-    cand = (
-        new.join(old, "cell")
-        .select(
-            "nid",
-            "oid",
-            F.round(
-                _dot(F.col("nv"), F.col("ov")) / (_norm(F.col("nv")) * _norm(F.col("ov"))), 6
-            ).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
+    # per-cell cogrouped gemm (the ivf_hash_topk cell_topk pattern): the
+    # new×existing HOF-dot join costs |pairs|·dim expression evaluations —
+    # the measured scale bottleneck — while one gemm per cell is BLAS. A
+    # new vector lives in exactly one cell, so per-cell best IS global best.
+    import numpy as np
+    import pandas as pd
+
+    tau = threshold
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    def cell_best(npdf: pd.DataFrame, opdf: pd.DataFrame) -> pd.DataFrame:
+        if npdf.empty or opdf.empty:
+            return pd.DataFrame({"nid": [], "dup_of": [], "cosine": []})
+        N = np.stack(npdf["nv"].to_numpy())
+        O = np.stack(opdf["ov"].to_numpy())
+        nn = np.linalg.norm(N, axis=1)
+        on = np.linalg.norm(O, axis=1)
+        # raw dot/(|a||b|) — the oracle's operation order, no zero-guard
+        S = np.round((N @ O.T) / np.outer(nn, on), 6)
+        oids = opdf["oid"].to_numpy()
+        out_n, out_o, out_c = [], [], []
+        for i, nid in enumerate(npdf["nid"].to_numpy()):
+            sims = S[i]
+            mask = sims >= tau
+            if not mask.any():
+                continue
+            # best = cosine desc, oid asc
+            order = np.lexsort((oids[mask], -sims[mask]))
+            j = np.flatnonzero(mask)[order[0]]
+            out_n.append(nid)
+            out_o.append(oids[j])
+            out_c.append(sims[j])
+        return pd.DataFrame({"nid": out_n, "dup_of": out_o, "cosine": out_c})
+
+    best = (
+        new.groupBy("cell")
+        .cogroup(old.groupBy("cell"))
+        .applyInPandas(cell_best, f"nid {id_type}, dup_of {id_type}, cosine double")
     )
-    w = Window.partitionBy("nid").orderBy(F.desc("cosine"), F.asc("oid"))
-    best = cand.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
     return (
         new.select(F.col("nid").alias(id_col))
         .join(
-            best.select(F.col("nid").alias(id_col), F.col("oid").alias("dup_of"), "cosine"),
+            best.select(F.col("nid").alias(id_col), "dup_of", "cosine"),
             id_col,
             "left",
         )
