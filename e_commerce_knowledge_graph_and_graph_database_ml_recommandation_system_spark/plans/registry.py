@@ -49,6 +49,8 @@ def register(name: str, oracle: Optional[str] = None):
 # They are green under the local oracle suite, but the driver's sf0.01 run
 # is the hard signal, so they sort first until sampled.
 _DRIVER_UNSAMPLED = (
+    "events_type_pivot",
+    "events_json_props",
     "corpus_datacard",
     "semdedup_incremental",
     "bloom_decontamination_prefilter",

@@ -174,3 +174,61 @@ def q_events_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_purchase_ts"),
         F.round("asof_value", 6).alias("last_purchase_value"),
     )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "events_type_pivot",
+    f"""
+SELECT user_id,
+       {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS {t}" for t in _EVENT_TYPES)},
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 6) AS total_value
+FROM events GROUP BY user_id
+""",
+)
+def q_events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event-type counts via the DataFrame
+    pivot API with an EXPLICIT value list — at 100 TB the implicit form
+    costs an extra distinct pass over the fact table and can explode the
+    schema; pinning the dimension values keeps it one aggregate. Total
+    value rides along decimal-exact."""
+    ev = load_table(spark, "events", sf_dir)
+    counts = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+        .select("user_id", *[F.col(t).cast("long").alias(t) for t in _EVENT_TYPES])
+    )
+    vals = ev.groupBy("user_id").agg(
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias("total_value")
+    )
+    return counts.join(vals, "user_id")
+
+
+@register(
+    "events_json_props",
+    """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+       ROUND(CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) / COUNT(*), 6) AS avg_k
+FROM events GROUP BY event_type
+""",
+)
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction (§2.10 function surface): pull a typed
+    field out of the JSON ``props`` column with get_json_object (JVM-side
+    JSON path, no UDF) and aggregate it — integer sums so the mean is
+    division-exact cross-engine."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.max(k).alias("max_k"),
+        F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
+    )
