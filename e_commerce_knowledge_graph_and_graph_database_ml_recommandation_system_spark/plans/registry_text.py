@@ -1630,3 +1630,49 @@ def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(mq)
         .select("n_docs", "n_sources", "total_tokens", "vocab_size", "exact_dup_docs", "mean_quality")
     )
+
+
+@register(
+    "weighted_corpus_sample",
+    f"""
+WITH base AS (
+    SELECT doc_id, source, CAST(length(text) AS DOUBLE) AS w,
+           ({SQL_MD5_INT32.format(c="concat('ws_', doc_id)")} + 1) / 4294967297.0 AS u
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, source, w, ROUND(LN(u) / w, 9) AS key
+    FROM base WHERE w > 0
+)
+SELECT source, rank, doc_id, CAST(w AS BIGINT) AS n_chars
+FROM (SELECT source, doc_id, w,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY key DESC, doc_id ASC) AS rank
+      FROM keyed)
+WHERE rank <= 5
+""",
+)
+def q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis A-Res,
+    the distributed-reservoir standard): per source, 5 docs drawn with
+    probability proportional to length — the corpus-subsampling step that
+    favors substantive documents. Key = ln(u)/w with md5-uniform u, so the
+    SAMPLE ITSELF is deterministic and hash-matches the oracle (the
+    engine-RNG-free discipline of every sampler in this repo). One
+    per-group top-k window — no global sort, no driver state; at 100 TB
+    the reservoir per group is k rows."""
+    from ..functions.text import md5_int32
+
+    docs = load_table(spark, "documents", sf_dir)
+    u = (md5_int32(F.concat(F.lit("ws_"), F.col("doc_id").cast("string"))) + 1) / F.lit(4294967297.0)
+    base = docs.select(
+        "doc_id", "source", F.length("text").cast("double").alias("w"), u.alias("u")
+    ).filter(F.col("w") > 0)
+    keyed = base.withColumn("key", F.round(F.log(F.col("u")) / F.col("w"), 9))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("source").orderBy(F.desc("key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 5)
+        .select("source", "rank", "doc_id", F.col("w").cast("long").alias("n_chars"))
+    )

@@ -367,3 +367,40 @@ def test_curate_corpus_facade(spark, sf_dir):
     assert kept.filter(F.col("quality_score") < 0.7).count() == 0
     rollup = registry.queries()["corpus_curation_semantic"](spark, sf_dir)
     assert rollup.agg(F.sum("n_docs")).collect()[0][0] == n
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing co-location — the 100-TB join pattern: orders and lineitem
+    written bucketed+sorted on the join key join WITHOUT any Exchange in
+    the plan (both sides' bucketing satisfies the join's distribution),
+    while the unbucketed parquet join of the same data shuffles."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    # warehouse.dir is a static conf — use the session default and clean up
+    spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
+    lineitem = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
+    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("buckdemo.orders_b"))
+    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("buckdemo.lineitem_b"))
+    try:
+        ob = spark.table("buckdemo.orders_b")
+        lb = spark.table("buckdemo.lineitem_b")
+        # merge hint pins sort-merge (small test tables would otherwise
+        # broadcast) — the strategy a 100-TB fact-fact join actually uses
+        joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed sort-merge join must not shuffle:\n{plan}"
+        )
+        # sanity: the same SMJ over plain parquet DOES shuffle on the key
+        plain = orders.hint("merge").join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" in plain_plan
+        # and the bucketed join returns the same row count
+        assert joined.count() == plain.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
+        spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
+        spark.sql("DROP DATABASE IF EXISTS buckdemo")
