@@ -1676,3 +1676,49 @@ def q_weighted_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("source", "rank", "doc_id", F.col("w").cast("long").alias("n_chars"))
     )
+
+
+def _stream_curation_oracle_sql(n_batches: int = 4, max_hamming: int = 3) -> str:
+    """Unrolled-batch mirror of streaming/ingest.stream_curated_ingest: the
+    SAME deterministic doc_id % n_batches split, within-batch keep-first
+    screening, and cross-batch admission against every earlier admitted
+    batch — a Structured Streaming pipeline under the hash gate."""
+    ham = f"bit_count(xor(d2.simhash, d.simhash)) <= {max_hamming}"
+    rounds = ["a0 AS (SELECT doc_id, simhash, batch FROM w WHERE batch = 0)"]
+    for b in range(1, n_batches):
+        prior = " UNION ALL ".join(f"SELECT simhash FROM a{p}" for p in range(b))
+        rounds.append(
+            f"a{b} AS (SELECT d.doc_id, d.simhash, d.batch FROM w d WHERE d.batch = {b} "
+            f"AND NOT EXISTS (SELECT 1 FROM ({prior}) d2 WHERE {ham}))"
+        )
+    union_all = " UNION ALL ".join(f"SELECT batch FROM a{b}" for b in range(n_batches))
+    return f"""
+WITH {_SIMHASH_CTE.strip()},
+b AS (SELECT doc_id, simhash, doc_id % {n_batches} AS batch FROM sims),
+w AS (
+    SELECT * FROM b d WHERE NOT EXISTS (
+        SELECT 1 FROM b d2
+        WHERE d2.batch = d.batch AND d2.doc_id < d.doc_id AND {ham}
+    )
+),
+{",".join(rounds)}
+SELECT CAST(batch AS INT) AS batch_id, CAST(COUNT(*) AS BIGINT) AS admitted
+FROM ({union_all}) GROUP BY batch
+"""
+
+
+@register("documents_stream_curation", _stream_curation_oracle_sql())
+def q_documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Structured Streaming curation admission (readStream →
+    foreachBatch near-dup screening → partitioned state appends), hash-
+    checked end to end: deterministic batches make the streamed result
+    equal the unrolled-batch SQL oracle — the streaming analog of the
+    events_stream_* unified-semantics guarantee, applied to the
+    training-data pipeline."""
+    import tempfile
+
+    from ..streaming.ingest import stream_curated_ingest
+
+    tmp = tempfile.mkdtemp(prefix="stream_curation_")
+    out = stream_curated_ingest(spark, sf_dir, f"{tmp}/state", f"{tmp}/ckpt", n_batches=4)
+    return out.select(F.col("batch_id").cast("int").alias("batch_id"), "admitted")

@@ -82,3 +82,126 @@ def stream_dvid_ingest(
 
     state = spark.read.parquet(out_dir)
     return state.groupBy("dvid").agg(F.count("*").alias("cnt")).orderBy("dvid")
+
+
+def stream_curated_ingest(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    ckpt_dir: str,
+    n_batches: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Streaming corpus curation: documents arrive in micro-batches and each
+    batch is ADMITTED against the already-admitted state — within-batch
+    keep-first near-dup screening (a doc is dropped if a lower-id doc in
+    its batch is within ``max_hamming`` simhash bits) plus a cross-batch
+    screen against every previously admitted doc (the incremental_dedup
+    join, state-side banded). Only admitted (doc_id, simhash) rows append
+    to the state table, partitioned by batch with dynamic partition
+    overwrite — replays are idempotent, exactly the dvid-ingest discipline.
+
+    Batches are the DETERMINISTIC split doc_id % n_batches, one parquet
+    file per batch with ascending mtimes so the file source triggers them
+    in order — which makes the whole streaming pipeline's admission
+    semantics reproducible and (for fixed n_batches) expressible as an
+    unrolled SQL oracle: a hash-checkable Structured Streaming pipeline.
+
+    Scale: per micro-batch work is |batch| x band-density against state —
+    increment-bounded; the state table is append-only and banded joins
+    prune by band key. Returns per-batch admitted counts.
+    """
+    import os
+    import time
+
+    from ..operators import dedup as dd
+
+    src_dir = f"{out_dir}_src"
+    if not os.path.isdir(src_dir):
+        os.makedirs(src_dir, exist_ok=True)
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        t0 = time.time() - 3600
+        for b in range(n_batches):
+            tmp = f"{src_dir}/_tmp_{b}"
+            (
+                docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(tmp)
+            )
+            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            dst = f"{src_dir}/batch_{b}.parquet"
+            os.replace(f"{tmp}/{part}", dst)
+            os.utime(dst, (t0 + b, t0 + b))  # trigger order = batch order
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    schema = spark.read.parquet(src_dir).schema
+
+    def band_keys(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            "simhash",
+            F.explode(
+                F.array(*[
+                    F.concat_ws(
+                        "_", F.lit(b), F.shiftright(F.col("simhash"), b * 8).bitwiseAND(F.lit(255))
+                    )
+                    for b in range(4)
+                ])
+            ).alias("band_key"),
+        )
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sh = dd.simhash(batch_df)
+        # within-batch keep-first: drop any doc near-dup of a lower id
+        within_drop = (
+            dd.simhash_near_dup(batch_df, max_hamming=max_hamming)
+            .select(F.col("doc_b").alias("doc_id"))
+            .distinct()
+        )
+        survivors = sh.join(within_drop, "doc_id", "left_anti")
+        state = (
+            spark.read.parquet(out_dir).select("doc_id", "simhash")
+            if os.path.isdir(out_dir)
+            else None
+        )
+        if state is not None:
+            nb = band_keys(survivors).withColumnsRenamed({"doc_id": "nid", "simhash": "nh"})
+            sb = band_keys(state)
+            rejected = (
+                nb.join(sb, "band_key")
+                .filter(F.bit_count(F.col("nh").bitwiseXOR(F.col("simhash"))) <= max_hamming)
+                .select(F.col("nid").alias("doc_id"))
+                .distinct()
+            )
+            survivors = survivors.join(rejected, "doc_id", "left_anti")
+        batch_no = batch_df.select(
+            F.pmod(F.min("doc_id"), F.lit(n_batches)).alias("b")
+        ).collect()[0]["b"]
+        (
+            survivors.withColumn("batch_id", F.lit(int(batch_no)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(out_dir)
+        )
+
+    stream = (
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(src_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(admit_batch)
+        .option("checkpointLocation", ckpt_dir)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    state = spark.read.parquet(out_dir)
+    return state.groupBy("batch_id").agg(F.count("*").alias("admitted")).orderBy("batch_id")

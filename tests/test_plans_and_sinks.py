@@ -368,39 +368,33 @@ def test_curate_corpus_facade(spark, sf_dir):
     rollup = registry.queries()["corpus_curation_semantic"](spark, sf_dir)
     assert rollup.agg(F.sum("n_docs")).collect()[0][0] == n
 
+def test_stream_curated_ingest_idempotent(spark, sf_dir, tmp_path):
+    """Streaming curation admission: the admitted state is pairwise
+    non-near-dup (no two admitted docs within hamming 3), counts cover all
+    four deterministic batches, and a checkpointed restart adds nothing."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.streaming.ingest import (
+        stream_curated_ingest,
+    )
 
-def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
-    """Bucketing co-location — the 100-TB join pattern: orders and lineitem
-    written bucketed+sorted on the join key join WITHOUT any Exchange in
-    the plan (both sides' bucketing satisfies the join's distribution),
-    while the unbucketed parquet join of the same data shuffles."""
-    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+    out, ckpt = f"{tmp_path}/state", f"{tmp_path}/ckpt"
+    counts = stream_curated_ingest(spark, sf_dir, out, ckpt, n_batches=4).collect()
+    assert [r["batch_id"] for r in counts] == [0, 1, 2, 3]
+    assert all(r["admitted"] > 0 for r in counts)
 
-    # warehouse.dir is a static conf — use the session default and clean up
-    spark.sql("CREATE DATABASE IF NOT EXISTS buckdemo")
-    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey")
-    lineitem = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_partkey")
-    (orders.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("buckdemo.orders_b"))
-    (lineitem.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("buckdemo.lineitem_b"))
-    try:
-        ob = spark.table("buckdemo.orders_b")
-        lb = spark.table("buckdemo.lineitem_b")
-        # merge hint pins sort-merge (small test tables would otherwise
-        # broadcast) — the strategy a 100-TB fact-fact join actually uses
-        joined = ob.hint("merge").join(lb, ob.o_orderkey == lb.l_orderkey)
-        plan = joined._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" not in plan, (
-            f"bucketed sort-merge join must not shuffle:\n{plan}"
-        )
-        # sanity: the same SMJ over plain parquet DOES shuffle on the key
-        plain = orders.hint("merge").join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
-        assert "Exchange hashpartitioning" in plain_plan
-        # and the bucketed join returns the same row count
-        assert joined.count() == plain.count()
-    finally:
-        spark.sql("DROP TABLE IF EXISTS buckdemo.lineitem_b")
-        spark.sql("DROP TABLE IF EXISTS buckdemo.orders_b")
-        spark.sql("DROP DATABASE IF EXISTS buckdemo")
+    # admitted set pairwise hamming > 3 (banded join is lossless for <=3)
+    state = spark.read.parquet(out).select("doc_id", "simhash")
+    a = state.withColumnsRenamed({"doc_id": "da", "simhash": "ha"})
+    b = state.withColumnsRenamed({"doc_id": "db", "simhash": "hb"})
+    close = (
+        a.crossJoin(b)
+        .filter(F.col("da") < F.col("db"))
+        .filter(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+        .count()
+    )
+    assert close == 0, "admitted corpus contains a near-dup pair"
+
+    # restart against the same checkpoint: offsets committed -> no growth
+    counts2 = stream_curated_ingest(spark, sf_dir, out, ckpt, n_batches=4).collect()
+    assert [(r["batch_id"], r["admitted"]) for r in counts2] == [
+        (r["batch_id"], r["admitted"]) for r in counts
+    ]
