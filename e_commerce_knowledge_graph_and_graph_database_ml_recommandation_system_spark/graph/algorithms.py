@@ -739,3 +739,59 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
         )
     out = ranks.select("id", F.round(F.col("r").cast("double"), 6).alias("rank"))
     return out
+
+
+def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient — the
+    standard distributed enumeration over the ORIENTED edge list
+    (each undirected edge kept once as a<b; a triangle a<b<c is found
+    exactly once as edges (a,b),(b,c) closed by (a,c), so the count is a
+    two-equi-join + semi-join, never a cube). Beyond-reference graph
+    layer; the NetworkX analog is nx.triangles/clustering.
+
+    Orientation here is by node id (deterministic, oracle-mirrorable). At
+    severe skew the classic refinement orients by (degree, id) so hubs
+    never anchor wedge generation — same output, bounded wedge fan-out;
+    the id orientation keeps the SQL oracle trivial and is exact either
+    way. Columns: id, degree, triangles, clustering_coef (6dp).
+    """
+    e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).filter(
+        F.col("s") != F.col("d")
+    )
+    und = (
+        e.select(F.least("s", "d").alias("a"), F.greatest("s", "d").alias("b"))
+        .distinct()
+        .cache()
+    )
+    x = und.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
+    y = und.select(F.col("a").alias("xb"), F.col("b").alias("yc"))
+    wedges = x.join(y, "xb")  # xa < xb < yc
+    closing = und.select(F.col("a").alias("xa"), F.col("b").alias("yc"))
+    tri = wedges.join(closing, ["xa", "yc"], "left_semi")
+    per_node = (
+        tri.select(F.explode(F.array("xa", "xb", "yc")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionAll(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    coef = F.when(
+        F.col("degree") >= 2,
+        F.round(
+            2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - F.lit(1))), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(per_node, "id", "left")
+        .na.fill({"triangles": 0})
+        .select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            F.col("triangles").cast("long").alias("triangles"),
+            coef.alias("clustering_coef"),
+        )
+    )

@@ -1722,3 +1722,55 @@ def q_documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="stream_curation_")
     out = stream_curated_ingest(spark, sf_dir, f"{tmp}/state", f"{tmp}/ckpt", n_batches=4)
     return out.select(F.col("batch_id").cast("int").alias("batch_id"), "admitted")
+
+
+@register(
+    "knn_triangle_counts",
+    """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+pairs AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine
+    FROM e a JOIN e b ON a.vec_id <> b.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM pairs
+),
+topk AS (SELECT query_id AS src, neighbor_id AS dst FROM ranked WHERE rank <= 5),
+und AS (
+    SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    FROM topk WHERE src <> dst
+),
+tri AS (
+    SELECT x.a AS xa, x.b AS xb, y.b AS yc
+    FROM und x JOIN und y ON x.b = y.a
+    SEMI JOIN und z ON z.a = x.a AND z.b = y.b
+),
+tn AS (
+    SELECT u AS id, COUNT(*) AS triangles
+    FROM (SELECT unnest([xa, xb, yc]) AS u FROM tri) GROUP BY u
+),
+deg AS (
+    SELECT id, COUNT(*) AS degree
+    FROM (SELECT a AS id FROM und UNION ALL SELECT b FROM und) GROUP BY id
+)
+SELECT deg.id,
+       CAST(deg.degree AS BIGINT) AS degree,
+       CAST(COALESCE(tn.triangles, 0) AS BIGINT) AS triangles,
+       CASE WHEN deg.degree >= 2
+            THEN ROUND(2.0 * COALESCE(tn.triangles, 0) / (deg.degree * (deg.degree - 1)), 6)
+            ELSE 0.0 END AS clustering_coef
+FROM deg LEFT JOIN tn USING (id)
+""",
+)
+def q_knn_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting + local clustering coefficient on the KNN
+    similarity graph (oriented two-join enumeration, exact) — the density
+    statistic the reference's NetworkX layer would report; fully
+    hash-oracle-checked."""
+    from ..graph.algorithms import triangle_counts
+
+    g = sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
+    return triangle_counts(g)
