@@ -1774,3 +1774,74 @@ def q_knn_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     g = sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
     return triangle_counts(g)
+
+
+@register(
+    "pmi_collocations",
+    f"""
+WITH w AS (SELECT doc_id, {_WS8} AS ws FROM documents),
+toks AS (SELECT tok FROM (SELECT unnest(ws) AS tok FROM w) WHERE tok <> ''),
+bi AS (
+    SELECT g FROM (SELECT unnest({sql_word_ngrams("text", 2)}) AS g FROM documents)
+),
+uni AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+big AS (SELECT g, COUNT(*) AS c FROM bi GROUP BY g),
+tot AS (
+    SELECT (SELECT CAST(SUM(c) AS DOUBLE) FROM uni) AS n_uni,
+           (SELECT CAST(SUM(c) AS DOUBLE) FROM big) AS n_big
+),
+scored AS (
+    SELECT b.g AS bigram, b.c AS pair_count,
+           ROUND(LN((b.c / t.n_big) / ((ua.c / t.n_uni) * (ub.c / t.n_uni))), 6) AS pmi
+    FROM big b
+    JOIN uni ua ON ua.tok = string_split(b.g, ' ')[1]
+    JOIN uni ub ON ub.tok = string_split(b.g, ' ')[2]
+    CROSS JOIN tot t
+    WHERE b.c >= 5
+)
+SELECT bigram, CAST(pair_count AS BIGINT) AS pair_count, pmi
+FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY pmi DESC, bigram ASC) AS rank FROM scored)
+WHERE rank <= 20
+""",
+)
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PMI collocation mining (the phrase/tokenizer-merge statistic):
+    top-20 bigrams by pointwise mutual information ln(p(ab)/(p(a)p(b))),
+    support >= 5. Two map-side-combinable aggregates (unigram + bigram
+    counts, both vocabulary-sized) + a broadcastable unigram join — one
+    ln per distinct bigram, rounded 6dp for the hash gate. TakeOrdered
+    final (k-sized result, no global window)."""
+    from ..functions.text import word_ngrams, words as _words
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(_words(F.col("text"))).alias("tok")).filter(F.col("tok") != "")
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    big = (
+        docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
+    n_big = big.agg(F.sum("c").cast("double").alias("n_big"))
+    parts = F.split(F.col("g"), " ")
+    scored = (
+        big.filter(F.col("c") >= 5)
+        .withColumn("ta", F.element_at(parts, 1))
+        .withColumn("tb", F.element_at(parts, 2))
+        .join(uni.withColumnsRenamed({"tok": "ta", "c": "ca"}), "ta")
+        .join(uni.withColumnsRenamed({"tok": "tb", "c": "cb"}), "tb")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            F.col("g").alias("bigram"),
+            F.col("c").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    (F.col("c") / F.col("n_big"))
+                    / ((F.col("ca") / F.col("n_uni")) * (F.col("cb") / F.col("n_uni")))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
