@@ -48,10 +48,14 @@ LOCAL_EDGE_MAX = 5_000_000
 
 
 def _cc_local(nodes: DataFrame, e_dist: DataFrame, id_col: str) -> DataFrame:
-    """Driver-local min-label union-find over the distinct (one-directional)
+    """Driver-local min-label labeling over the distinct (one-directional)
     edge list; output contract identical to the distributed rounds (comp =
-    min reachable id). Union-by-min keeps every root the minimum of its
-    set, so find(x) IS the component label."""
+    min reachable id).
+
+    Union-by-min with path compression keeps every root the minimum of its
+    set, so find(x) IS the component label. (A vectorized numpy
+    min-propagation variant was measured SLOWER here — np.minimum.at is an
+    unbuffered ufunc — so the plain loop stays: ~1s per 1.5M edges.)"""
     parent: dict = {}
 
     def find(x):
