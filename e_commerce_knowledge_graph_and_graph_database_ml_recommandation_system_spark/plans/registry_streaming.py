@@ -232,3 +232,57 @@ def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.round(F.sum(k).cast("double") / F.count(F.lit(1)), 6).alias("avg_k"),
     )
+
+
+@register(
+    "events_funnel",
+    """
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t_signup,
+           MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+),
+depth AS (
+    SELECT user_id,
+           CASE
+             WHEN t_signup IS NULL THEN 0
+             WHEN t_view IS NULL OR t_view < t_signup THEN 1
+             WHEN t_click IS NULL OR t_click < t_view THEN 2
+             WHEN t_purchase IS NULL OR t_purchase < t_click THEN 3
+             ELSE 4
+           END AS funnel_depth
+    FROM firsts
+)
+SELECT funnel_depth, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM depth GROUP BY funnel_depth
+""",
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (signup → view → click → purchase): a user reaches
+    depth k when the FIRST occurrence of each step happens in temporal
+    order up to step k — the classic product-analytics ordered-funnel
+    semantics, as one conditional-min aggregate per user plus a
+    constant-size depth rollup (single shuffle keyed by user, map-side
+    combinable; no sessionization state needed for first-touch funnels)."""
+    ev = load_table(spark, "events", sf_dir)
+    firsts = ev.groupBy("user_id").agg(
+        *[
+            F.min(F.when(F.col("event_type") == s, F.col("ts"))).alias(f"t_{s}")
+            for s in ("signup", "view", "click", "purchase")
+        ]
+    )
+    depth = (
+        F.when(F.col("t_signup").isNull(), 0)
+        .when(F.col("t_view").isNull() | (F.col("t_view") < F.col("t_signup")), 1)
+        .when(F.col("t_click").isNull() | (F.col("t_click") < F.col("t_view")), 2)
+        .when(F.col("t_purchase").isNull() | (F.col("t_purchase") < F.col("t_click")), 3)
+        .otherwise(4)
+    )
+    return (
+        firsts.select(depth.alias("funnel_depth"))
+        .groupBy("funnel_depth")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
