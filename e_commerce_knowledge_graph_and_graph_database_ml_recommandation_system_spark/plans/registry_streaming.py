@@ -286,3 +286,53 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("funnel_depth")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "events_retention_cohorts",
+    """
+WITH signup AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+),
+joined AS (
+    SELECT s.cohort_week, a.active_week,
+           CAST(datediff('week', s.cohort_week, a.active_week) AS INT) AS week_offset,
+           a.user_id
+    FROM signup s JOIN activity a USING (user_id)
+    WHERE a.active_week >= s.cohort_week
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       week_offset,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active
+FROM joined GROUP BY 1, 2
+""",
+)
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users cohorted by first-signup week, counted
+    distinct per week offset of ANY later activity — the standard cohort
+    retention table as two aggregates + one equi-join (no window, no
+    per-user state). Week boundaries are date_trunc ISO Mondays in both
+    engines; the cohort week is STRINGIFIED for hash parity."""
+    ev = load_table(spark, "events", sf_dir)
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_week"))
+    )
+    activity = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("active_week")).distinct()
+    joined = (
+        signup.join(activity, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .select(
+            "cohort_week",
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7).cast("int").alias("week_offset"),
+            "user_id",
+        )
+    )
+    return joined.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
+    ).agg(F.countDistinct("user_id").alias("n_active"))
