@@ -336,3 +336,55 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy(
         F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"), "week_offset"
     ).agg(F.countDistinct("user_id").alias("n_active"))
+
+
+@register(
+    "events_rate_anomalies",
+    """
+WITH buckets AS (
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, AVG(cnt) AS mu, stddev_pop(cnt) AS sigma
+    FROM buckets GROUP BY event_type
+)
+SELECT b.event_type, b.window_start, CAST(b.cnt AS BIGINT) AS cnt,
+       ROUND((b.cnt - s.mu) / NULLIF(s.sigma, 0), 6) AS zscore,
+       CAST(ABS((b.cnt - s.mu) / NULLIF(s.sigma, 0)) > 3.0 AS INT) AS is_anomaly
+FROM buckets b JOIN stats s USING (event_type)
+""",
+)
+def q_events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed rate-anomaly detection: per event type, each 5-minute
+    bucket's count z-scored against that type's own bucket distribution,
+    |z| > 3 flagged — the monitoring workload an event pipeline runs next
+    to its windowed aggregates. Two aggregates (bucket counts, per-type
+    moments over the BUCKET table — window-cardinality-sized, tiny) + one
+    broadcastable join; stddev_pop/6dp-round is the W3 z-score discipline."""
+    ev = load_table(spark, "events", sf_dir)
+    buckets = (
+        ev.groupBy(
+            "event_type",
+            F.date_format(F.window("ts", "5 minutes")["start"], "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = buckets.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_pop("cnt").alias("sigma")
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0))
+    return (
+        buckets.join(stats, "event_type")
+        .select(
+            "event_type",
+            "window_start",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(z, 6).alias("zscore"),
+            (F.abs(z) > 3.0).cast("int").alias("is_anomaly"),
+        )
+    )
