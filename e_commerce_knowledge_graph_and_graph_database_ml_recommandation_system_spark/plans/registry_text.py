@@ -1715,13 +1715,19 @@ def q_documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     equal the unrolled-batch SQL oracle — the streaming analog of the
     events_stream_* unified-semantics guarantee, applied to the
     training-data pipeline."""
+    import shutil
     import tempfile
 
     from ..streaming.ingest import stream_curated_ingest
 
     tmp = tempfile.mkdtemp(prefix="stream_curation_")
-    out = stream_curated_ingest(spark, sf_dir, f"{tmp}/state", f"{tmp}/ckpt", n_batches=4)
-    return out.select(F.col("batch_id").cast("int").alias("batch_id"), "admitted")
+    try:
+        out = stream_curated_ingest(spark, sf_dir, f"{tmp}/state", f"{tmp}/ckpt", n_batches=4)
+        # materialize the n_batches-row summary so the scratch dirs can go
+        rows = out.select(F.col("batch_id").cast("int").alias("batch_id"), "admitted").collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "batch_id int, admitted long")
 
 
 @register(

@@ -106,6 +106,9 @@ def stream_curated_ingest(
     in order — which makes the whole streaming pipeline's admission
     semantics reproducible and (for fixed n_batches) expressible as an
     unrolled SQL oracle: a hash-checkable Structured Streaming pipeline.
+    (The local file fabrication is the test fixture; in production the
+    source is whatever landing zone delivers document batches — the
+    foreachBatch admission logic is source-agnostic.)
 
     Scale: per micro-batch work is |batch| x band-density against state —
     increment-bounded; the state table is append-only and banded joins
