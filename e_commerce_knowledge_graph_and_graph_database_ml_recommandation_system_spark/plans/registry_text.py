@@ -1819,13 +1819,24 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     final (k-sized result, no global window)."""
     from ..functions.text import word_ngrams, words as _words
 
-    docs = load_table(spark, "documents", sf_dir)
+    # repartition the scan: the corpus arrives as few files, and the
+    # explode(+ngram transform) is the dominant per-row work — spreading it
+    # across the cluster costs one tiny text shuffle
+    docs = load_table(spark, "documents", sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = docs.select(F.explode(_words(F.col("text"))).alias("tok")).filter(F.col("tok") != "")
-    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # cache both count tables: they are vocabulary-sized but their INPUT is
+    # the full corpus explode, and each has 2-3 consumers below (scalar
+    # total + join side) — without the cache Catalyst re-evaluates the
+    # whole explode+aggregate per consumer (~5 corpus passes; measured
+    # 350 s at the 10x probe, seconds with the cache)
+    uni = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
     big = (
         docs.select(F.explode(word_ngrams(F.col("text"), 2)).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
     n_uni = uni.agg(F.sum("c").cast("double").alias("n_uni"))
     n_big = big.agg(F.sum("c").cast("double").alias("n_big"))

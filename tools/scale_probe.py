@@ -37,6 +37,9 @@ KEY_UNITS = {
     "part": {"p_partkey": 1_000_000},
     "documents": {"doc_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
+    # events carries TIMESTAMP(NANOS) — loaded via the engine's
+    # normalizing loader below, not a raw parquet read
+    "events": {"event_id": 10_000_000, "user_id": 1_000_000},
 }
 
 
@@ -64,8 +67,14 @@ def build(spark, replicas: int) -> None:
         spark.read.parquet(f"{SRC}/{table}.parquet").write.mode("overwrite").parquet(
             f"{SCRATCH}/{table}.parquet"
         )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
     for table, units in KEY_UNITS.items():
-        base = spark.read.parquet(f"{SRC}/{table}.parquet")
+        base = (
+            load_table(spark, table, SRC)
+            if table == "events"
+            else spark.read.parquet(f"{SRC}/{table}.parquet")
+        )
         parts = []
         for i in range(replicas):
             df = base
