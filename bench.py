@@ -17,6 +17,12 @@ and on any long-running cluster. Single-shot cold timings at sf0.1 mix
 that constant into the signal (observed same-plan swings of 3-4x between a
 cold and warm run on this host); min-of-2 reports the steady state the
 scale-up actually extrapolates from.
+
+BOTH protocols are emitted (r3 advice: min-of-reps can mask cold-plan
+regressions, and cross-round comparisons must be same-protocol):
+``queries``/``value`` carry the steady min — the headline metric, protocol-
+identical to BENCH_r03 — and ``queries_cold``/``value_cold`` carry each
+query's first (rep-0) execution in this JVM.
 """
 
 from __future__ import annotations
@@ -83,13 +89,17 @@ def main() -> None:
 
     REPS = 2
     times: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
         best = float("inf")
-        for _ in range(REPS):
+        for rep in range(REPS):
             t0 = time.perf_counter()
             fn(spark, SF_DIR).count()
-            best = min(best, time.perf_counter() - t0)
+            dt = time.perf_counter() - t0
+            if rep == 0:
+                cold[name] = round(dt, 3)
+            best = min(best, dt)
         times[name] = round(best, 3)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -98,6 +108,8 @@ def main() -> None:
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

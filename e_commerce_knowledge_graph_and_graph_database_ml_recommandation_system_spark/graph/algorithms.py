@@ -398,6 +398,91 @@ def _louvain_local(rows, two_m: float, max_rounds: int, min_gain: float) -> dict
     return final
 
 
+def _move_sweeps(
+    g: DataFrame,
+    labels: DataFrame,
+    two_m: float,
+    max_rounds: int,
+    move_classes: int,
+    min_gain: float,
+    reset_fn,
+) -> tuple[DataFrame, int]:
+    """The distributed class-gated local-move rounds shared by Louvain's
+    per-level phase and the post-coarsening refinement sweep: each round a
+    node may adopt the best-gain neighboring community (gain desc / cand
+    asc tiebreak), with moves gated to one xxhash64 class per round.
+    Returns (labels', total moves). ``labels`` is (node, comm); ``g`` the
+    symmetrized weighted edge list the sweep runs over."""
+    k = g.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("k_i"))
+    moved_total = 0
+    zero_streak = 0
+    for r in range(max_rounds):
+        sigma = (
+            labels.join(k, "node")
+            .groupBy("comm")
+            .agg(F.sum("k_i").alias("tot"))
+        )
+        # k_{i,c}: weight from each node to each neighboring community
+        # (self-loops excluded — they move with the node and cancel)
+        nbr = (
+            g.filter(F.col("src") != F.col("dst"))
+            .join(labels.select(F.col("node").alias("dst"), F.col("comm").alias("cand")), "dst")
+            .groupBy(F.col("src").alias("node"), "cand")
+            .agg(F.sum("w").alias("k_ic"))
+        )
+        # ensure the stay option exists even with no intra-community edge
+        cand = (
+            nbr.unionByName(
+                labels.select("node", F.col("comm").alias("cand"), F.lit(0.0).alias("k_ic"))
+            )
+            .groupBy("node", "cand")
+            .agg(F.sum("k_ic").alias("k_ic"))
+        )
+        scored = (
+            cand.join(labels, "node")
+            .join(k, "node")
+            .join(sigma.select(F.col("comm").alias("cand"), "tot"), "cand")
+            .withColumn(
+                "gain",
+                F.col("k_ic")
+                - F.col("k_i")
+                * (F.col("tot") - F.when(F.col("cand") == F.col("comm"), F.col("k_i")).otherwise(F.lit(0.0)))
+                / F.lit(two_m),
+            )
+        )
+        win = Window.partitionBy("node").orderBy(F.desc("gain"), F.asc("cand"))
+        best = (
+            scored.withColumn("rn", F.row_number().over(win))
+            .withColumn("stay_gain", F.max(F.when(F.col("cand") == F.col("comm"), F.col("gain"))).over(Window.partitionBy("node")))
+            .filter(F.col("rn") == 1)
+            .select(
+                "node",
+                "comm",
+                F.when(
+                    (F.col("cand") != F.col("comm"))
+                    & (F.col("gain") > F.col("stay_gain") + F.lit(min_gain))
+                    & (F.pmod(F.xxhash64("node"), F.lit(move_classes)) == F.lit(r % move_classes)),
+                    F.col("cand"),
+                )
+                .otherwise(F.col("comm"))
+                .alias("new_comm"),
+            )
+        )
+        # checkpoint the round result ONCE — the moved-count and the next
+        # labels both read the materialized RDD (counting the un-checkpointed
+        # plan re-executed the whole round: 2x wall time, measured)
+        best = best.localCheckpoint(eager=True)
+        moved = best.filter(F.col("new_comm") != F.col("comm")).count()
+        labels = best.select("node", F.col("new_comm").alias("comm"))
+        if r % move_classes == move_classes - 1:
+            labels = reset_fn(labels)  # per-sweep stats reset (see docstring)
+        moved_total += moved
+        zero_streak = zero_streak + 1 if moved == 0 else 0
+        if zero_streak >= move_classes:  # a full silent sweep of every class
+            break
+    return labels, moved_total
+
+
 def louvain(
     edges: DataFrame,
     weight_col: str | None = None,
@@ -513,77 +598,13 @@ def louvain(
             shutil.rmtree(tmp_root, ignore_errors=True)
             return out
         if mapping is None:
+            g_orig = g  # keep the level-0 graph for the refinement sweep
             mapping = _reset(g.select(F.col("src").alias("id")).distinct().withColumn("node", F.col("id")))
         labels = g.select(F.col("src").alias("node")).distinct().withColumn("comm", F.col("node"))
-        k = g.groupBy(F.col("src").alias("node")).agg(F.sum("w").alias("k_i"))
         n_nodes = labels.count()
-        moved_total = 0
-        zero_streak = 0
-
-        for r in range(max_rounds):
-            sigma = (
-                labels.join(k, "node")
-                .groupBy("comm")
-                .agg(F.sum("k_i").alias("tot"))
-            )
-            # k_{i,c}: weight from each node to each neighboring community
-            # (self-loops excluded — they move with the node and cancel)
-            nbr = (
-                g.filter(F.col("src") != F.col("dst"))
-                .join(labels.select(F.col("node").alias("dst"), F.col("comm").alias("cand")), "dst")
-                .groupBy(F.col("src").alias("node"), "cand")
-                .agg(F.sum("w").alias("k_ic"))
-            )
-            # ensure the stay option exists even with no intra-community edge
-            cand = (
-                nbr.unionByName(
-                    labels.select("node", F.col("comm").alias("cand"), F.lit(0.0).alias("k_ic"))
-                )
-                .groupBy("node", "cand")
-                .agg(F.sum("k_ic").alias("k_ic"))
-            )
-            scored = (
-                cand.join(labels, "node")
-                .join(k, "node")
-                .join(sigma.select(F.col("comm").alias("cand"), "tot"), "cand")
-                .withColumn(
-                    "gain",
-                    F.col("k_ic")
-                    - F.col("k_i")
-                    * (F.col("tot") - F.when(F.col("cand") == F.col("comm"), F.col("k_i")).otherwise(F.lit(0.0)))
-                    / F.lit(two_m),
-                )
-            )
-            win = Window.partitionBy("node").orderBy(F.desc("gain"), F.asc("cand"))
-            best = (
-                scored.withColumn("rn", F.row_number().over(win))
-                .withColumn("stay_gain", F.max(F.when(F.col("cand") == F.col("comm"), F.col("gain"))).over(Window.partitionBy("node")))
-                .filter(F.col("rn") == 1)
-                .select(
-                    "node",
-                    "comm",
-                    F.when(
-                        (F.col("cand") != F.col("comm"))
-                        & (F.col("gain") > F.col("stay_gain") + F.lit(min_gain))
-                        & (F.pmod(F.xxhash64("node"), F.lit(move_classes)) == F.lit(r % move_classes)),
-                        F.col("cand"),
-                    )
-                    .otherwise(F.col("comm"))
-                    .alias("new_comm"),
-                )
-            )
-            # checkpoint the round result ONCE — the moved-count and the next
-            # labels both read the materialized RDD (counting the un-checkpointed
-            # plan re-executed the whole round: 2x wall time, measured)
-            best = best.localCheckpoint(eager=True)
-            moved = best.filter(F.col("new_comm") != F.col("comm")).count()
-            labels = best.select("node", F.col("new_comm").alias("comm"))
-            if r % move_classes == move_classes - 1:
-                labels = _reset(labels)  # per-sweep stats reset (see docstring)
-            moved_total += moved
-            zero_streak = zero_streak + 1 if moved == 0 else 0
-            if zero_streak >= move_classes:  # a full silent sweep of every class
-                break
+        labels, moved_total = _move_sweeps(
+            g, labels, two_m, max_rounds, move_classes, min_gain, _reset
+        )
 
         if moved_total == 0:
             break
@@ -604,6 +625,23 @@ def louvain(
 
     if mapping is None:  # max_levels exhausted before any level ran
         mapping = g.select(F.col("src").alias("id")).distinct().withColumn("node", F.col("id"))
+    else:
+        # refinement sweep (r3 verdict #5 — the distributed exit trailed the
+        # hybrid's sequential finish by ~0.06 modularity): one more
+        # class-gated local-move phase over the ORIGINAL graph, initialized
+        # from the coarsened partition. Super-node moves commit whole
+        # communities at once, so individual boundary nodes end up
+        # misplaced; letting each original node reconsider its community
+        # against the final Σtot landscape recovers most of the sequential
+        # pass's advantage (Leiden's refinement insight, applied as one
+        # extra phase of the same deterministic machinery — no new code
+        # path, no RNG). Cost: ≤ one full sweep = move_classes rounds of 3
+        # shuffles over the level-0 graph.
+        ref_labels = mapping.select(F.col("id").alias("node"), F.col("node").alias("comm"))
+        ref_labels, _moved = _move_sweeps(
+            g_orig, ref_labels, two_m, move_classes, move_classes, min_gain, _reset
+        )
+        mapping = ref_labels.select(F.col("node").alias("id"), F.col("comm").alias("node"))
     out = mapping.select("id", F.col("node").cast("string").alias("community_id")).localCheckpoint(eager=True)
     shutil.rmtree(tmp_root, ignore_errors=True)
     return out
@@ -741,19 +779,31 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
     return out
 
 
-def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+def triangle_counts(
+    edges: DataFrame, src_col: str = "src", dst_col: str = "dst", orient: str = "degree"
+) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient — the
-    standard distributed enumeration over the ORIENTED edge list
-    (each undirected edge kept once as a<b; a triangle a<b<c is found
-    exactly once as edges (a,b),(b,c) closed by (a,c), so the count is a
-    two-equi-join + semi-join, never a cube). Beyond-reference graph
-    layer; the NetworkX analog is nx.triangles/clustering.
+    standard distributed enumeration over an ORIENTED edge list (each
+    undirected edge kept once; a triangle is found exactly once as the
+    wedge at its minimum-order vertex closed by the third edge, so the
+    count is a two-equi-join + semi-join, never a cube). Beyond-reference
+    graph layer; the NetworkX analog is nx.triangles/clustering.
 
-    Orientation here is by node id (deterministic, oracle-mirrorable). At
-    severe skew the classic refinement orients by (degree, id) so hubs
-    never anchor wedge generation — same output, bounded wedge fan-out;
-    the id orientation keeps the SQL oracle trivial and is exact either
-    way. Columns: id, degree, triangles, clustering_coef (6dp).
+    ``orient`` picks the total order that directs edges (the triangle SET
+    is orientation-independent, so the output — and the DuckDB oracle
+    hash — is identical either way):
+
+    - ``"degree"`` (default): (degree, id) lexicographic — the classic
+      hub-skew refinement (Cohen's MapReduce triangle scheme / Suri &
+      Vassilvitskii): a hub of degree d anchors wedges only toward
+      HIGHER-degree endpoints, so wedge fan-out per node is bounded by its
+      out-degree in the orientation, O(sqrt(|E|)) on any graph — a
+      degree-10⁶ hub generates ~0 wedges instead of ~10¹². Costs two extra
+      degree-attach joins before wedge generation.
+    - ``"id"``: plain id order — one join cheaper, the right choice when
+      the degree distribution is known to be flat.
+
+    Columns: id, degree, triangles, clustering_coef (6dp).
     """
     e = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).filter(
         F.col("s") != F.col("d")
@@ -763,21 +813,48 @@ def triangle_counts(edges: DataFrame, src_col: str = "src", dst_col: str = "dst"
         .distinct()
         .cache()
     )
-    x = und.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
-    y = und.select(F.col("a").alias("xb"), F.col("b").alias("yc"))
-    wedges = x.join(y, "xb")  # xa < xb < yc
-    closing = und.select(F.col("a").alias("xa"), F.col("b").alias("yc"))
-    tri = wedges.join(closing, ["xa", "yc"], "left_semi")
-    per_node = (
-        tri.select(F.explode(F.array("xa", "xb", "yc")).alias("id"))
-        .groupBy("id")
-        .agg(F.count(F.lit(1)).alias("triangles"))
-    )
     deg = (
         und.select(F.col("a").alias("id"))
         .unionAll(und.select(F.col("b").alias("id")))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    if orient == "degree":
+        # direct each edge toward the (degree, id)-larger endpoint; carry
+        # the dst endpoint's degree so wedge generation can order the two
+        # out-neighbors without another join
+        ed = (
+            und.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("da")), "a")
+            .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("db")), "b")
+        )
+        lower_first = (F.col("da") < F.col("db")) | (
+            (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+        )
+        out = ed.select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dd"),
+        ).cache()
+        e1 = out.select(F.col("src").alias("cx"), F.col("dst").alias("xa"), F.col("dd").alias("d1"))
+        e2 = out.select(F.col("src").alias("cx"), F.col("dst").alias("yc"), F.col("dd").alias("d2"))
+        # wedge at the orientation-minimum vertex cx: out-neighbors xa <ord yc
+        wedges = e1.join(e2, "cx").filter(
+            (F.col("d1") < F.col("d2"))
+            | ((F.col("d1") == F.col("d2")) & (F.col("xa") < F.col("yc")))
+        )
+        tri = wedges.join(
+            out.select(F.col("src").alias("xa"), F.col("dst").alias("yc")), ["xa", "yc"], "left_semi"
+        ).select(F.col("cx").alias("xa"), F.col("xa").alias("xb"), "yc")
+    else:
+        x = und.select(F.col("a").alias("xa"), F.col("b").alias("xb"))
+        y = und.select(F.col("a").alias("xb"), F.col("b").alias("yc"))
+        wedges = x.join(y, "xb")  # xa < xb < yc
+        closing = und.select(F.col("a").alias("xa"), F.col("b").alias("yc"))
+        tri = wedges.join(closing, ["xa", "yc"], "left_semi")
+    per_node = (
+        tri.select(F.explode(F.array("xa", "xb", "yc")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
     )
     coef = F.when(
         F.col("degree") >= 2,

@@ -272,12 +272,18 @@ def drift_alert(current_auc: float, previous_auc: float | None, tol: float = 0.0
     return previous_auc is not None and (previous_auc - current_auc) > tol
 
 
-def run_pipeline(tables: dict, max_iter: int = 20) -> DataFrame:
-    """End-to-end M1→M9: returns a (metric, value) DataFrame (one row per
-    metric, train and val). Split FIRST, then fit the target encoding on
-    train only (split_safe_target_encoding) — no test label ever reaches a
-    training feature. rounds_used reports how many boosting rounds early
-    stopping kept."""
+def fit_artifacts(tables: dict, max_iter: int = 20, materialize: bool = False) -> dict:
+    """Shared M1→M5 prefix: dataset assembly, deterministic hash split,
+    leakage-safe target encoding, the SMOTE imbalance gate, weighted GBT
+    fit. Returned dict {ds, train, test, model, assembler} is the single
+    fit that the metric / feature-importance / model-scoring registry
+    queries all consume (one fit per process instead of one per query).
+
+    ``materialize=True`` localCheckpoints train/test before the fit —
+    boosting scans the training table once per tree, so paying one eager
+    materialization up front beats re-running the encoding joins per
+    iteration (the in-process analog of writing the assembled dataset to
+    parquet before training, which is what a 100-TB pipeline does)."""
     from .lifecycle import smote_oversample
 
     ds = build_dataset(tables, target_encode=False).cache()
@@ -286,10 +292,25 @@ def run_pipeline(tables: dict, max_iter: int = 20) -> DataFrame:
     # reference gates SMOTE on imbalance > 5 (xgboost_training_for_big_data
     # .py:571-581) — a no-op on this near-balanced pair set, by design
     train = smote_oversample(train, FEATURE_COLS)
+    if materialize:
+        train = train.localCheckpoint(eager=True)
+        test = test.localCheckpoint(eager=True)
     model, assembler = train_gbt(train, max_iter=max_iter)
-    m_train = evaluate(model, assembler, train)
-    m_val = evaluate(model, assembler, test)
-    spark = ds.sparkSession
+    return {"ds": ds, "train": train, "test": test, "model": model, "assembler": assembler}
+
+
+def run_pipeline(tables: dict | None, max_iter: int = 20, artifacts: dict | None = None) -> DataFrame:
+    """End-to-end M1→M9: returns a (metric, value) DataFrame (one row per
+    metric, train and val). Split FIRST, then fit the target encoding on
+    train only (split_safe_target_encoding) — no test label ever reaches a
+    training feature. rounds_used reports how many boosting rounds early
+    stopping kept. Pass ``artifacts`` (from fit_artifacts) to reuse an
+    existing fit."""
+    art = artifacts if artifacts is not None else fit_artifacts(tables, max_iter=max_iter)
+    model, assembler = art["model"], art["assembler"]
+    m_train = evaluate(model, assembler, art["train"])
+    m_val = evaluate(model, assembler, art["test"])
+    spark = art["ds"].sparkSession
     rows = [("train_" + k, float(v)) for k, v in m_train.items()] + [
         ("val_" + k, float(v)) for k, v in m_val.items()
     ]

@@ -75,13 +75,20 @@ def _cc_local(nodes: DataFrame, e_dist: DataFrame, id_col: str) -> DataFrame:
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
 
-    mapping = [(x, find(x)) for x in parent]
+    # ship the (node, comp) mapping back as ONE pandas frame so
+    # createDataFrame takes the Arrow batch path — the row-by-row pickle
+    # serialization of a list of tuples is minutes-slow and GB-scale in
+    # driver memory near the LOCAL_EDGE_MAX threshold (r3 advice)
+    import pandas as pd
+
+    keys = list(parent)
+    map_pdf = pd.DataFrame({"id": keys, "mapped": [find(x) for x in keys]})
     spark = nodes.sparkSession
     id_field = nodes.select(F.col(id_col).alias("id")).schema[0]
     from pyspark.sql.types import StructField, StructType
 
     schema = StructType([id_field, StructField("mapped", id_field.dataType)])
-    map_df = spark.createDataFrame(mapping, schema=schema)
+    map_df = spark.createDataFrame(map_pdf, schema=schema)
     return (
         nodes.select(F.col(id_col).alias("id"))
         .join(map_df, "id", "left")
@@ -109,10 +116,26 @@ def connected_components(
     list moves to the driver, one direction, via Arrow); above it — or
     with ``local_edge_max=0`` under test — the distributed pointer-jumping
     rounds run over the symmetrized relation.
-    """
-    e_dist = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d")).distinct().cache()
 
-    if e_dist.count() <= local_edge_max:
+    Edge endpoints are restricted to ``nodes`` (two semi-joins) so both
+    dispatch paths agree when a caller passes edges that mention ids
+    outside the node set: without the filter the local union-find can
+    propagate a non-node id as the min component label while the
+    distributed rounds only ever label from nodes' own ids (r3 advice).
+    """
+    ids = nodes.select(F.col(id_col)).distinct()
+    e_dist = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .join(ids.select(F.col(id_col).alias("s")), "s", "left_semi")
+        .join(ids.select(F.col(id_col).alias("d")), "d", "left_semi")
+        .distinct()
+        .cache()
+    )
+
+    # dispatch on a LIMIT-bounded probe, not a full count: the full count
+    # is an eager scan of the entire (possibly 100-TB-derived) edge list
+    # even when the answer is just "big" — limit(n+1) short-circuits
+    if e_dist.limit(local_edge_max + 1).count() <= local_edge_max:
         out = _cc_local(nodes, e_dist, id_col)
         e_dist.unpersist()
         return out

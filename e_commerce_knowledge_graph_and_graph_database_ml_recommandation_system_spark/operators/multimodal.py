@@ -2,10 +2,16 @@
 
 Images/audio/video ride as opaque BINARY columns + typed metadata; the
 Spark-side machinery (schema, partition sizing, Arrow batch shape, UDF
-signatures) is real and tested, while the codec step is a clearly-marked
-stub: the container has no image/audio libraries, so ``decode_frames``
-yields a deterministic fake payload and the genuine decoder raises
-NotImplementedError behind an import-try.
+signatures) is real and tested. Two decode tiers:
+
+- REAL decode for codec-free container formats: ``synthesize_media`` /
+  ``decode_media`` write and blind-parse genuine 24-bit BMP and 16-bit PCM
+  WAV files with stdlib ``struct`` (headers, row padding, RIFF chunk walk)
+  — actual bytes→features work, oracle-checked end to end;
+- formats that require a codec library (PNG/JPEG magic) route to
+  ``_real_decode``, which raises NotImplementedError behind an import-try
+  because the container ships no image/audio libs; ``decode_frames`` keeps
+  the deterministic chunk-hash stub for opaque payloads.
 
 Scale notes: binary payloads blow past the usual row-size assumptions —
 ``spark.sql.files.maxPartitionBytes`` should shrink so a partition of blobs
@@ -99,6 +105,167 @@ def decode_frames(docs: DataFrame, frame_bytes: int = 1024) -> DataFrame:
             )
 
     return src.mapInPandas(decode, schema=FRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real codec-free decode: BMP (24-bit uncompressed) and WAV (16-bit PCM) are
+# pure-struct container formats — parseable with the stdlib, no image/audio
+# libraries. The synth step builds GENUINE files byte-for-byte (headers,
+# row padding, RIFF chunks); the decode step parses them back blind, so the
+# bytes → features path exercises real binary parsing work end to end, and
+# because the pixel/sample generators are deterministic functions of doc_id
+# the decoded features carry a FULL DuckDB hash oracle. Formats that truly
+# need a codec (PNG/JPEG magic) still route to the honest _real_decode stub.
+# ---------------------------------------------------------------------------
+
+MEDIA_SCHEMA = (
+    "doc_id long, kind string, width int, height int, "
+    "sample_rate int, n_units long, mean_signal double"
+)
+_WAV_RATE = 8000
+
+
+def _encode_bmp_bytes(seed: int, width: int, height: int) -> bytes:
+    """A real 24-bit bottom-up BMP: BITMAPFILEHEADER + BITMAPINFOHEADER +
+    4-byte-aligned pixel rows. Pixel i is the grey value (seed*31 + i) % 256."""
+    import struct
+
+    row_size = (width * 3 + 3) & ~3
+    data_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    px = bytearray()
+    i = 0
+    for _y in range(height):
+        row = bytearray()
+        for _x in range(width):
+            v = (seed * 31 + i) % 256
+            row += bytes((v, v, v))
+            i += 1
+        row += b"\x00" * (row_size - len(row))
+        px += row
+    return header + info + bytes(px)
+
+
+def _encode_wav_bytes(seed: int, n_samples: int, sample_rate: int = _WAV_RATE) -> bytes:
+    """A real RIFF/WAVE file: fmt chunk (PCM, mono, 16-bit) + data chunk.
+    Sample i is ((seed*7 + i*13) % 2001) - 1000."""
+    import struct
+
+    samples = [((seed * 7 + i * 13) % 2001) - 1000 for i in range(n_samples)]
+    data = struct.pack("<%dh" % n_samples, *samples)
+    fmt = struct.pack("<4sIHHIIHH", b"fmt ", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + 8 + len(data), b"WAVE")
+    return riff + fmt + struct.pack("<4sI", b"data", len(data)) + data
+
+
+def _decode_bmp_bytes(raw: bytes) -> tuple[int, int, int, float]:
+    """Blind BMP parse: (width, height, n_pixels, mean_luma). Validates the
+    magic, reads the pixel-array offset from the file header and the
+    dimensions/bpp from the info header, walks padded rows."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", raw, 10)[0]
+    _hsz, width, height = struct.unpack_from("<Iii", raw, 14)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    if bpp != 24:
+        raise ValueError(f"unsupported BMP bpp {bpp}")
+    h = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    tot = 0
+    for y in range(h):
+        row = raw[off + y * row_size : off + y * row_size + width * 3]
+        tot += int(np.frombuffer(row, dtype=np.uint8).astype(np.int64).sum())
+    n_px = width * h
+    return width, h, n_px, tot / (3 * n_px)
+
+
+def _decode_wav_bytes(raw: bytes) -> tuple[int, int, float]:
+    """Blind RIFF/WAVE parse: (sample_rate, n_samples, mean_amplitude).
+    Walks the chunk list — fmt then data — like a real WAV reader."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(raw):
+        cid, csz = struct.unpack_from("<4sI", raw, pos)
+        body = raw[pos + 8 : pos + 8 + csz]
+        if cid == b"fmt ":
+            _afmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+        elif cid == b"data":
+            data = body
+        pos += 8 + csz + (csz & 1)
+    if rate is None or data is None or bits != 16 or channels != 1:
+        raise ValueError("unsupported WAV layout")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    return rate, len(s), int(s.sum()) / len(s)
+
+
+def synthesize_media(docs: DataFrame) -> DataFrame:
+    """Fixture encoder: a genuine BMP (even doc_id) or WAV (odd doc_id)
+    payload per document, dimensions/length derived from doc_id. Runs as
+    mapInPandas — the same Arrow-batched blob pipeline shape real media
+    ingestion uses."""
+    src = docs.select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    payload = _encode_bmp_bytes(d, 4 + d % 8, 4 + (d // 8) % 8)
+                else:
+                    payload = _encode_wav_bytes(d, 64 + d % 64)
+                out.append((d, payload))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return src.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Real decode dispatch over binary payloads: BMP and WAV parse with
+    the stdlib struct decoders above; PNG/JPEG magic routes to
+    ``_real_decode`` (honest NotImplementedError until codecs exist);
+    anything else is rejected. Arrow-batched, one batch of blobs per
+    iteration — shrink spark.sql.files.maxPartitionBytes at scale so a
+    partition of blobs fits executor memory."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:2] == b"BM":
+                    w, h, n_px, luma = _decode_bmp_bytes(raw)
+                    rows.append((int(doc_id), "bmp", w, h, None, n_px, round(luma, 6)))
+                elif raw[:4] == b"RIFF":
+                    rate, n, amp = _decode_wav_bytes(raw)
+                    rows.append((int(doc_id), "wav", None, None, rate, n, round(amp, 6)))
+                elif raw[:4] == b"\x89PNG" or raw[:2] == b"\xff\xd8":
+                    _real_decode(raw)
+                else:
+                    raise ValueError("unknown media container")
+            pdf_out = pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "kind", "width", "height",
+                    "sample_rate", "n_units", "mean_signal",
+                ],
+            )
+            for c in ("width", "height", "sample_rate"):
+                pdf_out[c] = pd.array(pdf_out[c], dtype="Int32")
+            yield pdf_out
+
+    return media.mapInPandas(decode, schema=MEDIA_SCHEMA)
 
 
 def frame_features(frames: DataFrame) -> DataFrame:

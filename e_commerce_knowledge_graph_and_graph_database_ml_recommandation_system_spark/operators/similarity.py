@@ -713,7 +713,11 @@ def semdedup_incremental(
         O = np.stack(opdf["ov"].to_numpy())
         nn = np.linalg.norm(N, axis=1)
         on = np.linalg.norm(O, axis=1)
-        # raw dot/(|a||b|) — the oracle's operation order, no zero-guard
+        # zero-norm convention shared by semdedup and the DuckDB oracles:
+        # cosine with a zero vector is 0.0 (dot is 0 there, so guarding the
+        # norm to 1 yields it; SQL mirrors with COALESCE(dot/NULLIF(prod,0),0))
+        nn[nn == 0] = 1.0
+        on[on == 0] = 1.0
         S = np.round((N @ O.T) / np.outer(nn, on), 6)
         oids = opdf["oid"].to_numpy()
         out_n, out_o, out_c = [], [], []

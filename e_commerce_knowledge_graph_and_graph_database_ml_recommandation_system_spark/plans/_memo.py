@@ -1,0 +1,47 @@
+"""Per-process memo for expensive shared registry artifacts.
+
+Several registry entries recompute identical heavyweight intermediates when
+invoked back-to-back in one verification run (the driver calls every
+``queries()`` entry in a single process):
+
+- ``random_walks`` / ``random_walks_flat`` / ``node2vec_embeddings`` all
+  generate the SAME (num_walks=2, walk_len=6, seed=42) first-order walk set;
+- five ML queries each reassemble the pair dataset and refit a model.
+
+This memo keys on ``(applicationId, tag)`` so a new SparkSession (tests spin
+up their own) never sees stale DataFrames, and stores either a MATERIALIZED
+DataFrame (``localCheckpoint(eager=True)`` — executor-side blocks, no driver
+round-trip) or an arbitrary fitted-model object.
+
+At 100 TB this is exactly the "materialize the shared prefix once" pattern a
+production pipeline uses (write the assembled dataset to parquet, fan out
+consumers); in-process it is an RDD checkpoint instead of a table. Query
+semantics are unchanged — each entry still computes the same result from the
+same inputs; only repeated identical work within one process is elided.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_CACHE: dict[tuple, Any] = {}
+
+
+def memo(spark: SparkSession, tag: tuple, build: Callable[[], Any]) -> Any:
+    """Return the cached artifact for ``tag`` (scoped to this Spark app),
+    building it once via ``build()``. DataFrame results are eagerly
+    materialized with localCheckpoint so every consumer reads computed
+    blocks instead of re-running the lineage."""
+    key = (spark.sparkContext.applicationId, *tag)
+    if key not in _CACHE:
+        out = build()
+        if isinstance(out, DataFrame):
+            out = out.localCheckpoint(eager=True)
+        _CACHE[key] = out
+    return _CACHE[key]
+
+
+def clear() -> None:
+    _CACHE.clear()

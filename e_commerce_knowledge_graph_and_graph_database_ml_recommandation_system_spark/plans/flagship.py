@@ -110,8 +110,12 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
         .filter(F.col("cat_pos") <= F.col("c_max") + 1)
         .drop("c_max")
     )
-    pruned_rows = prune_df.collect()
-    pruned = spark.createDataFrame(pruned_rows, schema=prune_df.schema)
+    # materialize the shared prefix ONCE, executor-side (it feeds two
+    # broadcast consumers below): localCheckpoint keeps the |cats|·(c_max+1)
+    # rows in executor block storage instead of round-tripping them through
+    # the driver (r3 advice — under category-density skew c_max grows with
+    # the densest customer, so driver memory must not be on that path)
+    pruned = prune_df.localCheckpoint(eager=True)
 
     # Per-(customer, category) winner WITHOUT expanding candidates (J6/J7
     # fused): the winner (best unpurchased product, score desc / p_partkey
@@ -152,9 +156,7 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # winner_pos=1. A winner_pos past a short category's prefix (customer
     # purchased every valid product in it) drops in the inner join, exactly
     # like the exhausted-category case in the anti-join formulation.
-    cats_df = spark.createDataFrame(
-        sorted({(r["category"],) for r in pruned_rows}), schema=pruned.select("category").schema
-    )
+    cats_df = pruned.select("category").distinct()
     per_cat = (
         customer.select("c_custkey")
         .crossJoin(F.broadcast(cats_df))

@@ -225,18 +225,20 @@ def q_feature_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("model_scoring_topk", None)
 def q_model_scoring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M10: fit a small GBT, score the serving cohort's candidates, take
-    diverse top-5 on the model probability (EP3 end-to-end with a LEARNED
-    scorer instead of the popularity proxy)."""
+    """M10: score the serving cohort's candidates with the learned GBT,
+    take diverse top-5 on the model probability (EP3 end-to-end with a
+    LEARNED scorer instead of the popularity proxy). Reuses the shared
+    fitted pipeline (_lp_shared) and the shared encoded dataset (_ds_te) —
+    one fit per process instead of one per query."""
     from pyspark.ml.functions import vector_to_array
 
     from ..ml import link_prediction as lp
+    from .registry_ml import _ds_te, _lp_shared
     from .registry_serving import _candidates
 
-    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    ds = lp.build_dataset(tables).cache()
-    train, _ = lp.split_train_test(ds)
-    model, assembler = lp.train_gbt(train, max_iter=5, max_depth=4)
+    ds = _ds_te(spark, sf_dir)
+    art = _lp_shared(spark, sf_dir)
+    model, assembler = art["model"], art["assembler"]
 
     cands = _candidates(spark, sf_dir)
     feats = ds.select(

@@ -1232,8 +1232,11 @@ assign AS (
     ) WHERE r = 1
 ),
 pairs AS (
+    -- zero-norm convention (shared with the Spark path): cosine with a
+    -- zero vector is 0.0, via NULLIF on the norm product (dot is 0 there)
     SELECT b.vec_id AS vec_id,
-           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+           ROUND(COALESCE(list_dot_product(ea.v, eb.v) /
+                 NULLIF(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)), 0), 0.0), 6) AS cos
     FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
     JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
 )
@@ -1546,9 +1549,10 @@ assign AS (
     ) WHERE r = 1
 ),
 cand AS (
+    -- zero-norm convention (shared with the Spark path): cosine 0.0
     SELECT n.vec_id AS nid, o.vec_id AS oid,
-           ROUND(list_dot_product(en.v, eo.v) /
-                 (sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(eo.v, eo.v))), 6) AS cosine
+           ROUND(COALESCE(list_dot_product(en.v, eo.v) /
+                 NULLIF(sqrt(list_dot_product(en.v, en.v)) * sqrt(list_dot_product(eo.v, eo.v)), 0), 0.0), 6) AS cosine
     FROM assign n JOIN e en ON en.vec_id = n.vec_id AND en.batch = 1
     JOIN assign o ON o.cell = n.cell
     JOIN e eo ON eo.vec_id = o.vec_id AND eo.batch = 0

@@ -342,6 +342,41 @@ def test_multimodal_decode_stub(spark):
         mm._real_decode(b"xx")
 
 
+def test_multimodal_real_codec_roundtrip(spark):
+    """Real decode: struct-built BMP/WAV payloads blind-parse back to the
+    generator's exact dimensions and means — including the 4-byte BMP row
+    padding cases (width*3 % 4 != 0) and the RIFF chunk walk; PNG/JPEG
+    magic still routes to the honest NotImplementedError stub."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import multimodal as mm
+
+    # pure-python unit level: every width 4..11 (pad 0..3 bytes) roundtrips
+    for w in range(4, 12):
+        raw = mm._encode_bmp_bytes(seed=w * 17, width=w, height=5)
+        dw, dh, n_px, luma = mm._decode_bmp_bytes(raw)
+        assert (dw, dh, n_px) == (w, 5, w * 5)
+        expect = sum((w * 17 * 31 + i) % 256 for i in range(w * 5)) / (w * 5)
+        assert abs(luma - expect) < 1e-9
+    raw = mm._encode_wav_bytes(seed=99, n_samples=77)
+    rate, n, amp = mm._decode_wav_bytes(raw)
+    assert (rate, n) == (8000, 77)
+    assert abs(amp - sum(((99 * 7 + i * 13) % 2001) - 1000 for i in range(77)) / 77) < 1e-9
+
+    # Spark level: synth -> decode over real docs, one row per doc, kinds split
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF).select("doc_id")
+    out = mm.decode_media(mm.synthesize_media(docs)).cache()
+    assert out.count() == docs.count()
+    assert out.filter(F.col("kind") == "bmp").filter(F.col("width").isNull()).count() == 0
+    assert out.filter(F.col("kind") == "wav").filter(F.col("sample_rate") != 8000).count() == 0
+    # codec-required magic still raises
+    import pandas as pd
+
+    with pytest.raises(Exception):
+        png = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [b"\x89PNG\r\n"]}))
+        mm.decode_media(png).collect()
+
+
 def test_discount_range(spark):
     """Reference invariant: discount ∈ [0.05, 0.50] by month branch
     (took_recommandations_softmaxsampling_discount.py:85-92)."""

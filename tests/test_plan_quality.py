@@ -62,6 +62,12 @@ NO_NESTED_LOOP = [
     # excluded: its 1-row corpus-total broadcast is a legitimate BNLJ)
     "duplicate_span_coverage",
     "semdedup_prune",
+    # round-4 additions (r3 verdict #6): the triangle count's oriented
+    # two-join and the full lexical→semantic curation stack must stay
+    # equi-join-only — a cartesian/BNLJ here is the all-pairs regression
+    # these pipelines were specifically designed to avoid
+    "knn_triangle_counts",
+    "corpus_curation_semantic",
 ]
 
 # Queries where an intentional crossJoin(F.broadcast(tiny-side)) exists —
@@ -75,6 +81,11 @@ NO_CARTESIAN_ONLY = [
     "serve_greedy_diverse_topk",
     "threshold_sweep",
     "degree_features",
+    # round-4 additions: pagerank's teleport term and pmi's corpus-total
+    # are 1-row scalar broadcasts (legitimate BNLJ); a CartesianProduct —
+    # both sides unbroadcast — is still a bug
+    "graph_pagerank",
+    "pmi_collocations",
 ]
 
 
