@@ -639,7 +639,7 @@ def louvain(
         # shuffles over the level-0 graph.
         ref_labels = mapping.select(F.col("id").alias("node"), F.col("node").alias("comm"))
         ref_labels, _moved = _move_sweeps(
-            g_orig, ref_labels, two_m, move_classes, move_classes, min_gain, _reset
+            g_orig, ref_labels, two_m, 3 * move_classes, move_classes, min_gain, _reset
         )
         mapping = ref_labels.select(F.col("node").alias("id"), F.col("comm").alias("node"))
     out = mapping.select("id", F.col("node").cast("string").alias("community_id")).localCheckpoint(eager=True)

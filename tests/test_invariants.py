@@ -199,6 +199,45 @@ def test_node_embeddings_shape(spark):
     assert bad == 0
 
 
+def test_node2vec_embedding_quality(spark):
+    """X5 downstream-quality gate (r3 verdict #8 — arity/determinism alone
+    says nothing about whether the embedding space LEARNED the graph):
+    2-hop-linked (customer, product) pairs — the pairs the reference feeds
+    the embeddings to score (``knn_similarity.py:42-98``) — must be
+    substantially closer in cosine than hash-permuted random pairs.
+    Measured margin 0.105 at these walk params (10 walks × 10 steps,
+    dim 32) on sf0.001; floor at half that. The registry's 2×6 walk corpus
+    is too thin for this signal, so the gate owns its denser corpus."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.build import build_edges
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import traversals as trav
+
+    edges = build_edges(_tables(spark))
+    walks = alg.random_walks(edges, num_walks=10, walk_len=10, seed=42)
+    emb = alg.node_embeddings(walks, dim=32, window_size=5, seed=42).cache()
+
+    def cos(a, b):
+        dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+        na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda s, x: s + x * x))
+        nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda s, x: s + x * x))
+        return dot / (na * nb)
+
+    pos = trav.positive_pairs(edges).select("customer_id", "product_id")
+    e1 = emb.select(F.col("id").alias("customer_id"), F.col("embedding").alias("ea"))
+    e2 = emb.select(F.col("id").alias("product_id"), F.col("embedding").alias("eb"))
+    linked = pos.join(e1, "customer_id").join(e2, "product_id")
+    m_link = linked.agg(F.avg(cos(F.col("ea"), F.col("eb")))).collect()[0][0]
+    rnd = pos.withColumn(
+        "product_id",
+        F.concat(F.lit("prod_"), ((F.abs(F.xxhash64("customer_id", "product_id")) % 1000) + 1).cast("string")),
+    )
+    m_rand = (
+        rnd.join(e1, "customer_id").join(e2, "product_id")
+        .agg(F.avg(cos(F.col("ea"), F.col("eb")))).collect()[0][0]
+    )
+    assert m_link - m_rand > 0.05, f"linked-pair margin too small: {m_link:.4f} vs {m_rand:.4f}"
+
+
 def test_louvain_distributed_path(spark):
     """X8, the 100-TB code path: with local_edge_max=0 the size dispatch
     never collects — every round runs the DISTRIBUTED gain-aggregate moves
@@ -222,8 +261,12 @@ def test_louvain_distributed_path(spark):
         g, alg.louvain(g, weight_col="similarity", undirected=False),
         weight_col="similarity", undirected=False,
     )
-    assert q_dist > 0.3, f"distributed rounds under the quality floor: {q_dist}"
-    assert q_dist >= q_hybrid - 0.12, f"distributed {q_dist} too far below hybrid {q_hybrid}"
+    # refinement sweep (round 4) closed the gap 0.06 -> 0.03 on this graph
+    # (0.37 -> 0.40 vs hybrid 0.43); the residual is structural — coarse
+    # super-node moves merge communities that single-node local moves
+    # cannot split (Leiden's split-refinement would be needed for the rest)
+    assert q_dist > 0.35, f"distributed rounds under the quality floor: {q_dist}"
+    assert q_dist >= q_hybrid - 0.05, f"distributed {q_dist} too far below hybrid {q_hybrid}"
     g.unpersist()
     dist.unpersist()
 
@@ -765,6 +808,31 @@ def test_connected_components_chain_and_determinism(spark):
             for r in cc.connected_components(nodes, e, max_iter=10, local_edge_max=lem).collect()
         }
         assert got == got2
+
+
+def test_connected_components_foreign_endpoints(spark):
+    """Edges mentioning ids OUTSIDE the node set are dropped before
+    labeling, so both dispatch paths agree (r3 advice: the local
+    union-find could otherwise propagate a non-node id as the min label
+    while the distributed rounds never would). The foreign id -1 must not
+    become anyone's component, and the edge through it must not connect
+    its endpoints."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import components as cc
+
+    nodes = spark.createDataFrame([(1,), (2,), (3,)], "id long")
+    # -1 and 99 are not nodes: 1-(-1) would make -1 the min label; 2-99-3
+    # would connect 2 and 3 only through a phantom
+    e = spark.createDataFrame([(1, -1), (2, 99), (99, 3)], "src long, dst long")
+    results = []
+    for lem in (cc.LOCAL_EDGE_MAX, 0):
+        got = {
+            r.id: r.comp
+            for r in cc.connected_components(nodes, e, max_iter=10, local_edge_max=lem).collect()
+        }
+        assert set(got) == {1, 2, 3}, f"foreign ids leaked into output: {got}"
+        assert got == {1: 1, 2: 2, 3: 3}, f"phantom edges connected nodes: {got}"
+        results.append(got)
+    assert results[0] == results[1]
 
 
 def test_dedup_cluster_invariants(spark):
