@@ -276,3 +276,101 @@ def cms_token_frequencies(
             (F.col("cms_estimate") - F.col("n_exact")).cast("long").alias("overestimate"),
         )
     )
+
+
+def ddsketch_quantiles(
+    df, value_col: str, quantiles: tuple = (0.5, 0.9, 0.99), gamma: float = 1.02
+):
+    """Log-bucket quantile sketch (DDSketch, Masson et al. VLDB'19) as a
+    Spark aggregate — the mergeable quantile structure that completes the
+    sketch family next to KMV (distincts) and CMS (frequencies). Beyond-
+    reference scope: at 100 TB each shard keeps its (bucket -> count)
+    histogram, shards merge by cell-wise sum, and any quantile reads off
+    the merged histogram with RELATIVE error <= gamma-1 — no global sort,
+    ever.
+
+    Deterministic by construction: bucket = floor(ln(x)/ln(gamma)) and the
+    representative = gamma^bucket are pure float arithmetic, identical in
+    any engine — a full DuckDB oracle for a quantile sketch (impossible
+    for sampling-based t-digest/GK implementations). Values <= 0 land in a
+    sentinel bucket reported as 0.
+
+    The estimate is the representative of the first bucket whose
+    cumulative count reaches ceil(q*n) (one histogram-sized window — the
+    histogram is ~log_gamma(max/min) rows, dim-sized by construction).
+    The exact rank-ceil(q*n) value rides along for the realized-error
+    column via an ordered-prefix max — a verification aid at test SF (it
+    is the one global TakeOrdered; production reads only the sketch).
+
+    Columns: q, n, est (6dp), exact (6dp), rel_error (6dp).
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    x = F.col(value_col).cast("double")
+    # round the log-ratio to 9dp before floor: ln() may differ by 1 ulp
+    # between engines, and an ulp straddling an integer boundary would
+    # flip the bucket (the repo's standard cross-engine-floor guard)
+    bucket = F.when(x <= 0, F.lit(-(10**9))).otherwise(
+        F.floor(F.round(F.log(x) / F.lit(math.log(gamma)), 9)).cast("long")
+    )
+    hist = df.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    n_df = df.agg(F.count(F.lit(1)).alias("n"))
+
+    out = None
+    spark = df.sparkSession
+    for q in quantiles:
+        # first bucket with cum >= ceil(q*n); representative gamma^bucket
+        ranked = (
+            cum.crossJoin(F.broadcast(n_df))
+            .filter(F.col("cum") >= F.ceil(F.lit(float(q)) * F.col("n")))
+            .orderBy("bucket")
+            .limit(1)
+        )
+        est = ranked.select(
+            F.lit(float(q)).alias("q"),
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.when(F.col("bucket") == -(10**9), F.lit(0.0)).otherwise(
+                    F.pow(F.lit(float(gamma)), F.col("bucket").cast("double"))
+                ),
+                6,
+            ).alias("est"),
+        )
+        out = est if out is None else out.unionByName(est)
+
+    # exact rank value per q (verification column): max of the ordered
+    # k-prefix — k is data-scale, so this column is the TEST harness, not
+    # the production read path (documented above)
+    n = df.agg(F.count(F.lit(1))).collect()[0][0]
+    exacts = []
+    for q in quantiles:
+        k = max(1, math.ceil(q * n))
+        v = (
+            df.select(x.alias("v"))
+            .orderBy("v")
+            .limit(k)
+            .agg(F.max("v"))
+            .collect()[0][0]
+        )
+        exacts.append((float(q), float(v)))
+    ex_df = spark.createDataFrame(exacts, "q double, exact double")
+    return (
+        out.join(F.broadcast(ex_df), "q")
+        .select(
+            "q",
+            "n",
+            "est",
+            F.round("exact", 6).alias("exact"),
+            F.round(
+                F.when(F.col("exact") != 0, F.abs(F.col("est") - F.col("exact")) / F.abs("exact"))
+                .otherwise(F.abs(F.col("est"))),
+                6,
+            ).alias("rel_error"),
+        )
+    )

@@ -104,6 +104,7 @@ def connected_components(
     dst_col: str = "dst",
     max_iter: int = 25,
     local_edge_max: int = LOCAL_EDGE_MAX,
+    enforce_node_contract: bool = True,
 ) -> DataFrame:
     """(id, component) for every node; component = min node id reachable.
 
@@ -122,15 +123,20 @@ def connected_components(
     outside the node set: without the filter the local union-find can
     propagate a non-node id as the min component label while the
     distributed rounds only ever label from nodes' own ids (r3 advice).
+    A caller whose edges are BY CONSTRUCTION a subset of nodes (the dedup
+    clusterers: pairs come from the doc set itself) may pass
+    ``enforce_node_contract=False`` to skip the two semi-joins.
     """
-    ids = nodes.select(F.col(id_col)).distinct()
-    e_dist = (
-        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
-        .join(ids.select(F.col(id_col).alias("s")), "s", "left_semi")
-        .join(ids.select(F.col(id_col).alias("d")), "d", "left_semi")
-        .distinct()
-        .cache()
-    )
+    e_dist = edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+    if enforce_node_contract:
+        ids = nodes.select(F.col(id_col)).distinct()
+        e_dist = e_dist.join(ids.select(F.col(id_col).alias("s")), "s", "left_semi").join(
+            ids.select(F.col(id_col).alias("d")), "d", "left_semi"
+        )
+    # re-pin column ORDER: a USING-join moves its key to position 0, and the
+    # symmetrizing union() below is positional — without this select the
+    # semi-joined frame arrives as (d, s) and edges silently flip
+    e_dist = e_dist.select("s", "d").distinct().cache()
 
     # dispatch on a LIMIT-bounded probe, not a full count: the full count
     # is an eager scan of the entire (possibly 100-TB-derived) edge list
@@ -194,6 +200,8 @@ def dedup_clusters(
         src_col="doc_a",
         dst_col="doc_b",
         local_edge_max=local_edge_max,
+        # pairs are generated FROM docs — endpoints ⊆ nodes by construction
+        enforce_node_contract=False,
     ).withColumnsRenamed({"id": "doc_id", "comp": "cluster_id"})
     sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
     return comp.join(sizes, "cluster_id").select("doc_id", "cluster_id", "cluster_size")
@@ -271,6 +279,8 @@ def dedup_clusters_collapsed(
         src_col="doc_a",
         dst_col="doc_b",
         local_edge_max=local_edge_max,
+        # pair_fn runs over rep_docs — endpoints ⊆ reps by construction
+        enforce_node_contract=False,
     ).withColumnsRenamed({"id": "rep", "comp": "cluster_id"})
     assigned = (
         keyed.join(groups, "fp")

@@ -49,6 +49,7 @@ def register(name: str, oracle: Optional[str] = None):
 # They are green under the local oracle suite, but the driver's sf0.01 run
 # is the hard signal, so they sort first until sampled.
 _DRIVER_UNSAMPLED = (
+    "ddsketch_doc_lengths",
     "multimodal_codec_roundtrip",
     "events_rate_anomalies",
     "events_retention_cohorts",

@@ -1409,6 +1409,56 @@ def q_kmv_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ddsketch_doc_lengths",
+    """
+WITH vals AS (SELECT CAST(length(text) AS DOUBLE) AS v FROM documents),
+n AS (SELECT COUNT(*) AS n FROM vals),
+hist AS (
+    SELECT CASE WHEN v <= 0 THEN -1000000000
+                ELSE CAST(floor(round(ln(v) / ln(1.02), 9)) AS BIGINT) END AS bucket,
+           COUNT(*) AS cnt
+    FROM vals GROUP BY 1
+),
+cum AS (SELECT bucket, SUM(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+qs AS (SELECT UNNEST([0.5, 0.9, 0.99]) AS q),
+est AS (
+    SELECT q.q, n.n,
+           ROUND(CASE WHEN b.bucket = -1000000000 THEN 0.0
+                      ELSE POWER(1.02, b.bucket) END, 6) AS est
+    FROM qs q CROSS JOIN n,
+    LATERAL (SELECT bucket FROM cum WHERE cum.cum >= CEIL(q.q * n.n)
+             ORDER BY bucket LIMIT 1) b
+),
+ranked AS (SELECT v, ROW_NUMBER() OVER (ORDER BY v) AS rn FROM vals),
+ex AS (
+    SELECT q.q, MIN(r.v) AS exact
+    FROM qs q CROSS JOIN n JOIN ranked r ON r.rn >= CEIL(q.q * n.n)
+    GROUP BY q.q
+)
+SELECT e.q, CAST(e.n AS BIGINT) AS n, e.est,
+       ROUND(ex.exact, 6) AS exact,
+       ROUND(CASE WHEN ex.exact <> 0 THEN ABS(e.est - ex.exact) / ABS(ex.exact)
+                  ELSE ABS(e.est) END, 6) AS rel_error
+FROM est e JOIN ex ON e.q = ex.q
+""",
+)
+def q_ddsketch_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDSketch log-bucket quantile sketch (gamma=1.02 → ≤2% relative
+    error) over document character lengths — completes the mergeable
+    sketch family (KMV distincts, CMS frequencies, DDSketch quantiles)
+    with a FULL hash oracle: bucket assignment and representatives are
+    pure float arithmetic, identical cross-engine (unlike t-digest/GK,
+    whose internals are implementation-defined). The exact rank value
+    rides along to expose realized error."""
+    from ..operators.aggregates import ddsketch_quantiles
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        F.length("text").alias("n_chars")
+    )
+    return ddsketch_quantiles(docs, "n_chars", quantiles=(0.5, 0.9, 0.99), gamma=1.02)
+
+
+@register(
     "cms_token_frequencies",
     f"""
 WITH toks AS (

@@ -1274,3 +1274,35 @@ def test_kmv_sketch_mergeability(spark):
         union_kmin |= set(sorted({h32(v) for v in vs})[:k])
     merged = sorted(union_kmin)[:k]
     assert merged[-1] == direct["h_k"], "merged sketch must equal the direct global sketch"
+
+
+def test_ddsketch_mergeability_and_error_bound(spark):
+    """DDSketch's merge identity: the histogram over a union of shards is
+    the cell-wise SUM of per-shard histograms (buckets are value-determined,
+    not data-determined), so merged quantile reads equal direct global
+    reads exactly. Also the sketch's contract: realized relative error
+    <= gamma-1 at every quantile (exact value rides along in the output)."""
+    import math
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.aggregates import (
+        ddsketch_quantiles,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    gamma = 1.02
+    docs = load_table(spark, "documents", SF).select(F.length("text").alias("v"))
+    out = {r["q"]: r for r in ddsketch_quantiles(docs, "v", gamma=gamma).collect()}
+    for q, r in out.items():
+        # est is a bucket LOWER bound: exact/gamma <= est <= exact
+        assert r["rel_error"] <= (gamma - 1) + 1e-9, f"q={q}: {r}"
+
+    # merge = cell-wise sum: per-shard histograms over a deterministic
+    # 2-way split sum to the direct global histogram
+    b = F.floor(F.round(F.log(F.col("v").cast("double")) / F.lit(math.log(gamma)), 9)).cast("long")
+    whole = {r["bucket"]: r["cnt"] for r in docs.filter(F.col("v") > 0).select(b.alias("bucket")).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    shard_sum: dict = {}
+    for s in (0, 1):
+        part = docs.filter(F.col("v") > 0).filter(F.pmod(F.xxhash64("v"), F.lit(2)) == s)
+        for r in part.select(b.alias("bucket")).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect():
+            shard_sum[r["bucket"]] = shard_sum.get(r["bucket"], 0) + r["cnt"]
+    assert shard_sum == whole, "per-shard histograms must sum to the global histogram"
