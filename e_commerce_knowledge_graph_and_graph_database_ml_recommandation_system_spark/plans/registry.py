@@ -50,6 +50,9 @@ def register(name: str, oracle: Optional[str] = None):
 # is the hard signal, so they sort first until sampled.
 _DRIVER_UNSAMPLED = (
     "ddsketch_doc_lengths",
+    "shipping_priority",
+    "returned_items_ranking",
+    "promo_revenue_share",
     "multimodal_codec_roundtrip",
     "events_rate_anomalies",
     "events_retention_cohorts",

@@ -341,7 +341,10 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = _ds_te(spark, sf_dir)
     train, test = lp.split_train_test(ds)
-    params, stats, history = mt.train_multi_tower(train, max_iter=40, lr=0.05)
+    # 25 Adam iterations for the registry's per-verification-run budget
+    # (r3 verdict #1 — rows-only metric query; the 40-iteration config and
+    # its loss/AUC floors live in test_multi_tower_training)
+    params, stats, history = mt.train_multi_tower(train, max_iter=25, lr=0.05)
     scored = mt.predict_multi_tower(test, params, stats).select(
         "label", F.col("probability").cast("double").alias("probability")
     )

@@ -220,6 +220,134 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "shipping_priority",
+    """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+""",
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic shipping-priority analytics (the Q3 shape): unshipped
+    revenue per order for one market segment — selective per-table
+    predicates push to all three scans, the customer dim broadcasts, and
+    the top-10 is a deterministic TakeOrdered (revenue desc, orderkey asc
+    tiebreak — never a global sort)."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    cust = t["customer"].filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    ords = t["orders"].filter(F.col("o_orderdate") < cutoff)
+    li = t["lineitem"].filter(F.col("l_shipdate") > cutoff)
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    ).cast("double")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(rev.alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "returned_items_ranking",
+    """
+SELECT c_custkey, c_name,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue,
+       CAST(c_acctbal AS DOUBLE) AS acctbal
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '2000-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+""",
+)
+def q_returned_items_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue ranking (the Q10 shape): which customers
+    returned the most value in a half-year window — return-flag and date
+    predicates push down, the fact-fact join shuffles on the order key,
+    the customer attributes broadcast on at the end (join AFTER the
+    aggregate would be even narrower, but the group key needs c_name /
+    c_acctbal, which is the classic Q10 trade)."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    lo = F.lit("2000-01-01").cast("timestamp")
+    hi = F.lit("2000-07-01").cast("timestamp")
+    ords = t["orders"].filter((F.col("o_orderdate") >= lo) & (F.col("o_orderdate") < hi))
+    li = t["lineitem"].filter(F.col("l_returnflag") == "R")
+    rev = F.sum(
+        F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    ).cast("double")
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(t["customer"]), ords.o_custkey == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal")
+        .agg(rev.alias("revenue"))
+        .select(
+            "c_custkey", "c_name", "revenue", F.col("c_acctbal").cast("double").alias("acctbal")
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS yr,
+       CAST(EXTRACT(month FROM l_shipdate) AS INT) AS mo,
+       ROUND(100.0 * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))
+                              * (CASE WHEN p_type = 'PROMO' THEN 1 ELSE 0 END)) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE), 6) AS promo_share,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))) AS DOUBLE) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '2000-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '2001-01-01 00:00:00'
+GROUP BY 1, 2
+""",
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promo revenue share per ship month (the Q14 shape): conditional
+    revenue as decimal·int products so both engines sum exactly, ratio
+    computed once in double; part dim broadcasts onto the fact scan."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "part"))
+    li = t["lineitem"].filter(
+        (F.col("l_shipdate") >= F.lit("2000-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("2001-01-01").cast("timestamp"))
+    )
+    price = F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount")).cast("decimal(8,4)")
+    promo = F.when(F.col("p_type") == "PROMO", 1).otherwise(0)
+    return (
+        li.join(F.broadcast(t["part"].select("p_partkey", "p_type")), li.l_partkey == F.col("p_partkey"))
+        .groupBy(
+            F.year("l_shipdate").cast("int").alias("yr"),
+            F.month("l_shipdate").cast("int").alias("mo"),
+        )
+        .agg(
+            F.round(
+                100.0 * F.sum(price * promo).cast("double") / F.sum(price).cast("double"), 6
+            ).alias("promo_share"),
+            F.sum(price).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
     "distinct_counts",
     """
 SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
