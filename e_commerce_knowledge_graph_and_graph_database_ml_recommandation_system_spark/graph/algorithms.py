@@ -679,6 +679,45 @@ def weighted_modularity(
     return intra / two_m - tot_sq / (two_m * two_m)
 
 
+def kcore(
+    edges: DataFrame, k: int = 3, rounds: int = 4, undirected: bool = True
+) -> DataFrame:
+    """Synchronous k-core peeling: ``rounds`` rounds of "drop every node
+    whose degree within the surviving subgraph is < k". Returns
+    (id, core_degree) for the round-``rounds`` survivors — the dense
+    backbone a fraud/quality pipeline mines for tightly-coupled entities.
+
+    Spark-first: each round is two semi-joins (restrict edges to the
+    alive set) + one count aggregate — all equi-joins keyed on node id,
+    map-side-combinable, no driver state; lineage truncated per round.
+    Synchronous fixed-round peeling is deterministic and engine-neutral,
+    so the whole iteration carries a FULL DuckDB hash oracle (the LPA
+    unrolled-CTE pattern); with rounds ≳ the peel depth it reaches the
+    true k-core fixpoint (the hash gate pins whatever depth is
+    configured). At 100 TB the alive set only shrinks, so round cost is
+    monotonically decreasing — the classic peeling property."""
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().cache()
+
+    alive = e.select(F.col("src").alias("id")).distinct()
+    deg = None
+    for _ in range(rounds):
+        ea = e.join(alive.select(F.col("id").alias("src")), "src", "left_semi").join(
+            alive.select(F.col("id").alias("dst")), "dst", "left_semi"
+        )
+        deg = ea.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select(F.col("src").alias("id")).localCheckpoint(
+            eager=False
+        )
+    if deg is None:  # rounds=0: whole graph with plain degrees
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return deg.filter(F.col("deg") >= k).select(
+        F.col("src").alias("id"), F.col("deg").cast("long").alias("core_degree")
+    )
+
+
 def community_stats(communities: DataFrame) -> DataFrame:
     """X9: community count + size stats (reference ``Louvain_community_
     algorithm.py:61,117``)."""

@@ -50,6 +50,7 @@ def register(name: str, oracle: Optional[str] = None):
 # is the hard signal, so they sort first until sampled.
 _DRIVER_UNSAMPLED = (
     "ddsketch_doc_lengths",
+    "kcore_members",
     "shipping_priority",
     "returned_items_ranking",
     "promo_revenue_share",

@@ -274,6 +274,45 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return alg.label_propagation(e, max_iter=5)
 
 
+def _kcore_oracle_sql(k: int, rounds: int) -> str:
+    """DuckDB mirror of graph/algorithms.kcore: ``rounds`` synchronous
+    peel rounds as chained CTEs over the PURCHASED/CONTAINS projection —
+    the LPA unrolled-oracle pattern applied to degree peeling."""
+    sql = f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+e AS (
+    SELECT src, dst FROM (
+        SELECT src, dst FROM edges WHERE type IN ('PURCHASED', 'CONTAINS')
+        UNION ALL
+        SELECT dst, src FROM edges WHERE type IN ('PURCHASED', 'CONTAINS')
+    ) WHERE src <> dst GROUP BY src, dst
+),
+a0 AS (SELECT DISTINCT src AS id FROM e)"""
+    for r in range(1, rounds + 1):
+        sql += f""",
+d{r} AS (
+    SELECT e.src AS id, COUNT(*) AS deg
+    FROM e
+    JOIN a{r - 1} s ON e.src = s.id
+    JOIN a{r - 1} t ON e.dst = t.id
+    GROUP BY e.src
+),
+a{r} AS (SELECT id FROM d{r} WHERE deg >= {k})"""
+    return sql + f"""
+SELECT id, CAST(deg AS BIGINT) AS core_degree FROM d{rounds} WHERE deg >= {k}"""
+
+
+@register("kcore_members", _kcore_oracle_sql(k=3, rounds=4))
+def q_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=3, 4 synchronous rounds) over the PURCHASED/
+    CONTAINS projection — an iterative distributed graph algorithm with a
+    full cross-engine hash oracle (unrolled peel rounds as chained CTEs,
+    the label_propagation_communities pattern)."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
+    return alg.kcore(e, k=3, rounds=4)
+
+
 @register("louvain_communities", None)
 def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X8: distributed Louvain (modularity-gain local moves + coarsening)

@@ -1276,6 +1276,23 @@ def test_kmv_sketch_mergeability(spark):
     assert merged[-1] == direct["h_k"], "merged sketch must equal the direct global sketch"
 
 
+def test_kcore_planted_core(spark):
+    """k-core peeling recovers a planted clique and peels a pendant tree:
+    a 5-clique (every node degree 4) survives k=3 with in-core degree 4;
+    a path hanging off it peels away completely within the round budget."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
+
+    clique = [(f"c{i}", f"c{j}") for i in range(5) for j in range(i + 1, 5)]
+    tail = [("c0", "t1"), ("t1", "t2"), ("t2", "t3")]
+    edges = spark.createDataFrame(clique + tail, "src string, dst string")
+    got = {r["id"]: r["core_degree"] for r in alg.kcore(edges, k=3, rounds=4).collect()}
+    assert set(got) == {f"c{i}" for i in range(5)}, got
+    assert all(v == 4 for v in got.values()), got
+    # monotonicity: a larger round budget can only shrink-or-keep the set
+    got6 = {r["id"] for r in alg.kcore(edges, k=3, rounds=6).collect()}
+    assert got6 <= set(got)
+
+
 def test_ddsketch_mergeability_and_error_bound(spark):
     """DDSketch's merge identity: the histogram over a union of shards is
     the cell-wise SUM of per-shard histograms (buckets are value-determined,
