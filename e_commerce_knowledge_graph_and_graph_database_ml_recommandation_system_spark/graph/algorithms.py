@@ -637,11 +637,38 @@ def louvain(
         # extra phase of the same deterministic machinery — no new code
         # path, no RNG). Cost: ≤ one full sweep = move_classes rounds of 3
         # shuffles over the level-0 graph.
-        ref_labels = mapping.select(F.col("id").alias("node"), F.col("node").alias("comm"))
-        ref_labels, _moved = _move_sweeps(
-            g_orig, ref_labels, two_m, 3 * move_classes, move_classes, min_gain, _reset
+        ref = mapping.select(F.col("id").alias("node"), F.col("node").alias("comm"))
+        ref, _ = _move_sweeps(
+            g_orig, ref, two_m, 2 * move_classes, move_classes, min_gain, _reset
         )
-        mapping = ref_labels.select(F.col("node").alias("id"), F.col("comm").alias("node"))
+        # connectivity split (Leiden's community-connectivity guarantee,
+        # Traag et al. 2019): super-node moves can leave a community
+        # internally DISCONNECTED (merged through a since-moved bridge) —
+        # splitting such a community into its connected parts removes no
+        # intra edge and strictly shrinks Σtot², so modularity never
+        # decreases. Parts are labeled by their min node id (a valid
+        # community label for the gain machinery), via the existing
+        # size-dispatched connected-components operator over the
+        # intra-community edge restriction; a final sweep lets split
+        # parts re-merge wherever that actually gains.
+        from ..operators.components import connected_components
+
+        intra = (
+            g_orig.join(ref.select(F.col("node").alias("src"), F.col("comm").alias("c_s")), "src")
+            .join(ref.select(F.col("node").alias("dst"), F.col("comm").alias("c_d")), "dst")
+            .filter(F.col("c_s") == F.col("c_d"))
+            .select("src", "dst")
+        )
+        comp = connected_components(
+            ref.select(F.col("node").alias("id")),
+            intra,
+            enforce_node_contract=False,
+        )
+        ref = comp.select(F.col("id").alias("node"), F.col("comp").alias("comm"))
+        ref, _ = _move_sweeps(
+            g_orig, ref, two_m, 2 * move_classes, move_classes, min_gain, _reset
+        )
+        mapping = ref.select(F.col("node").alias("id"), F.col("comm").alias("node"))
     out = mapping.select("id", F.col("node").cast("string").alias("community_id")).localCheckpoint(eager=True)
     shutil.rmtree(tmp_root, ignore_errors=True)
     return out
