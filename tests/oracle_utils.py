@@ -16,7 +16,10 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+            # pin the resolution too: Series.equals is dtype-strict, and
+            # Spark toPandas yields datetime64[ns] while DuckDB .df()
+            # yields datetime64[us] — equal values, unequal dtypes
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[ns]")
         elif df[c].dtype == object:
             df[c] = df[c].astype(str)
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)

@@ -1276,6 +1276,38 @@ def test_kmv_sketch_mergeability(spark):
     assert merged[-1] == direct["h_k"], "merged sketch must equal the direct global sketch"
 
 
+def test_partition_invariance_of_hash_determinism(spark):
+    """The repo-wide determinism claim, tested directly: every stochastic
+    pick is hash-derived (md5/xxhash64 of row content), NEVER F.rand —
+    so results are bit-identical under ANY physical partitioning. rand()'s
+    stream is assigned per-partition, so a rand-based implementation
+    would silently change results on repartition; this gate catches any
+    future regression to rand. Checked on the two operator families where
+    partition-dependence would bite hardest: walk generation and
+    stochastic serving top-k."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.build import build_edges
+
+    edges = build_edges(_tables(spark))
+    flat = lambda e: (  # noqa: E731
+        alg.random_walks(e, num_walks=1, walk_len=4, seed=11)
+        .select("walk_id", F.posexplode("walk").alias("pos", "node"))
+    )
+    a = flat(edges.repartition(1)).cache()
+    b = flat(edges.repartition(17, "dst")).cache()
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import topk as tk
+
+    cands = spark.createDataFrame(
+        [(c, p, "cat%d" % (p % 3), 1.0 / (1 + p)) for c in range(20) for p in range(15)],
+        "customer_id long, product_id long, category string, p double",
+    )
+    g1 = tk.gumbel_topk(cands.repartition(1), k=5, score_col="p")
+    g2 = tk.gumbel_topk(cands.repartition(13, "product_id"), k=5, score_col="p")
+    assert g1.exceptAll(g2).count() == 0 and g2.exceptAll(g1).count() == 0
+
+
 def test_kcore_planted_core(spark):
     """k-core peeling recovers a planted clique and peels a pendant tree:
     a 5-clique (every node degree 4) survives k=3 with in-core degree 4;
