@@ -261,12 +261,15 @@ def test_louvain_distributed_path(spark):
         g, alg.louvain(g, weight_col="similarity", undirected=False),
         weight_col="similarity", undirected=False,
     )
-    # refinement sweep (round 4) closed the gap 0.06 -> 0.03 on this graph
-    # (0.37 -> 0.40 vs hybrid 0.43); the residual is structural — coarse
-    # super-node moves merge communities that single-node local moves
-    # cannot split (Leiden's split-refinement would be needed for the rest)
-    assert q_dist > 0.35, f"distributed rounds under the quality floor: {q_dist}"
-    assert q_dist >= q_hybrid - 0.05, f"distributed {q_dist} too far below hybrid {q_hybrid}"
+    # round-4 Leiden pipeline (node sweeps -> connectivity split ->
+    # aggregation on the refined partition with parent-initialized labels
+    # -> polish) took the distributed exit from 0.06 BELOW the sequential
+    # hybrid to ABOVE it (measured 0.446 vs 0.432 on this graph): moving
+    # whole sub-communities between parents undoes the bad coarse merges
+    # single-node moves could not. Gate: distributed must now match or
+    # beat the hybrid (small tolerance for graph drift across SFs).
+    assert q_dist > 0.40, f"distributed rounds under the quality floor: {q_dist}"
+    assert q_dist >= q_hybrid - 0.01, f"distributed {q_dist} below hybrid {q_hybrid}"
     g.unpersist()
     dist.unpersist()
 
