@@ -395,7 +395,99 @@ def _louvain_local(rows, two_m: float, max_rounds: int, min_gain: float) -> dict
         if len(contracted) >= len(adj):
             break
         adj = contracted
+
+    # Leiden refinement at the finest level (mirrors the distributed exit's
+    # phases, all driver-local so the hybrid path reaches the same quality):
+    # split each community into its connected parts, aggregate on the parts
+    # with parent-initialized labels, move parts between parents, polish.
+    adj0: dict = defaultdict(dict)
+    for src, dst, w in rows:
+        adj0[src][dst] = adj0[src].get(dst, 0.0) + w
+    final = _local_leiden_refine(adj0, two_m, final, max_rounds, min_gain)
     return final
+
+
+def _local_move_pass(adj: dict, two_m: float, comm: dict, max_rounds: int, min_gain: float) -> dict:
+    """One sequential local-move phase from a GIVEN initial partition —
+    the driver-local twin of _move_sweeps (same gain formula, same
+    deterministic visit order and tiebreaks)."""
+    from collections import defaultdict
+
+    nodes = sorted(adj)
+    k = {n: sum(adj[n].values()) for n in nodes}
+    sigma: dict = defaultdict(float)
+    for n in nodes:
+        sigma[comm[n]] += k[n]
+    for _r in range(max_rounds):
+        moved = 0
+        for n in nodes:
+            cn = comm[n]
+            links: dict = defaultdict(float)
+            for nb, w in adj[n].items():
+                if nb != n:
+                    links[comm[nb]] += w
+            sigma[cn] -= k[n]
+            gains = {
+                c: links.get(c, 0.0) - k[n] * sigma.get(c, 0.0) / two_m
+                for c in set(links) | {cn}
+            }
+            best_c = min(gains, key=lambda c: (-gains[c], c))
+            if best_c != cn and gains[best_c] > gains[cn] + min_gain:
+                comm[n] = best_c
+                moved += 1
+            sigma[comm[n]] += k[n]
+        if moved == 0:
+            break
+    return comm
+
+
+def _local_leiden_refine(
+    adj0: dict, two_m: float, part_of: dict, max_rounds: int, min_gain: float
+) -> dict:
+    """Driver-local Leiden phases over the ORIGINAL adjacency: connectivity
+    split (communities must be internally connected — splitting a
+    disconnected one never decreases Q), aggregation on the refined parts
+    with parent-initialized labels (whole parts move between parents), and
+    a node-level polish. Deterministic throughout (sorted iteration, min-id
+    part labels)."""
+    from collections import defaultdict
+
+    # connectivity split: BFS within each community, part id = min member
+    members: dict = defaultdict(list)
+    for n, c in part_of.items():
+        members[c].append(n)
+    r_part: dict = {}
+    for c, ns in members.items():
+        ns_set = set(ns)
+        seen: set = set()
+        for start in sorted(ns):
+            if start in seen:
+                continue
+            stack, comp_nodes = [start], []
+            seen.add(start)
+            while stack:
+                x = stack.pop()
+                comp_nodes.append(x)
+                for nb in adj0.get(x, {}):
+                    if nb in ns_set and nb not in seen:
+                        seen.add(nb)
+                        stack.append(nb)
+            rep = min(comp_nodes)
+            for x in comp_nodes:
+                r_part[x] = rep
+
+    # aggregate by refined parts; labels start at the parent community
+    agg: dict = defaultdict(dict)
+    for n, nbrs in adj0.items():
+        pn = r_part[n]
+        for nb, w in nbrs.items():
+            agg[pn][r_part[nb]] = agg[pn].get(r_part[nb], 0.0) + w
+    init = {p: part_of[p] for p in agg}  # p is a member (min id) of its part
+    moved = _local_move_pass(agg, two_m, dict(init), max_rounds, min_gain)
+
+    # project back and polish at node level
+    comm = {n: moved[r_part[n]] for n in adj0}
+    return _local_move_pass(adj0, two_m, comm, max_rounds, min_gain)
 
 
 def _move_sweeps(
