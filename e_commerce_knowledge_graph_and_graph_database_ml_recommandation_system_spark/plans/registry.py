@@ -51,6 +51,7 @@ def register(name: str, oracle: Optional[str] = None):
 _DRIVER_UNSAMPLED = (
     "ddsketch_doc_lengths",
     "kcore_members",
+    "lsh_recall_audit",
     "shipping_priority",
     "returned_items_ranking",
     "promo_revenue_share",

@@ -198,6 +198,91 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "lsh_recall_audit",
+    f"""
+WITH {_MINHASH_CTE.strip()},
+shc AS (
+    SELECT * FROM sh WHERE shingle NOT IN (
+        SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+    )
+),
+ex_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shc GROUP BY doc_id),
+ex_inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+exact AS (
+    SELECT doc_a, doc_b,
+           ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) AS jaccard
+    FROM ex_inter
+    JOIN ex_sizes sa ON sa.doc_id = doc_a
+    JOIN ex_sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
+),
+banded0 AS (
+    {_BAND_SELECTS}
+),
+banded AS (
+    SELECT * FROM banded0 WHERE band_key NOT IN (
+        SELECT band_key FROM banded0 GROUP BY band_key HAVING COUNT(*) > 1000
+    )
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a JOIN banded b
+      ON a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+v_sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+v_inter AS (
+    SELECT cand.doc_a, cand.doc_b, COUNT(*) AS inter
+    FROM cand
+    JOIN sh sa ON sa.doc_id = cand.doc_a
+    JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.shingle = sa.shingle
+    GROUP BY cand.doc_a, cand.doc_b
+),
+found AS (
+    SELECT doc_a, doc_b
+    FROM cand
+    LEFT JOIN v_inter USING (doc_a, doc_b)
+    JOIN v_sizes sa ON sa.doc_id = doc_a
+    JOIN v_sizes sb ON sb.doc_id = doc_b
+    WHERE ROUND(COALESCE(v_inter.inter, 0) / (sa.n_sh + sb.n_sh - COALESCE(v_inter.inter, 0)), 6) >= 0.5
+)
+SELECT CAST(LEAST(floor(round(e.jaccard * 10, 9)), 9) AS INT) AS jaccard_band,
+       CAST(COUNT(*) AS BIGINT) AS n_exact,
+       CAST(SUM(CASE WHEN f.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       ROUND(AVG(CASE WHEN f.doc_a IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS recall
+FROM exact e LEFT JOIN found f USING (doc_a, doc_b)
+GROUP BY 1
+""",
+)
+def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup observability: RECALL of the scale path (MinHash-LSH banded
+    candidates, verified) against the exact shared-shingle Jaccard pair
+    set, per jaccard decile — the audit a production dedup pipeline runs
+    on a sample before trusting the banded join at full corpus scale
+    (precision is already pytest-gated as verified ⊆ exact; recall is the
+    quantity LSH actually trades). Fully hash-checked: both pair sets are
+    deterministic, so even the recall ratios match DuckDB exactly."""
+    docs = load_table(spark, "documents", sf_dir)
+    exact = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b", "jaccard")
+    found = (
+        dd.minhash_lsh_verified(docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, threshold=0.5)
+        .select("doc_a", "doc_b")
+        .withColumn("found", F.lit(1))
+    )
+    j = exact.join(found, ["doc_a", "doc_b"], "left").na.fill({"found": 0})
+    return j.groupBy(
+        F.least(F.floor(F.round(F.col("jaccard") * 10, 9)), F.lit(9)).cast("int").alias("jaccard_band")
+    ).agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.sum("found").cast("long").alias("n_found"),
+        F.round(F.avg(F.col("found").cast("double")), 6).alias("recall"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash + banded near-dup
 # ---------------------------------------------------------------------------
