@@ -1,0 +1,74 @@
+"""Distributed global ranking — the single-partition-window antipattern,
+solved.
+
+``Window.orderBy(...)`` with no partitionBy funnels the ENTIRE relation
+through one task (Spark even logs "No Partition Defined for Window
+operation"), which is the classic way a reporting query that worked at
+sf0.1 dies at 100 TB. The textbook fix implemented here:
+
+1. ``repartitionByRange`` on the order keys — each partition holds one
+   contiguous range of the global order (Spark's sort machinery, sampled
+   bounds; correctness never depends on the bounds being balanced);
+2. per-partition LOCAL window (parallel) for local row_number and local
+   prefix-sums;
+3. one tiny (num-partitions-row) aggregate collected to the driver and
+   turned into broadcast offset maps — global rank = local rank +
+   preceding-partitions count, global prefix-sum likewise.
+
+Prefix-sum values ride as SCALED LONGS (exact integer arithmetic) so the
+cumulative sums are bit-identical in any engine / any partitioning —
+float running sums would drift with summation order. The plan contains
+NO SinglePartition exchange (asserted in tests/test_plan_quality.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def global_rank_with_prefix(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    n_parts: int | None = None,
+) -> DataFrame:
+    """Append ``rank`` (1-based global row number in ``order_cols`` order —
+    pass a TOTAL order, i.e. include a unique tiebreak column) and
+    ``cum_value`` (global prefix-sum of ``value_col``, which must be an
+    exact integer type) to ``df``. ``total_n`` / ``total_value`` ride along
+    as literals for ratio columns."""
+    spark = df.sparkSession
+    n_parts = n_parts or spark.sparkContext.defaultParallelism
+    d = df.repartitionByRange(n_parts, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    local = d.withColumn("_lr", F.row_number().over(w)).withColumn(
+        "_ls", F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    local = local.localCheckpoint(eager=True)  # stats pass + output read once
+
+    # num-partitions-sized driver aggregate -> broadcast offset maps (the
+    # only driver data; bounded by parallelism, never by row count)
+    stats = sorted(
+        local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s")).collect(),
+        key=lambda r: r["_pid"],
+    )
+    off_n: list = []
+    off_s: list = []
+    cn, cs = 0, 0
+    for r in stats:
+        off_n += [F.lit(int(r["_pid"])), F.lit(int(cn))]
+        off_s += [F.lit(int(r["_pid"])), F.lit(int(cs))]
+        cn += r["n"]
+        cs += int(r["s"])
+    m_n = F.create_map(*off_n) if off_n else F.create_map()
+    m_s = F.create_map(*off_s) if off_s else F.create_map()
+    return (
+        local.withColumn("rank", (F.col("_lr") + m_n[F.col("_pid")]).cast("long"))
+        .withColumn("cum_value", (F.col("_ls") + m_s[F.col("_pid")]).cast("long"))
+        .withColumn("total_n", F.lit(int(cn)))
+        .withColumn("total_value", F.lit(int(cs)))
+        .drop("_pid", "_lr", "_ls")
+    )

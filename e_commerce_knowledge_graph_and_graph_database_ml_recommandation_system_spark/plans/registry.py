@@ -52,6 +52,7 @@ _DRIVER_UNSAMPLED = (
     "ddsketch_doc_lengths",
     "kcore_members",
     "lsh_recall_audit",
+    "customer_spend_distribution",
     "shipping_priority",
     "returned_items_ranking",
     "promo_revenue_share",

@@ -348,6 +348,58 @@ def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_spend_distribution",
+    """
+WITH spend AS (
+    SELECT o_custkey AS customer_id,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sp
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT customer_id, sp,
+           ROW_NUMBER() OVER (ORDER BY sp DESC, customer_id ASC) AS rnk,
+           SUM(sp) OVER (ORDER BY sp DESC, customer_id ASC ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(sp) OVER () AS tot,
+           COUNT(*) OVER () AS n
+    FROM spend
+)
+SELECT customer_id,
+       ROUND(sp / 100.0, 2) AS total_spend,
+       CAST(rnk AS BIGINT) AS spend_rank,
+       CAST(LEAST(floor(round((rnk - 1) * 10.0 / n, 9)), 9) AS INT) AS spend_decile,
+       ROUND(CAST(cum AS DOUBLE) / tot, 6) AS cum_share
+FROM ranked
+""",
+)
+def q_customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global spend ranking WITHOUT the single-partition window the naive
+    SQL (and the oracle, which may funnel — DuckDB is single-node anyway)
+    would use: range-partition on the order keys, per-partition local
+    windows, broadcast partition offsets (operators/ranking.py). Spend
+    rides as exact cents-longs so ranks, deciles and cumulative shares are
+    bit-identical cross-engine. The plan carries NO SinglePartition
+    exchange — gated in test_plan_quality."""
+    from ..operators.ranking import global_rank_with_prefix
+
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    spend = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sp")
+    )
+    r = global_rank_with_prefix(
+        spend, [F.desc("sp"), F.asc("customer_id")], "sp", n_parts=8
+    )
+    return r.select(
+        "customer_id",
+        F.round(F.col("sp") / 100.0, 2).alias("total_spend"),
+        F.col("rank").alias("spend_rank"),
+        F.least(
+            F.floor(F.round((F.col("rank") - 1) * 10.0 / F.col("total_n"), 9)), F.lit(9)
+        ).cast("int").alias("spend_decile"),
+        F.round(F.col("cum_value").cast("double") / F.col("total_value"), 6).alias("cum_share"),
+    )
+
+
+@register(
     "distinct_counts",
     """
 SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,

@@ -149,6 +149,16 @@ def test_flagship_no_literal_in_list(spark, queries):
     assert "LeftAnti" not in plan, "candidate-expansion anti-join reappeared"
 
 
+def test_global_rank_no_single_partition_window(spark, queries):
+    """customer_spend_distribution computes a GLOBAL ranking; the naive
+    Window.orderBy-with-no-partitionBy plan funnels every row through one
+    task (Exchange SinglePartition). The range-partition + local-window +
+    broadcast-offset formulation (operators/ranking.py) must keep the plan
+    free of any SinglePartition exchange."""
+    plan = _plan(spark, queries["customer_spend_distribution"](spark, SF_DIR))
+    assert "SinglePartition" not in plan, "global ranking collapsed to one partition"
+
+
 def test_token_stats_column_pruning(spark, queries):
     """A 2-column text query must scan 2 columns — ReadSchema on the
     documents parquet scan carries only (doc_id, text), nothing else."""
