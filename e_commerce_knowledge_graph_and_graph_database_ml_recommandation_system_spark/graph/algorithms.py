@@ -761,6 +761,11 @@ def louvain(
             ref.select(F.col("node").alias("id")),
             intra,
             enforce_node_contract=False,
+            # forward the dispatch threshold: louvain(local_edge_max=0) is
+            # the forced-distributed contract ("no driver graph state"),
+            # and the split must honor it rather than fall back to CC's own
+            # default and collect the intra edge list (review finding)
+            local_edge_max=local_edge_max,
         )
         # Leiden aggregation proper (Traag et al. 2019, phase 3): contract
         # the graph on the REFINED partition R but initialize the contracted
@@ -868,9 +873,13 @@ def kcore(
         )
     if deg is None:  # rounds=0: whole graph with plain degrees
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    return deg.filter(F.col("deg") >= k).select(
-        F.col("src").alias("id"), F.col("deg").cast("long").alias("core_degree")
+    out = (
+        deg.filter(F.col("deg") >= k)
+        .select(F.col("src").alias("id"), F.col("deg").cast("long").alias("core_degree"))
+        .localCheckpoint(eager=True)  # materialize, then free the edge cache
     )
+    e.unpersist()
+    return out
 
 
 def community_stats(communities: DataFrame) -> DataFrame:
@@ -1056,7 +1065,7 @@ def triangle_counts(
             2.0 * F.col("triangles") / (F.col("degree") * (F.col("degree") - F.lit(1))), 6
         ),
     ).otherwise(F.lit(0.0))
-    return (
+    result = (
         deg.join(per_node, "id", "left")
         .na.fill({"triangles": 0})
         .select(
@@ -1065,4 +1074,12 @@ def triangle_counts(
             F.col("triangles").cast("long").alias("triangles"),
             coef.alias("clustering_coef"),
         )
+        # materialize, then release the cached edge relations — a
+        # verification run invokes many operators in one process and
+        # un-freed caches evict each other (review finding)
+        .localCheckpoint(eager=True)
     )
+    und.unpersist()
+    if orient == "degree":
+        out.unpersist()
+    return result

@@ -348,6 +348,10 @@ def ddsketch_quantiles(
     # k-prefix — k is data-scale, so this column is the TEST harness, not
     # the production read path (documented above)
     n = df.agg(F.count(F.lit(1))).collect()[0][0]
+    if n == 0:
+        return df.sparkSession.createDataFrame(
+            [], "q double, n long, est double, exact double, rel_error double"
+        )
     exacts = []
     for q in quantiles:
         k = max(1, math.ceil(q * n))

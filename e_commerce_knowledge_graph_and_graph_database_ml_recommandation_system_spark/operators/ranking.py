@@ -49,26 +49,29 @@ def global_rank_with_prefix(
     )
     local = local.localCheckpoint(eager=True)  # stats pass + output read once
 
-    # num-partitions-sized driver aggregate -> broadcast offset maps (the
-    # only driver data; bounded by parallelism, never by row count)
+    # num-partitions-sized driver aggregate -> broadcast offsets (the only
+    # driver data; bounded by parallelism, never by row count). Joined back
+    # as a broadcast hash join rather than a create_map literal: map lookup
+    # is a linear scan of the literal per row — O(rows × n_parts) on a
+    # real cluster (review finding); a BHJ probe is O(1) per row.
     stats = sorted(
         local.groupBy("_pid").agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s")).collect(),
         key=lambda r: r["_pid"],
     )
-    off_n: list = []
-    off_s: list = []
+    rows = []
     cn, cs = 0, 0
     for r in stats:
-        off_n += [F.lit(int(r["_pid"])), F.lit(int(cn))]
-        off_s += [F.lit(int(r["_pid"])), F.lit(int(cs))]
+        rows.append((int(r["_pid"]), int(cn), int(cs)))
         cn += r["n"]
         cs += int(r["s"])
-    m_n = F.create_map(*off_n) if off_n else F.create_map()
-    m_s = F.create_map(*off_s) if off_s else F.create_map()
+    offsets = local.sparkSession.createDataFrame(
+        rows or [(0, 0, 0)], "_pid int, _off_n long, _off_s long"
+    )
     return (
-        local.withColumn("rank", (F.col("_lr") + m_n[F.col("_pid")]).cast("long"))
-        .withColumn("cum_value", (F.col("_ls") + m_s[F.col("_pid")]).cast("long"))
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn("rank", (F.col("_lr") + F.col("_off_n")).cast("long"))
+        .withColumn("cum_value", (F.col("_ls") + F.col("_off_s")).cast("long"))
         .withColumn("total_n", F.lit(int(cn)))
         .withColumn("total_value", F.lit(int(cs)))
-        .drop("_pid", "_lr", "_ls")
+        .drop("_pid", "_lr", "_ls", "_off_n", "_off_s")
     )

@@ -33,8 +33,15 @@ def memo(spark: SparkSession, tag: tuple, build: Callable[[], Any]) -> Any:
     """Return the cached artifact for ``tag`` (scoped to this Spark app),
     building it once via ``build()``. DataFrame results are eagerly
     materialized with localCheckpoint so every consumer reads computed
-    blocks instead of re-running the lineage."""
-    key = (spark.sparkContext.applicationId, *tag)
+    blocks instead of re-running the lineage. Entries from OTHER
+    applicationIds are evicted on each call — they reference stopped
+    SparkContexts and would otherwise leak for the process lifetime
+    (session-churn workloads: test suites, notebooks)."""
+    app = spark.sparkContext.applicationId
+    stale = [k for k in _CACHE if k[0] != app]
+    for k in stale:
+        del _CACHE[k]
+    key = (app, *tag)
     if key not in _CACHE:
         out = build()
         if isinstance(out, DataFrame):

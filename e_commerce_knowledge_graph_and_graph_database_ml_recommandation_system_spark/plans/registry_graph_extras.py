@@ -228,22 +228,27 @@ def q_model_scoring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M10: score the serving cohort's candidates with the learned GBT,
     take diverse top-5 on the model probability (EP3 end-to-end with a
     LEARNED scorer instead of the popularity proxy). Reuses the shared
-    fitted pipeline (_lp_shared) and the shared encoded dataset (_ds_te) —
-    one fit per process instead of one per query."""
+    fitted pipeline (_lp_shared) — one fit per process — and scores
+    features carrying the SAME split-safe target encoding the model was
+    trained on (serving rows off the full-kfold encoding would put
+    boundary categories on the wrong side of learned splits: train/serve
+    encoder skew, review finding)."""
     from pyspark.ml.functions import vector_to_array
 
     from ..ml import link_prediction as lp
-    from .registry_ml import _ds_te, _lp_shared
+    from .registry_ml import _lp_shared
     from .registry_serving import _candidates
 
-    ds = _ds_te(spark, sf_dir)
     art = _lp_shared(spark, sf_dir)
     model, assembler = art["model"], art["assembler"]
 
     cands = _candidates(spark, sf_dir)
-    feats = ds.select(
-        "customer_id", "product_id", *[c for c in lp.FEATURE_COLS]
-    ).dropDuplicates(["customer_id", "product_id"])
+    cols = ["customer_id", "product_id", *lp.FEATURE_COLS]
+    feats = (
+        art["train"].select(*cols)
+        .unionByName(art["test"].select(*cols))
+        .dropDuplicates(["customer_id", "product_id"])
+    )
     joined = (
         cands.withColumn("customer_id", F.concat_ws("_", F.lit("cust"), F.col("customer_id")))
         .withColumn("product_id", F.concat_ws("_", F.lit("prod"), F.col("product_id")))

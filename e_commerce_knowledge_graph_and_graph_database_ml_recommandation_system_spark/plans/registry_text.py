@@ -1363,8 +1363,10 @@ sassign AS (
     ) WHERE r = 1
 ),
 spairs AS (
+    -- zero-norm convention shared with the Spark semdedup stage: cosine 0.0
     SELECT b.vec_id AS vec_id,
-           ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos
+           ROUND(COALESCE(list_dot_product(ea.v, eb.v) /
+                 NULLIF(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)), 0), 0.0), 6) AS cos
     FROM sassign a JOIN sassign b ON a.cell = b.cell AND a.vec_id < b.vec_id
     JOIN se ea ON ea.vec_id = a.vec_id JOIN se eb ON eb.vec_id = b.vec_id
 ),
