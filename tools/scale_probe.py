@@ -57,6 +57,10 @@ DEFAULT_QUERIES = (
     # first at 100x (round-2 judge item)
     "louvain_communities",
     "node2vec_biased_walks",
+    # round-4 additions: peeling iteration, global ranking, stream admission
+    "kcore_members",
+    "customer_spend_distribution",
+    "documents_stream_curation",
 )
 
 
