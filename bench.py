@@ -62,6 +62,11 @@ HEADLINE = [
     "dedup_clusters",
     "corpus_curation_semantic",
     "duplicate_span_coverage",
+    # round-4 additions: distributed global ranking + the quantile sketch
+    # (cross-round comparisons use the shared-query subset, per the r3
+    # verdict's convention)
+    "customer_spend_distribution",
+    "ddsketch_doc_lengths",
 ]
 
 

@@ -882,6 +882,57 @@ def kcore(
     return out
 
 
+def landmark_distances(
+    edges: DataFrame,
+    n_landmarks: int = 4,
+    max_hops: int = 4,
+    undirected: bool = True,
+) -> DataFrame:
+    """Landmark BFS distances: hop distance from every node to each of
+    ``n_landmarks`` md5-sampled landmark nodes, out to ``max_hops`` —
+    the classic landmark/pivot embedding for distance features and
+    closeness estimates (Potamias et al., CIKM'09 style). Returns
+    (id, landmark, distance) for every reached (node, landmark) pair.
+
+    Spark-first frontier expansion: each round joins only the CURRENT
+    frontier (nodes first reached last round) to the edge list and folds
+    with a map-side-combinable min — state stays (node, landmark, dist)
+    rows, no adjacency arrays, no driver graph. Deterministic (landmarks
+    are the n smallest md5('lm_'||id) — a seeded sample, not RNG), so
+    fixed-round BFS carries a FULL DuckDB oracle via unrolled CTEs (the
+    LPA/k-core oracle pattern). At 100 TB frontier size is bounded by the
+    reach of each hop, and rounds are a fixed constant."""
+    e = edges.select("src", "dst")
+    if undirected:
+        e = e.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().cache()
+
+    nodes = e.select("src").distinct()
+    lms = nodes.orderBy(
+        md5_int32(F.concat(F.lit("lm_"), F.col("src"))), F.asc("src")
+    ).limit(n_landmarks)
+    state = lms.select(
+        F.col("src").alias("id"), F.col("src").alias("landmark"), F.lit(0).alias("distance")
+    ).localCheckpoint(eager=True)
+    frontier = state
+    for hop in range(1, max_hops + 1):
+        reached = (
+            frontier.join(e, frontier.id == e.src)
+            .select(F.col("dst").alias("id"), "landmark", F.lit(hop).alias("distance"))
+        )
+        merged = (
+            state.unionByName(reached)
+            .groupBy("id", "landmark")
+            .agg(F.min("distance").alias("distance"))
+            .localCheckpoint(eager=True)
+        )
+        # next frontier = nodes whose best distance IS this hop (first reach)
+        frontier = merged.filter(F.col("distance") == hop)
+        state = merged
+    e.unpersist()
+    return state.select("id", "landmark", F.col("distance").cast("int").alias("distance"))
+
+
 def community_stats(communities: DataFrame) -> DataFrame:
     """X9: community count + size stats (reference ``Louvain_community_
     algorithm.py:61,117``)."""

@@ -53,6 +53,7 @@ _DRIVER_UNSAMPLED = (
     "kcore_members",
     "lsh_recall_audit",
     "customer_spend_distribution",
+    "landmark_distances",
     "shipping_priority",
     "returned_items_ranking",
     "promo_revenue_share",

@@ -274,6 +274,53 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return alg.label_propagation(e, max_iter=5)
 
 
+def _landmark_oracle_sql(n_landmarks: int, max_hops: int) -> str:
+    """DuckDB mirror of graph/algorithms.landmark_distances: md5-min
+    landmark sample, then ``max_hops`` synchronous BFS relaxations as
+    chained CTEs (the k-core/LPA unrolled-oracle pattern)."""
+    from ..functions.text import SQL_MD5_INT32
+
+    h = SQL_MD5_INT32.format(c="concat('lm_', src)")
+    sql = f"""
+WITH {GRAPH_EDGES_CTE.strip()},
+e AS (
+    SELECT src, dst FROM (
+        SELECT src, dst FROM edges WHERE type IN ('PURCHASED', 'CONTAINS')
+        UNION ALL
+        SELECT dst, src FROM edges WHERE type IN ('PURCHASED', 'CONTAINS')
+    ) WHERE src <> dst GROUP BY src, dst
+),
+lms AS (
+    SELECT src FROM (SELECT DISTINCT src FROM e)
+    ORDER BY {h}, src LIMIT {n_landmarks}
+),
+s0 AS (SELECT src AS id, src AS landmark, 0 AS distance FROM lms)"""
+    for r in range(1, max_hops + 1):
+        sql += f""",
+s{r} AS (
+    SELECT id, landmark, MIN(distance) AS distance FROM (
+        SELECT id, landmark, distance FROM s{r - 1}
+        UNION ALL
+        SELECT e.dst AS id, f.landmark, {r} AS distance
+        FROM s{r - 1} f JOIN e ON e.src = f.id
+        WHERE f.distance = {r - 1}
+    ) GROUP BY id, landmark
+)"""
+    return sql + f"""
+SELECT id, landmark, CAST(distance AS INT) AS distance FROM s{max_hops}"""
+
+
+@register("landmark_distances", _landmark_oracle_sql(n_landmarks=4, max_hops=4))
+def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark BFS distance features (4 md5-sampled landmarks × 4 hops)
+    over the PURCHASED/CONTAINS projection — frontier-expansion iteration
+    under a full unrolled-CTE hash oracle (the third iterative-graph
+    oracle family next to LPA voting and k-core peeling)."""
+    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
+    return alg.landmark_distances(e, n_landmarks=4, max_hops=4)
+
+
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
     """DuckDB mirror of graph/algorithms.kcore: ``rounds`` synchronous
     peel rounds as chained CTEs over the PURCHASED/CONTAINS projection —

@@ -1311,6 +1311,31 @@ def test_partition_invariance_of_hash_determinism(spark):
     assert g1.exceptAll(g2).count() == 0 and g2.exceptAll(g1).count() == 0
 
 
+def test_landmark_distances_planted_path(spark):
+    """Landmark BFS on a known path graph: distances are exact hop counts,
+    nodes beyond max_hops are absent, and the landmark is its own
+    distance-0 row. Landmark = md5-min node, pinned by construction."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.functions.text import md5_int32
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph import algorithms as alg
+
+    chain = [(f"p{i}", f"p{i + 1}") for i in range(8)]
+    edges = spark.createDataFrame(chain, "src string, dst string")
+    out = alg.landmark_distances(edges, n_landmarks=1, max_hops=3)
+    rows = {(r["id"], r["landmark"]): r["distance"] for r in out.collect()}
+    # find which node the md5 sample picked, then check exact hop counts
+    lm = next(l for (_i, l) in rows)
+    lm_idx = int(lm[1:])
+    expect = {
+        f"p{i}": abs(i - lm_idx) for i in range(9) if abs(i - lm_idx) <= 3
+    }
+    got = {i: d for (i, _l), d in rows.items()}
+    assert got == expect, (lm, got, expect)
+    # determinism: landmark choice is hash-derived, not positional
+    out2 = alg.landmark_distances(edges.repartition(7), n_landmarks=1, max_hops=3)
+    rows2 = {(r["id"], r["landmark"]): r["distance"] for r in out2.collect()}
+    assert rows2 == rows
+
+
 def test_kcore_planted_core(spark):
     """k-core peeling recovers a planted clique and peels a pendant tree:
     a 5-clique (every node degree 4) survives k=3 with in-core degree 4;
