@@ -54,6 +54,7 @@ _DRIVER_UNSAMPLED = (
     "lsh_recall_audit",
     "customer_spend_distribution",
     "landmark_distances",
+    "events_level_shifts",
     "shipping_priority",
     "returned_items_ranking",
     "promo_revenue_share",

@@ -388,3 +388,73 @@ def q_events_rate_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(z) > 3.0).cast("int").alias("is_anomaly"),
         )
     )
+
+
+@register(
+    "events_level_shifts",
+    """
+WITH buckets AS (
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+roll AS (
+    SELECT event_type, window_start, cnt,
+           AVG(cnt) OVER w6 AS recent_mean,
+           COUNT(*) OVER w6 AS n_recent,
+           AVG(cnt) OVER wp AS past_mean,
+           COUNT(*) OVER wp AS n_past
+    FROM buckets
+    WINDOW w6 AS (PARTITION BY event_type ORDER BY window_start
+                  ROWS BETWEEN 5 PRECEDING AND CURRENT ROW),
+           wp AS (PARTITION BY event_type ORDER BY window_start
+                  ROWS BETWEEN 11 PRECEDING AND 6 PRECEDING)
+),
+stats AS (SELECT event_type, stddev_pop(cnt) AS sigma FROM buckets GROUP BY 1)
+SELECT r.event_type, r.window_start, CAST(r.cnt AS BIGINT) AS cnt,
+       ROUND(r.recent_mean - r.past_mean, 6) AS level_shift,
+       CAST(ABS(r.recent_mean - r.past_mean) > 2 * s.sigma AS INT) AS is_shift
+FROM roll r JOIN stats s USING (event_type)
+WHERE r.n_recent = 6 AND r.n_past = 6
+""",
+)
+def q_events_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sustained level-shift detection per event type — the companion
+    signal to events_rate_anomalies' point outliers: a 6-bucket rolling
+    mean compared against the PRECEDING 6-bucket mean, flagged when the
+    shift exceeds 2x the type's own bucket stddev (a windowed mean-shift
+    detector; the clamped-recursion CUSUM variant is deliberately not
+    taken — it is not window-expressible and needs per-type sequential
+    state). Windows partition by type (no global sort); rows without a
+    full 12-bucket history are excluded on both engines identically."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    buckets = ev.groupBy(
+        "event_type",
+        F.date_format(F.window("ts", "5 minutes")["start"], "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w6 = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(-5, 0)
+    wp = Window.partitionBy("event_type").orderBy("window_start").rowsBetween(-11, -6)
+    roll = (
+        buckets.withColumn("recent_mean", F.avg("cnt").over(w6))
+        .withColumn("n_recent", F.count(F.lit(1)).over(w6))
+        .withColumn("past_mean", F.avg("cnt").over(wp))
+        .withColumn("n_past", F.count(F.lit(1)).over(wp))
+    )
+    stats = buckets.groupBy("event_type").agg(F.stddev_pop("cnt").alias("sigma"))
+    shift = F.col("recent_mean") - F.col("past_mean")
+    return (
+        roll.join(stats, "event_type")
+        .filter((F.col("n_recent") == 6) & (F.col("n_past") == 6))
+        .select(
+            "event_type",
+            "window_start",
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(shift, 6).alias("level_shift"),
+            (F.abs(shift) > 2 * F.col("sigma")).cast("int").alias("is_shift"),
+        )
+    )
