@@ -55,6 +55,7 @@ _DRIVER_UNSAMPLED = (
     "customer_spend_distribution",
     "landmark_distances",
     "events_level_shifts",
+    "copurchase_lift",
     "shipping_priority",
     "returned_items_ranking",
     "promo_revenue_share",

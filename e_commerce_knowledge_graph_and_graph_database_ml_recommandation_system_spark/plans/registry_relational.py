@@ -572,3 +572,84 @@ def q_supplier_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice").cast("decimal(18,4)") * (1 - F.col("l_discount")).cast("decimal(8,4)")
         ).cast("double").alias("revenue"),
     )
+
+
+@register(
+    "copurchase_lift",
+    """
+WITH basket0 AS (
+    SELECT DISTINCT o_custkey AS c, l_partkey AS p
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+-- hot-basket cap: a customer with b distinct products generates b^2/2
+-- pairs, so unbounded baskets are the skew bomb of every market-basket
+-- job; > 200 products => dropped (deterministic, mirrored both engines)
+basket AS (
+    SELECT * FROM basket0 WHERE c NOT IN (
+        SELECT c FROM basket0 GROUP BY c HAVING COUNT(*) > 200
+    )
+),
+n AS (SELECT COUNT(DISTINCT c) AS n_cust FROM basket),
+prod AS (SELECT p, COUNT(*) AS cnt FROM basket GROUP BY p),
+pairs AS (
+    SELECT a.p AS prod_a, b.p AS prod_b, COUNT(*) AS support
+    FROM basket a JOIN basket b ON a.c = b.c AND a.p < b.p
+    GROUP BY a.p, b.p
+)
+SELECT prod_a, prod_b, CAST(support AS BIGINT) AS support,
+       ROUND(CAST(support * n.n_cust AS DOUBLE) / (pa.cnt * pb.cnt), 6) AS lift
+FROM pairs
+JOIN prod pa ON pa.p = prod_a
+JOIN prod pb ON pb.p = prod_b
+CROSS JOIN n
+WHERE support >= 5
+ORDER BY lift DESC, prod_a ASC, prod_b ASC
+LIMIT 50
+""",
+)
+def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase lift — the baseline recommender the
+    reference's domain implies: top-50 product pairs by
+    lift = P(a,b) / (P(a)·P(b)) with a support floor. Pair generation is
+    the per-customer basket self-join, pinned by a hot-basket cap (a
+    b-product basket makes b²/2 pairs — the skew hatch every production
+    market-basket job carries); all counts are exact integers so the lift
+    ratios hash-match cross-engine; the top-50 is a deterministic
+    TakeOrdered (lift desc, pair asc)."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    basket0 = (
+        t["orders"].join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    hot = basket0.groupBy("c").agg(F.count(F.lit(1)).alias("b")).filter(F.col("b") > 200)
+    basket = basket0.join(hot.select("c"), "c", "left_anti").cache()
+    n_cust = basket.select("c").distinct().count()
+    prod = basket.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a = basket.select("c", F.col("p").alias("prod_a"))
+    b = basket.select("c", F.col("p").alias("prod_b"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("prod_a") < F.col("prod_b"))
+        .groupBy("prod_a", "prod_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 5)
+    )
+    out = (
+        pairs.join(prod.select(F.col("p").alias("prod_a"), F.col("cnt").alias("cnt_a")), "prod_a")
+        .join(prod.select(F.col("p").alias("prod_b"), F.col("cnt").alias("cnt_b")), "prod_b")
+        .select(
+            "prod_a",
+            "prod_b",
+            F.col("support").cast("long").alias("support"),
+            F.round(
+                (F.col("support") * F.lit(n_cust)).cast("double") / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("prod_a"), F.asc("prod_b"))
+        .limit(50)
+        .localCheckpoint(eager=True)
+    )
+    basket.unpersist()
+    return out
