@@ -685,9 +685,25 @@ def louvain(
         n_edges = head["n"] if _level == 0 else g.count()
         if n_edges <= local_edge_max:
             # the (contracted) graph fits the driver: finish with the exact
-            # sequential pass — zero Spark jobs per remaining round
-            comm = _louvain_local([(r["src"], r["dst"], r["w"]) for r in g.collect()], two_m, max_rounds, min_gain)
-            comm_df = spark.createDataFrame(sorted(comm.items()), "node string, community_id string")
+            # sequential pass — zero Spark jobs per remaining round. Fetch
+            # via Arrow toPandas (one batch transfer) and ship the result
+            # back as one pandas frame: row-by-row pickle of up to
+            # LOCAL_EDGE_MAX Row objects is minutes-slow and GBs of driver
+            # heap at the dispatch threshold (same pattern as _cc_local)
+            import pandas as pd
+
+            gp = g.toPandas()
+            comm = _louvain_local(
+                list(zip(gp["src"].tolist(), gp["dst"].tolist(), gp["w"].tolist())),
+                two_m,
+                max_rounds,
+                min_gain,
+            )
+            items = sorted(comm.items())
+            comm_df = spark.createDataFrame(
+                pd.DataFrame({"node": [a for a, _ in items], "community_id": [b for _, b in items]}),
+                "node string, community_id string",
+            )
             if mapping is None:
                 out = comm_df.select(F.col("node").alias("id"), "community_id")
             else:
