@@ -129,6 +129,27 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 16) -> Dat
     return all_docs.join(sigs, "doc_id", "left").na.fill(fill)
 
 
+def lsh_band_stack(
+    docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """(doc_id, band_key) rows BEFORE the hot-bucket cap — the shared
+    pre-cap view used by ``minhash_lsh_pairs`` and the skew-cap audit
+    (the audit must see what the cap is about to drop)."""
+    rows = num_hashes // bands
+    # signature table is one narrow row per doc — cache it so the self-join
+    # downstream doesn't recompute the whole shingle+hash pipeline per side
+    sigs = minhash_signatures(docs, n, num_hashes).cache()
+    band_cols = [
+        F.concat_ws("_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select("doc_id", *band_cols)
+    return banded.select(
+        "doc_id",
+        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band_key"),
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4, max_bucket_size: int = 1000
 ) -> DataFrame:
@@ -143,19 +164,7 @@ def minhash_lsh_pairs(
     duplicates (identical band = identical minhash rows) — route them to
     exact_dedup instead of a quadratic join. Hot set broadcasts into a
     left-anti join; the oracle applies the identical cap."""
-    rows = num_hashes // bands
-    # signature table is one narrow row per doc — cache it so the self-join
-    # below doesn't recompute the whole shingle+hash pipeline per side
-    sigs = minhash_signatures(docs, n, num_hashes).cache()
-    band_cols = [
-        F.concat_ws("_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
-    banded = sigs.select("doc_id", *band_cols)
-    stacked = banded.select(
-        "doc_id",
-        F.explode(F.array(*[F.col(f"band_{b}") for b in range(bands)])).alias("band_key"),
-    )
+    stacked = lsh_band_stack(docs, n, num_hashes, bands)
     hot = (
         stacked.groupBy("band_key")
         .agg(F.count("*").alias("sz"))

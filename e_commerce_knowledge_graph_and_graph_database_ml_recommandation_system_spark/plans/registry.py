@@ -59,6 +59,8 @@ _DRIVER_UNSAMPLED = (
     "serve_adam_mixture_topk",
     "serve_softmax_noise_topk",
     "serve_stochastic_softmax_topk",
+    # round-5 additions (never sampled yet)
+    "skew_cap_audit",
 )
 
 

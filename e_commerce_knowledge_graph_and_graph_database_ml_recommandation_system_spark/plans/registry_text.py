@@ -156,6 +156,82 @@ def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "skew_cap_audit",
+    f"""
+WITH {_MINHASH_CTE.strip()},
+banded0 AS (
+    {_BAND_SELECTS}
+),
+basket AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+),
+hot_cust AS (
+    SELECT c, COUNT(*) AS n FROM basket GROUP BY c HAVING COUNT(*) > 200
+),
+hot_shingle AS (
+    SELECT shingle, COUNT(*) AS n FROM sh GROUP BY shingle HAVING COUNT(*) > 1000
+),
+hot_bucket AS (
+    SELECT band_key, COUNT(*) AS n FROM banded0 GROUP BY band_key HAVING COUNT(*) > 1000
+)
+SELECT 'copurchase_hot_customers' AS cap, CAST(200 AS BIGINT) AS threshold,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hot_cust) AS hits,
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM hot_cust) AS rows_dropped
+UNION ALL
+SELECT 'jaccard_hot_shingles', CAST(1000 AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hot_shingle),
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM hot_shingle)
+UNION ALL
+SELECT 'lsh_hot_buckets', CAST(1000 AS BIGINT),
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM hot_bucket),
+       (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM hot_bucket)
+""",
+)
+def q_skew_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """No-silent-caps audit (COVERAGE.md rule): one row per production skew
+    hatch — the copurchase hot-basket cap (registry_relational.py), the
+    n-gram-Jaccard hot-shingle cap and the MinHash-LSH hot-bucket cap
+    (operators/dedup.py) — reporting how many keys the cap fires on and how
+    many underlying rows that drops, at the exact thresholds the registered
+    queries run with. All-zero rows are the audit's PASS state at test SF;
+    at 100 TB this is the query an operator runs before trusting a dedup
+    or market-basket result."""
+    from ..sources.tables import load_tables
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    basket = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+
+    def _cap_row(keyed: DataFrame, cap: str, threshold: int) -> DataFrame:
+        hot = keyed.filter(F.col("n") > threshold)
+        return hot.agg(
+            F.lit(cap).alias("cap"),
+            F.lit(threshold).cast("long").alias("threshold"),
+            F.count(F.lit(1)).cast("long").alias("hits"),
+            F.coalesce(F.sum("n"), F.lit(0)).cast("long").alias("rows_dropped"),
+        )
+
+    cust = basket.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    shingle = dd.doc_shingles(docs, 3).groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    bucket = (
+        dd.lsh_band_stack(docs, 3, _N_HASHES, _BANDS)
+        .groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        _cap_row(cust, "copurchase_hot_customers", 200)
+        .unionByName(_cap_row(shingle, "jaccard_hot_shingles", 1000))
+        .unionByName(_cap_row(bucket, "lsh_hot_buckets", 1000))
+    )
+
+
+@register(
     "minhash_lsh_verified",
     f"""
 WITH {_MINHASH_CTE.strip()},

@@ -129,6 +129,20 @@ def test_lsh_dedup_hot_bucket_cap(spark):
     groups = dd.exact_dedup(docs).collect()
     assert any(r.dup_count == 3000 for r in groups)
 
+    # no-silent-caps rule: the band-stack view the skew_cap_audit counts
+    # from must see the mega-bucket the cap is about to drop — 3000
+    # identical docs = identical signatures = every band bucket hot
+    stack = dd.lsh_band_stack(docs, n=3, num_hashes=16, bands=4)
+    hot = (
+        stack.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 100)
+    )
+    hits = hot.count()
+    dropped = hot.agg(F.sum("n")).collect()[0][0]
+    assert hits >= 4, f"audit misses the hot band buckets: {hits}"
+    assert dropped >= 4 * 3000, f"audit undercounts dropped rows: {dropped}"
+
 
 def test_similarity_range(spark):
     """X7: similarity weights within [-1, 1] and graph is symmetric
