@@ -288,15 +288,31 @@ def fit_artifacts(tables: dict, max_iter: int = 20, materialize: bool = False) -
 
     ds = build_dataset(tables, target_encode=False).cache()
     train, test = split_train_test(ds)
-    train, test = split_safe_target_encoding(train, test)
+    train_enc, test = split_safe_target_encoding(train, test)
     # reference gates SMOTE on imbalance > 5 (xgboost_training_for_big_data
     # .py:571-581) — a no-op on this near-balanced pair set, by design
-    train = smote_oversample(train, FEATURE_COLS)
+    train = smote_oversample(train_enc, FEATURE_COLS)
+    smote_noop = train is train_enc
     if materialize:
         train = train.localCheckpoint(eager=True)
+        # keep the pre-SMOTE view pointing at the SAME materialization when
+        # SMOTE was a no-op (today's reality) — only pay a second
+        # checkpoint when synthetic rows actually exist
         test = test.localCheckpoint(eager=True)
+        train_enc = train if smote_noop else train_enc.localCheckpoint(eager=True)
     model, assembler = train_gbt(train, max_iter=max_iter)
-    return {"ds": ds, "train": train, "test": test, "model": model, "assembler": assembler}
+    # train_pre_smote: serving-feature derivation must come from REAL rows
+    # only — synthetic SMOTE rows duplicate (customer, product) keys with
+    # interpolated features, and a dropDuplicates over the union would pick
+    # an arbitrary one (round-4 advice)
+    return {
+        "ds": ds,
+        "train": train,
+        "train_pre_smote": train_enc,
+        "test": test,
+        "model": model,
+        "assembler": assembler,
+    }
 
 
 def run_pipeline(tables: dict | None, max_iter: int = 20, artifacts: dict | None = None) -> DataFrame:

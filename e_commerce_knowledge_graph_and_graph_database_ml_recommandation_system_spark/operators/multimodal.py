@@ -238,18 +238,22 @@ def decode_media(media: DataFrame) -> DataFrame:
     anything else is rejected. Arrow-batched, one batch of blobs per
     iteration — shrink spark.sql.files.maxPartitionBytes at scale so a
     partition of blobs fits executor memory."""
+    import numpy as np
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
+                # np.round (half-away-from-zero at representable points)
+                # matches the DuckDB ROUND the roundtrip oracle uses —
+                # Python round() is banker's rounding (round-4 advice)
                 if raw[:2] == b"BM":
                     w, h, n_px, luma = _decode_bmp_bytes(raw)
-                    rows.append((int(doc_id), "bmp", w, h, None, n_px, round(luma, 6)))
+                    rows.append((int(doc_id), "bmp", w, h, None, n_px, float(np.round(luma, 6))))
                 elif raw[:4] == b"RIFF":
                     rate, n, amp = _decode_wav_bytes(raw)
-                    rows.append((int(doc_id), "wav", None, None, rate, n, round(amp, 6)))
+                    rows.append((int(doc_id), "wav", None, None, rate, n, float(np.round(amp, 6))))
                 elif raw[:4] == b"\x89PNG" or raw[:2] == b"\xff\xd8":
                     _real_decode(raw)
                 else:

@@ -244,8 +244,11 @@ def q_model_scoring_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cands = _candidates(spark, sf_dir)
     cols = ["customer_id", "product_id", *lp.FEATURE_COLS]
+    # pre-SMOTE train: synthetic rows would duplicate (customer, product)
+    # keys with interpolated features and make the dropDuplicates pick
+    # partition-order-dependent (round-4 advice)
     feats = (
-        art["train"].select(*cols)
+        art["train_pre_smote"].select(*cols)
         .unionByName(art["test"].select(*cols))
         .dropDuplicates(["customer_id", "product_id"])
     )

@@ -54,8 +54,11 @@ def _lp_shared(spark: SparkSession, sf_dir: str) -> dict:
 
 
 def _ds_te(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full-kfold-encoded pair dataset (build_dataset target_encode=True),
-    shared by ``ml_multitower_metrics`` and ``model_scoring_topk``."""
+    """The full-kfold-encoded pair dataset (build_dataset target_encode=True).
+    Sole consumer today is ``ml_multitower_metrics`` (``model_scoring_topk``
+    moved to the _lp_shared split-safe encoding — round-3 review); it stays
+    a memo rather than a plain cache so a second consumer added later gets
+    the one-materialization behavior for free."""
     return memo(
         spark,
         ("lp_dataset_te", sf_dir),

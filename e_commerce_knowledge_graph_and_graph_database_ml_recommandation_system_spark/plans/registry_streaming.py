@@ -414,7 +414,10 @@ roll AS (
 stats AS (SELECT event_type, stddev_pop(cnt) AS sigma FROM buckets GROUP BY 1)
 SELECT r.event_type, r.window_start, CAST(r.cnt AS BIGINT) AS cnt,
        ROUND(r.recent_mean - r.past_mean, 6) AS level_shift,
-       CAST(ABS(r.recent_mean - r.past_mean) > 2 * s.sigma AS INT) AS is_shift
+       -- round both sides before the threshold compare: stddev_pop is
+       -- Welford vs two-pass across engines, a 1-ulp boundary value would
+       -- flip the flag (repo cross-engine floor/compare guard)
+       CAST(ROUND(ABS(r.recent_mean - r.past_mean), 9) > ROUND(2 * s.sigma, 9) AS INT) AS is_shift
 FROM roll r JOIN stats s USING (event_type)
 WHERE r.n_recent = 6 AND r.n_past = 6
 """,
@@ -455,6 +458,6 @@ def q_events_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "window_start",
             F.col("cnt").cast("long").alias("cnt"),
             F.round(shift, 6).alias("level_shift"),
-            (F.abs(shift) > 2 * F.col("sigma")).cast("int").alias("is_shift"),
+            (F.round(F.abs(shift), 9) > F.round(2 * F.col("sigma"), 9)).cast("int").alias("is_shift"),
         )
     )
