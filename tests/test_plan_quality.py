@@ -68,6 +68,15 @@ NO_NESTED_LOOP = [
     # these pipelines were specifically designed to avoid
     "knn_triangle_counts",
     "corpus_curation_semantic",
+    # round-5 additions (r4 verdict #9): the market-basket pair self-join,
+    # the iterative peel/BFS closures (eager — asserts the returned plan),
+    # the banded-join recall audit and the cap audit are equi-join-only
+    "copurchase_lift",
+    "kcore_members",
+    "landmark_distances",
+    "lsh_recall_audit",
+    "skew_cap_audit",
+    "customer_spend_distribution",
 ]
 
 # Queries where an intentional crossJoin(F.broadcast(tiny-side)) exists —
