@@ -209,6 +209,214 @@ def _decode_wav_bytes(raw: bytes) -> tuple[int, int, float]:
     return rate, len(s), int(s.sum()) / len(s)
 
 
+def _encode_gif_bytes(seed: int, width: int, height: int) -> bytes:
+    """A real GIF87a: logical screen descriptor, 256-entry grey global color
+    table, image descriptor, LZW-coded pixel data in ≤255-byte sub-blocks,
+    trailer. Pixel i's palette index is (seed*31 + i) % 256 (the BMP grey
+    formula). The encoder emits literal root codes at 9 bits with a CLEAR
+    every 254 pixels so the decoder's dictionary never forces a width
+    change — valid LZW per the GIF spec (the classic minimal-writer
+    strategy); the DECODER below is a full general LZW implementation."""
+    import struct
+
+    hdr = b"GIF87a"
+    # global color table flag=1, color resolution=7, table size=7 (256)
+    lsd = struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    img = struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+
+    CLEAR, END = 256, 257
+    codes = [CLEAR]
+    for i in range(width * height):
+        if i and i % 254 == 0:
+            codes.append(CLEAR)
+        codes.append((seed * 31 + i) % 256)
+    codes.append(END)
+
+    # pack 9-bit codes LSB-first (GIF bit order)
+    acc = n_bits = 0
+    out = bytearray()
+    for c in codes:
+        acc |= c << n_bits
+        n_bits += 9
+        while n_bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            n_bits -= 8
+    if n_bits:
+        out.append(acc & 0xFF)
+
+    blocks = bytearray([8])  # LZW minimum code size
+    for i in range(0, len(out), 255):
+        chunk = out[i : i + 255]
+        blocks += bytes([len(chunk)]) + chunk
+    blocks += b"\x00"
+    return hdr + lsd + gct + img + bytes(blocks) + b"\x3b"
+
+
+def _decode_gif_bytes(raw: bytes) -> tuple[int, int, int, float]:
+    """Blind GIF parse with FULL LZW decompression (dictionary growth to 12
+    bits, CLEAR resets, the KwKwK early-reference case) — handles any
+    conformant GIF87a/89a first image, not just this module's writer.
+    Returns (width, height, n_pixels, mean_luma) where luma is the grey
+    palette value of each decoded index."""
+    import struct
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _sw, _sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n_ent = 2 << (packed & 0x07)
+        palette = raw[pos : pos + 3 * n_ent]
+        pos += 3 * n_ent
+    # skip 89a extension blocks to the first image descriptor
+    while pos < len(raw) and raw[pos] == 0x21:
+        pos += 2
+        while raw[pos]:
+            pos += raw[pos] + 1
+        pos += 1
+    if pos >= len(raw) or raw[pos] != 0x2C:
+        raise ValueError("no image descriptor")
+    _l, _t, width, height, ipacked = struct.unpack_from("<HHHHB", raw, pos + 1)
+    pos += 10
+    if ipacked & 0x80:  # local color table overrides
+        n_ent = 2 << (ipacked & 0x07)
+        palette = raw[pos : pos + 3 * n_ent]
+        pos += 3 * n_ent
+    if ipacked & 0x40:
+        raise ValueError("interlaced GIF unsupported")
+    if palette is None:
+        raise ValueError("no color table")
+
+    min_code = raw[pos]
+    pos += 1
+    data = bytearray()
+    while raw[pos]:
+        sz = raw[pos]
+        data += raw[pos + 1 : pos + 1 + sz]
+        pos += 1 + sz
+
+    CLEAR, END = 1 << min_code, (1 << min_code) + 1
+    acc = n_bits = bit_pos = 0
+    code_size = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+    prev: bytes | None = None
+    idx = bytearray()
+
+    def read_code() -> int | None:
+        nonlocal acc, n_bits, bit_pos
+        while n_bits < code_size:
+            if bit_pos >= len(data):
+                return None
+            acc |= data[bit_pos] << n_bits
+            bit_pos += 1
+            n_bits += 8
+        c = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        n_bits -= code_size
+        return c
+
+    while True:
+        c = read_code()
+        if c is None or c == END:
+            break
+        if c == CLEAR:
+            table = table[: (1 << min_code) + 2]
+            code_size = min_code + 1
+            prev = None
+            continue
+        if c < len(table):
+            entry = table[c]
+            if prev is not None:
+                table.append(prev + entry[:1])
+        elif c == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+            table.append(entry)
+        else:
+            raise ValueError("corrupt LZW stream")
+        idx += entry
+        prev = entry
+        if len(table) == (1 << code_size) and code_size < 12:
+            code_size += 1
+
+    n_px = width * height
+    if len(idx) < n_px:
+        raise ValueError("short pixel data")
+    import numpy as np
+
+    pal = np.frombuffer(palette, dtype=np.uint8).reshape(-1, 3)
+    px = np.frombuffer(bytes(idx[:n_px]), dtype=np.uint8)
+    luma = pal[px].astype(np.int64).sum() / (3 * n_px)
+    return width, height, n_px, float(luma)
+
+
+def _pack_extended(x: float) -> bytes:
+    """80-bit IEEE 754 extended float, big-endian (the AIFF sample-rate
+    encoding): 1+15-bit sign/exponent, 64-bit mantissa with EXPLICIT
+    integer bit."""
+    import math
+    import struct
+
+    if x == 0:
+        return b"\x00" * 10
+    m, e = math.frexp(x)  # x = m * 2^e, m in [0.5, 1)
+    return struct.pack(">HQ", e + 16382, int(m * (1 << 64)))
+
+
+def _unpack_extended(b: bytes) -> float:
+    import struct
+
+    e, mant = struct.unpack(">HQ", b)
+    if e == 0 and mant == 0:
+        return 0.0
+    return mant * 2.0 ** (e - 16383 - 63)
+
+
+def _encode_aiff_bytes(seed: int, n_samples: int, sample_rate: int = _WAV_RATE) -> bytes:
+    """A real AIFF: FORM/AIFF container, COMM chunk (mono, 16-bit, sample
+    rate as an 80-bit extended float — the format's genuinely tricky bit)
+    and SSND chunk with BIG-endian PCM. Sample i is the WAV formula
+    ((seed*7 + i*13) % 2001) - 1000."""
+    import struct
+
+    samples = [((seed * 7 + i * 13) % 2001) - 1000 for i in range(n_samples)]
+    data = struct.pack(">%dh" % n_samples, *samples)
+    comm = struct.pack(">4sIHIH", b"COMM", 18, 1, n_samples, 16) + _pack_extended(
+        float(sample_rate)
+    )
+    ssnd = struct.pack(">4sIII", b"SSND", 8 + len(data), 0, 0) + data
+    body = b"AIFF" + comm + ssnd
+    return struct.pack(">4sI", b"FORM", len(body)) + body
+
+
+def _decode_aiff_bytes(raw: bytes) -> tuple[int, int, float]:
+    """Blind AIFF parse: chunk walk, 80-bit extended sample-rate decode,
+    big-endian PCM. Returns (sample_rate, n_samples, mean_amplitude)."""
+    import struct
+
+    import numpy as np
+
+    if raw[:4] != b"FORM" or raw[8:12] != b"AIFF":
+        raise ValueError("not an AIFF payload")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(raw):
+        cid, csz = struct.unpack_from(">4sI", raw, pos)
+        body = raw[pos + 8 : pos + 8 + csz]
+        if cid == b"COMM":
+            channels, _nf, bits = struct.unpack_from(">HIH", body, 0)
+            rate = int(round(_unpack_extended(body[8:18])))
+        elif cid == b"SSND":
+            off, _blk = struct.unpack_from(">II", body, 0)
+            data = body[8 + off :]
+        pos += 8 + csz + (csz & 1)
+    if rate is None or data is None or bits != 16 or channels != 1:
+        raise ValueError("unsupported AIFF layout")
+    s = np.frombuffer(data, dtype=">i2").astype(np.int64)
+    return rate, len(s), int(s.sum()) / len(s)
+
+
 def synthesize_media(docs: DataFrame) -> DataFrame:
     """Fixture encoder: a genuine BMP (even doc_id) or WAV (odd doc_id)
     payload per document, dimensions/length derived from doc_id. Runs as
@@ -225,6 +433,29 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
                     payload = _encode_bmp_bytes(d, 4 + d % 8, 4 + (d // 8) % 8)
                 else:
                     payload = _encode_wav_bytes(d, 64 + d % 64)
+                out.append((d, payload))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return src.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def synthesize_media_ext(docs: DataFrame) -> DataFrame:
+    """Second struct-built codec family (round-4 verdict #6): a genuine
+    GIF87a (even doc_id; LZW-coded, 256-grey palette) or AIFF (odd doc_id;
+    big-endian PCM, 80-bit extended sample rate) per document — same
+    deterministic generators as the BMP/WAV fixtures so the decoded
+    features carry the same full hash oracle."""
+    src = docs.select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 2 == 0:
+                    payload = _encode_gif_bytes(d, 4 + d % 8, 4 + (d // 8) % 8)
+                else:
+                    payload = _encode_aiff_bytes(d, 64 + d % 64)
                 out.append((d, payload))
             yield pd.DataFrame(out, columns=["doc_id", "payload"])
 
@@ -254,6 +485,12 @@ def decode_media(media: DataFrame) -> DataFrame:
                 elif raw[:4] == b"RIFF":
                     rate, n, amp = _decode_wav_bytes(raw)
                     rows.append((int(doc_id), "wav", None, None, rate, n, float(np.round(amp, 6))))
+                elif raw[:6] in (b"GIF87a", b"GIF89a"):
+                    w, h, n_px, luma = _decode_gif_bytes(raw)
+                    rows.append((int(doc_id), "gif", w, h, None, n_px, float(np.round(luma, 6))))
+                elif raw[:4] == b"FORM" and raw[8:12] == b"AIFF":
+                    rate, n, amp = _decode_aiff_bytes(raw)
+                    rows.append((int(doc_id), "aiff", None, None, rate, n, float(np.round(amp, 6))))
                 elif raw[:4] == b"\x89PNG" or raw[:2] == b"\xff\xd8":
                     _real_decode(raw)
                 else:

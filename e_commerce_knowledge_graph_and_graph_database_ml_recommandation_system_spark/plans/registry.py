@@ -61,6 +61,7 @@ _DRIVER_UNSAMPLED = (
     "serve_stochastic_softmax_topk",
     # round-5 additions (never sampled yet)
     "skew_cap_audit",
+    "multimodal_codec_roundtrip_ext",
 )
 
 

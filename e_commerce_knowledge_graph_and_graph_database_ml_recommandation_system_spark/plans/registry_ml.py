@@ -619,6 +619,54 @@ def q_multimodal_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.decode_media(mm.synthesize_media(docs))
 
 
+@register(
+    "multimodal_codec_roundtrip_ext",
+    """
+WITH d AS (SELECT doc_id FROM documents),
+gif AS (
+    SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS w, CAST(4 + (doc_id // 8) % 8 AS INT) AS h
+    FROM d WHERE doc_id % 2 = 0
+),
+gif_feat AS (
+    SELECT doc_id, 'gif' AS kind, w AS width, h AS height,
+           CAST(NULL AS INT) AS sample_rate,
+           CAST(w * h AS BIGINT) AS n_units,
+           ROUND(m.mv, 6) AS mean_signal
+    FROM gif, LATERAL (
+        SELECT AVG(CAST((gif.doc_id * 31 + gs.i) % 256 AS DOUBLE)) AS mv
+        FROM (SELECT UNNEST(range(CAST(gif.w AS BIGINT) * gif.h)) AS i) gs
+    ) m
+),
+aiff AS (
+    SELECT doc_id, CAST(64 + doc_id % 64 AS BIGINT) AS n FROM d WHERE doc_id % 2 = 1
+),
+aiff_feat AS (
+    SELECT doc_id, 'aiff' AS kind, CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(8000 AS INT) AS sample_rate, n AS n_units,
+           ROUND(m.mv, 6) AS mean_signal
+    FROM aiff, LATERAL (
+        SELECT AVG(CAST((aiff.doc_id * 7 + gs.i * 13) % 2001 - 1000 AS DOUBLE)) AS mv
+        FROM (SELECT UNNEST(range(aiff.n)) AS i) gs
+    ) m
+)
+SELECT * FROM gif_feat UNION ALL SELECT * FROM aiff_feat
+""",
+)
+def q_multimodal_codec_roundtrip_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second struct-built codec roundtrip (round-4 verdict #6; PIL/
+    soundfile remain absent, so the family extends with stdlib-parseable
+    containers): a genuine LZW-coded GIF87a (even doc_id — the decoder is
+    a full general LZW implementation with dictionary growth to 12 bits,
+    CLEAR resets and the KwKwK case, property-tested against a real
+    compressing encoder) or AIFF (odd doc_id — big-endian PCM plus the
+    80-bit extended-float sample rate, the format's genuinely tricky
+    field). Same deterministic pixel/sample generators as the BMP/WAV
+    fixtures, so the decoded features hash-match SQL recomputing the
+    means directly."""
+    docs = load_table(spark, "documents", sf_dir)
+    return mm.decode_media(mm.synthesize_media_ext(docs))
+
+
 @register("node2vec_biased_walks", None)
 def q_node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 second-order: p/q-biased walks (robust config's p=1.0, q=0.5;

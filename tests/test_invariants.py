@@ -437,6 +437,97 @@ def test_multimodal_real_codec_roundtrip(spark):
         mm.decode_media(png).collect()
 
 
+def test_multimodal_gif_aiff_codec_roundtrip(spark):
+    """Second codec family: GIF87a LZW + AIFF extended-float/big-endian PCM.
+    The GIF decoder must be a GENERAL LZW implementation — proven here by
+    decoding a stream produced by a real compressing encoder (dictionary
+    growth past 9/10 bits, KwKwK early-reference), not just this module's
+    literal-code writer."""
+    import struct
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import multimodal as mm
+
+    # writer-path roundtrips across pad-free dims and seeds
+    for seed, w, h in [(0, 4, 4), (2, 11, 9), (254, 7, 11), (1000, 4, 10)]:
+        dw, dh, n_px, luma = mm._decode_gif_bytes(mm._encode_gif_bytes(seed, w, h))
+        expect = sum((seed * 31 + i) % 256 for i in range(w * h)) / (w * h)
+        assert (dw, dh, n_px) == (w, h, w * h)
+        assert abs(luma - expect) < 1e-9
+    rate, n, amp = mm._decode_aiff_bytes(mm._encode_aiff_bytes(seed=99, n_samples=77))
+    assert (rate, n) == (8000, 77)
+    assert abs(amp - sum(((99 * 7 + i * 13) % 2001) - 1000 for i in range(77)) / 77) < 1e-9
+    for x in (8000.0, 44100.0, 22050.5, 1.0, 0.0):
+        assert abs(mm._unpack_extended(mm._pack_extended(x)) - x) < 1e-9 * max(1.0, x)
+
+    # general-LZW property: a real compressing encoder (table growth, KwKwK)
+    def lzw_compress(pixels, min_code=8):
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        table = {bytes([i]): i for i in range(1 << min_code)}
+        next_code, code_size = end + 1, min_code + 1
+        out, acc, nb = bytearray(), 0, 0
+
+        def emit(c):
+            nonlocal acc, nb
+            acc |= c << nb
+            nb += code_size
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+
+        emit(clear)
+        buf = b""
+        for p in pixels:
+            nxt = buf + bytes([p])
+            if nxt in table:
+                buf = nxt
+            else:
+                emit(table[buf])
+                table[nxt] = next_code
+                next_code += 1
+                if next_code - 1 == (1 << code_size) and code_size < 12:
+                    code_size += 1
+                buf = bytes([p])
+        if buf:
+            emit(table[buf])
+        emit(end)
+        while nb > 0:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+        return bytes(out)
+
+    pixels = bytes((i // 7) % 4 for i in range(40 * 40))
+    comp = lzw_compress(pixels)
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    blocks = bytearray([8])
+    for i in range(0, len(comp), 255):
+        ch = comp[i : i + 255]
+        blocks += bytes([len(ch)]) + ch
+    blocks += b"\x00"
+    gif = (
+        b"GIF87a"
+        + struct.pack("<HHBBB", 40, 40, 0xF7, 0, 0)
+        + gct
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, 40, 40, 0)
+        + bytes(blocks)
+        + b"\x3b"
+    )
+    dw, dh, n_px, luma = mm._decode_gif_bytes(gif)
+    assert (dw, dh, n_px) == (40, 40, 1600)
+    assert abs(luma - sum(pixels) / 1600) < 1e-9
+    assert len(comp) < 400  # the stream really was compressed
+
+    # Spark level: one row per doc, kinds split even/odd
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF).select("doc_id")
+    out = mm.decode_media(mm.synthesize_media_ext(docs)).cache()
+    assert out.count() == docs.count()
+    assert out.filter(F.col("kind") == "gif").filter(F.col("width").isNull()).count() == 0
+    assert out.filter(F.col("kind") == "aiff").filter(F.col("sample_rate") != 8000).count() == 0
+
+
 def test_discount_range(spark):
     """Reference invariant: discount ∈ [0.05, 0.50] by month branch
     (took_recommandations_softmaxsampling_discount.py:85-92)."""
