@@ -130,15 +130,18 @@ def minhash_signatures(docs: DataFrame, n: int = 3, num_hashes: int = 16) -> Dat
 
 
 def lsh_band_stack(
-    docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4
+    docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band_key) rows BEFORE the hot-bucket cap — the shared
     pre-cap view used by ``minhash_lsh_pairs`` and the skew-cap audit
     (the audit must see what the cap is about to drop)."""
     rows = num_hashes // bands
-    # signature table is one narrow row per doc — cache it so the self-join
-    # downstream doesn't recompute the whole shingle+hash pipeline per side
-    sigs = minhash_signatures(docs, n, num_hashes).cache()
+    if sigs is None:
+        # signature table is one narrow row per doc — cache it so the
+        # self-join downstream doesn't recompute the shingle+hash pipeline
+        # per side (callers with a shared memoized table pass it in)
+        sigs = minhash_signatures(docs, n, num_hashes).cache()
     band_cols = [
         F.concat_ws("_", F.lit(b), *[F.col(f"sig_{b * rows + r}") for r in range(rows)]).alias(f"band_{b}")
         for b in range(bands)
@@ -151,7 +154,8 @@ def lsh_band_stack(
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4, max_bucket_size: int = 1000
+    docs: DataFrame, n: int = 3, num_hashes: int = 16, bands: int = 4, max_bucket_size: int = 1000,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: docs sharing at least one full signature band
     (bands × rows = num_hashes). Equi-join per band on the band key — the
@@ -164,7 +168,7 @@ def minhash_lsh_pairs(
     duplicates (identical band = identical minhash rows) — route them to
     exact_dedup instead of a quadratic join. Hot set broadcasts into a
     left-anti join; the oracle applies the identical cap."""
-    stacked = lsh_band_stack(docs, n, num_hashes, bands)
+    stacked = lsh_band_stack(docs, n, num_hashes, bands, sigs=sigs)
     hot = (
         stacked.groupBy("band_key")
         .agg(F.count("*").alias("sz"))
@@ -242,6 +246,7 @@ def minhash_lsh_verified(
     bands: int = 4,
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-then-verify: band-bucket candidate pairs, then EXACT Jaccard on
     the candidates only — the production near-dup shape at corpus scale.
@@ -251,7 +256,7 @@ def minhash_lsh_verified(
     recall comes from the bands (any pair sharing one full band appears),
     precision from the exact verification. Columns: doc_a, doc_b, jaccard.
     """
-    cand = minhash_lsh_pairs(docs, n, num_hashes, bands, max_bucket_size)
+    cand = minhash_lsh_pairs(docs, n, num_hashes, bands, max_bucket_size, sigs=sigs)
     sh = doc_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnsRenamed({"doc_id": "doc_a"})

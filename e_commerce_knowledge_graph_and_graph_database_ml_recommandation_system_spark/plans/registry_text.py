@@ -112,6 +112,20 @@ sigs AS (
 """
 
 
+def _sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One MinHash signature table per (app, sf_dir): five registry entries
+    (signatures, lsh_pairs, lsh_verified, recall audit, skew-cap audit)
+    otherwise each re-run the shingle+hash pipeline in a single driver
+    verification pass (verify-wall budget, r4 verdict #10)."""
+    from ._memo import memo
+
+    return memo(
+        spark,
+        ("minhash_sigs", sf_dir),
+        lambda: dd.minhash_signatures(load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES),
+    )
+
+
 @register(
     "minhash_signatures",
     f"""
@@ -120,7 +134,7 @@ SELECT * FROM sigs
 """,
 )
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_signatures(load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES)
+    return _sigs_shared(spark, sf_dir)
 
 
 _BANDS = 4
@@ -152,7 +166,11 @@ FROM banded a JOIN banded b
 """,
 )
 def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES, bands=_BANDS)
+    return dd.minhash_lsh_pairs(
+        load_table(spark, "documents", sf_dir),
+        n=3, num_hashes=_N_HASHES, bands=_BANDS,
+        sigs=_sigs_shared(spark, sf_dir),
+    )
 
 
 @register(
@@ -220,7 +238,7 @@ def q_skew_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = basket.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
     shingle = dd.doc_shingles(docs, 3).groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
     bucket = (
-        dd.lsh_band_stack(docs, 3, _N_HASHES, _BANDS)
+        dd.lsh_band_stack(docs, 3, _N_HASHES, _BANDS, sigs=_sigs_shared(spark, sf_dir))
         .groupBy("band_key")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -270,7 +288,8 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set only — the candidate-bounded verification join that
     replaces ngram_jaccard_pairs' corpus-bounded self-join at scale."""
     return dd.minhash_lsh_verified(
-        load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES, bands=_BANDS, threshold=0.5
+        load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES, bands=_BANDS,
+        threshold=0.5, sigs=_sigs_shared(spark, sf_dir),
     )
 
 
@@ -345,7 +364,8 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     exact = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b", "jaccard")
     found = (
-        dd.minhash_lsh_verified(docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, threshold=0.5)
+        dd.minhash_lsh_verified(docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, threshold=0.5,
+                                sigs=_sigs_shared(spark, sf_dir))
         .select("doc_a", "doc_b")
         .withColumn("found", F.lit(1))
     )
