@@ -62,6 +62,7 @@ _DRIVER_UNSAMPLED = (
     # round-5 additions (never sampled yet)
     "skew_cap_audit",
     "multimodal_codec_roundtrip_ext",
+    "events_cusum_shifts",
 )
 
 

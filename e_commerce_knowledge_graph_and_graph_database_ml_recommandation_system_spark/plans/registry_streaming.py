@@ -427,9 +427,10 @@ def q_events_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
     signal to events_rate_anomalies' point outliers: a 6-bucket rolling
     mean compared against the PRECEDING 6-bucket mean, flagged when the
     shift exceeds 2x the type's own bucket stddev (a windowed mean-shift
-    detector; the clamped-recursion CUSUM variant is deliberately not
-    taken — it is not window-expressible and needs per-type sequential
-    state). Windows partition by type (no global sort); rows without a
+    detector; the clamped-recursion CUSUM variant is the companion query
+    ``events_cusum_shifts`` — its recursion has a prefix-sum/running-min
+    closed form, so it IS window-expressible after all).
+    Windows partition by type (no global sort); rows without a
     full 12-bucket history are excluded on both engines identically."""
     from pyspark.sql import Window
 
@@ -460,4 +461,85 @@ def q_events_level_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(shift, 6).alias("level_shift"),
             (F.round(F.abs(shift), 9) > F.round(2 * F.col("sigma"), 9)).cast("int").alias("is_shift"),
         )
+    )
+
+
+@register(
+    "events_cusum_shifts",
+    """
+WITH buckets AS (
+    SELECT event_type,
+           strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, AVG(cnt) AS mu, stddev_pop(cnt) AS sigma
+    FROM buckets GROUP BY 1
+),
+pre AS (
+    SELECT b.event_type, b.window_start, b.cnt,
+           SUM(b.cnt - s.mu - 0.5 * s.sigma) OVER w AS run_sum,
+           s.sigma
+    FROM buckets b JOIN stats s USING (event_type)
+    WINDOW w AS (PARTITION BY b.event_type ORDER BY b.window_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+cus AS (
+    SELECT event_type, window_start, cnt, sigma,
+           run_sum - LEAST(0, MIN(run_sum) OVER w) AS cusum
+    FROM pre
+    WINDOW w AS (PARTITION BY event_type ORDER BY window_start
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, window_start, CAST(cnt AS BIGINT) AS cnt,
+       ROUND(cusum, 6) AS cusum,
+       CAST(ROUND(cusum, 9) > ROUND(4 * sigma, 9) AS INT) AS is_alarm
+FROM cus
+""",
+)
+def q_events_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided CUSUM change detection per event type — the sequential
+    detector ``events_level_shifts``' docstring called "not
+    window-expressible". It is: the clamped recursion
+    ``s_i = max(0, s_{i-1} + d_i)`` has the closed form
+    ``s_i = S_i - min(0, min_{j<=i} S_j)`` (prefix sum minus running
+    minimum of prefix sums), so the whole detector is two
+    partitioned-window passes — zero Python, zero sequential state, and
+    the plan shuffles once on event_type. d_i = cnt_i - (mu + 0.5*sigma)
+    (slack at half a stddev), alarm at h = 4*sigma, both per type.
+    Prefix sums evaluate left-to-right in both engines (identical FP
+    order), and the alarm compare carries the repo's 9dp cross-engine
+    guard."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    buckets = ev.groupBy(
+        "event_type",
+        F.date_format(F.window("ts", "5 minutes")["start"], "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = buckets.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_pop("cnt").alias("sigma")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("window_start")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = (
+        buckets.join(stats, "event_type")
+        .withColumn("d", F.col("cnt") - F.col("mu") - 0.5 * F.col("sigma"))
+        .withColumn("run_sum", F.sum("d").over(w))
+    )
+    cus = pre.withColumn(
+        "cusum", F.col("run_sum") - F.least(F.lit(0.0), F.min("run_sum").over(w))
+    )
+    return cus.select(
+        "event_type",
+        "window_start",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round("cusum", 6).alias("cusum"),
+        (F.round(F.col("cusum"), 9) > F.round(4 * F.col("sigma"), 9)).cast("int").alias("is_alarm"),
     )
