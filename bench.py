@@ -67,6 +67,11 @@ HEADLINE = [
     # verdict's convention)
     "customer_spend_distribution",
     "ddsketch_doc_lengths",
+    # round-5 additions: the windowed CUSUM detector and the skew-cap
+    # audit (the latter measures the shared MinHash signature pipeline +
+    # the basket/bucket cap aggregates end to end)
+    "events_cusum_shifts",
+    "skew_cap_audit",
 ]
 
 

@@ -114,10 +114,15 @@ def random_walks(
         trail = trail.unionByName(
             nxt.select("walk_id", F.lit(step).alias("pos"), F.col("cur").alias("node"))
         )
-        if step % 4 == 0:
-            # truncate lineage: iterative unions otherwise grow the plan
-            state = state.localCheckpoint(eager=False)
-            trail = trail.localCheckpoint(eager=False)
+        if step % 2 == 0 and step < walk_len - 1:
+            # eager truncation + GC nudge: bounds live shuffle scratch at
+            # ~2 steps (same disk-hygiene rationale as node2vec_walks)
+            state = state.localCheckpoint(eager=True)
+            trail = trail.localCheckpoint(eager=True)
+            import gc as _gc
+
+            _gc.collect()
+            edges.sparkSession.sparkContext._jvm.System.gc()
 
     return (
         trail.groupBy("walk_id")
@@ -243,9 +248,21 @@ def node2vec_walks(
         trail = trail.unionByName(
             nxt.select("walk_id", F.lit(step).alias("pos"), F.col("cur").alias("node"))
         )
-        if step % 4 == 0:
-            state = state.localCheckpoint(eager=False)
-            trail = trail.localCheckpoint(eager=False)
+        if step % 2 == 0 and step < walk_len - 1:
+            # EAGER checkpoint + GC nudge every 2 steps: one walk job's
+            # lineage otherwise keeps every step's shuffle files live on
+            # local disk until the final action — linear in walk_len, and
+            # the 30× probe filled an 80 GB scratch with exactly that
+            # (shuffle maps + sort spills from all steps at once). Eager
+            # truncation drops the old step RDD references; the JVM GC
+            # pass lets ContextCleaner delete their shuffle files NOW,
+            # bounding live scratch at ~2 steps regardless of walk_len.
+            state = state.localCheckpoint(eager=True)
+            trail = trail.localCheckpoint(eager=True)
+            import gc as _gc
+
+            _gc.collect()  # drop py4j refs to the replaced step DataFrames
+            edges.sparkSession.sparkContext._jvm.System.gc()
 
     return (
         trail.groupBy("walk_id")
