@@ -439,6 +439,53 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(synth, schema="doc_id long, payload binary")
 
 
+def _thumbnail_bmp_bytes(raw: bytes, size: int) -> tuple[int, int, list]:
+    """Nearest-neighbor thumbnail from a decoded BMP pixel grid: cell (r,c)
+    samples storage-order pixel (floor(r*h/size), floor(c*w/size)). Returns
+    (width, height, [(r, c, px), ...]) with px the blue-channel value
+    (greyscale payloads store three identical bytes). Rows are read in
+    STORAGE order (bottom-up for positive-height BMPs) — the resample is
+    orientation-agnostic, so no flip is performed; documented for parity
+    with the SQL oracle's index arithmetic."""
+    import struct
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", raw, 10)[0]
+    _hsz, width, height = struct.unpack_from("<Iii", raw, 14)
+    h = abs(height)
+    row_size = (width * 3 + 3) & ~3
+    cells = []
+    for r in range(size):
+        src_r = r * h // size
+        for c in range(size):
+            src_c = c * width // size
+            px = raw[off + src_r * row_size + src_c * 3]
+            cells.append((r, c, int(px)))
+    return width, h, cells
+
+
+def thumbnail_media(media: DataFrame, size: int = 4) -> DataFrame:
+    """Real image transform over the blob column: decode each BMP payload
+    and emit its size×size nearest-neighbor thumbnail as long-form rows
+    (doc_id, r, c, px) — the resize step of an image-pipeline stage,
+    Arrow-batched like decode_media. Non-BMP payloads are skipped (audio
+    has no thumbnail)."""
+
+    def thumb(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                if raw[:2] != b"BM":
+                    continue
+                _w, _h, cells = _thumbnail_bmp_bytes(raw, size)
+                rows.extend((int(doc_id), r, c, px) for r, c, px in cells)
+            yield pd.DataFrame(rows, columns=["doc_id", "r", "c", "px"])
+
+    return media.mapInPandas(thumb, schema="doc_id long, r int, c int, px int")
+
+
 def synthesize_media_ext(docs: DataFrame) -> DataFrame:
     """Second struct-built codec family (round-4 verdict #6): a genuine
     GIF87a (even doc_id; LZW-coded, 256-grey palette) or AIFF (odd doc_id;

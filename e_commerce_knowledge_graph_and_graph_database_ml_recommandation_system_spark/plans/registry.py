@@ -63,6 +63,7 @@ _DRIVER_UNSAMPLED = (
     "skew_cap_audit",
     "multimodal_codec_roundtrip_ext",
     "events_cusum_shifts",
+    "multimodal_thumbnail",
 )
 
 

@@ -667,6 +667,32 @@ def q_multimodal_codec_roundtrip_ext(spark: SparkSession, sf_dir: str) -> DataFr
     return mm.decode_media(mm.synthesize_media_ext(docs))
 
 
+@register(
+    "multimodal_thumbnail",
+    """
+WITH d AS (
+    SELECT doc_id, CAST(4 + doc_id % 8 AS INT) AS w, CAST(4 + (doc_id // 8) % 8 AS INT) AS h
+    FROM documents WHERE doc_id % 2 = 0
+),
+grid AS (
+    SELECT r.r, c.c
+    FROM (SELECT UNNEST(range(4)) AS r) r, (SELECT UNNEST(range(4)) AS c) c
+)
+SELECT d.doc_id, CAST(g.r AS INT) AS r, CAST(g.c AS INT) AS c,
+       CAST((d.doc_id * 31 + ((g.r * d.h // 4) * d.w + (g.c * d.w // 4))) % 256 AS INT) AS px
+FROM d, grid g
+""",
+)
+def q_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image resize as a pipeline stage: 4×4 nearest-neighbor thumbnails
+    decoded from REAL BMP bytes (pixel-array offset, padded-row stride,
+    channel extraction), one long-form row per thumbnail cell. The oracle
+    recomputes every sampled pixel from the generator arithmetic — a
+    wrong stride, offset or sampling index flips the hash."""
+    docs = load_table(spark, "documents", sf_dir)
+    return mm.thumbnail_media(mm.synthesize_media(docs), size=4)
+
+
 @register("node2vec_biased_walks", None)
 def q_node2vec_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 second-order: p/q-biased walks (robust config's p=1.0, q=0.5;
