@@ -64,6 +64,7 @@ _DRIVER_UNSAMPLED = (
     "multimodal_codec_roundtrip_ext",
     "events_cusum_shifts",
     "multimodal_thumbnail",
+    "events_stream_attribution",
 )
 
 

@@ -543,3 +543,30 @@ def q_events_cusum_shifts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cusum", 6).alias("cusum"),
         (F.round(F.col("cusum"), 9) > F.round(4 * F.col("sigma"), 9)).cast("int").alias("is_alarm"),
     )
+
+
+@register(
+    "events_stream_attribution",
+    """
+SELECT p.event_id AS purchase_id, v.event_id AS view_id, p.user_id,
+       strftime(p.ts, '%Y-%m-%d %H:%M:%S') AS purchase_ts,
+       strftime(v.ts, '%Y-%m-%d %H:%M:%S') AS view_ts,
+       CAST(date_diff('microsecond', v.ts, p.ts) AS BIGINT) AS lag_us
+FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+  ON v.user_id = p.user_id
+ AND v.ts <= p.ts
+ AND v.ts >= p.ts - INTERVAL 240 MINUTE
+""",
+)
+def q_events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL watermarked stream-stream interval join executed under
+    readStream (purchase↔view attribution candidates within 4 hours,
+    per user) and drained to completion — the one §2.13 join shape the
+    stream-static path can't express, hash-checked row-for-row against
+    the batch interval join (Structured Streaming's unified semantics).
+    The time-range predicate is what bounds the join STATE: without it a
+    stream-stream join holds every view forever."""
+    from ..streaming.windows import stream_stream_attribution
+
+    return stream_stream_attribution(spark, sf_dir, lookback_minutes=240)

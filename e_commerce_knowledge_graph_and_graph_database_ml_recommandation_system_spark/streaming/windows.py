@@ -158,3 +158,73 @@ def stream_enriched_counts(spark, sf_dir: str, width: str = "15 minutes") -> Dat
     finally:
         q.stop()
     return spark.table(name)
+
+
+def stream_stream_attribution(spark, sf_dir: str, lookback_minutes: int = 30) -> DataFrame:
+    """REAL stream-stream join (the §2.13 shape stream-static can't cover):
+    purchase events joined to the SAME user's view events within the
+    preceding ``lookback_minutes`` — attribution candidates. Both sides are
+    watermarked readStreams; the time-range predicate bounds the view-side
+    state Structured Streaming must hold (views older than purchase_ts -
+    lookback - watermark are evicted), which is what makes a stream-stream
+    join runnable forever at 100 TB/day — an unbounded join would
+    accumulate state without limit.
+
+    Drained append-mode result equals the batch interval join row-for-row
+    (unified semantics), so it carries a full DuckDB hash oracle. lag_us
+    is an exact integer microsecond difference — no float time math."""
+    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+
+    def src():
+        return normalize_event_ts(
+            spark.readStream.schema(static.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+
+    views = (
+        src()
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "1 hour")
+    )
+    purchases = (
+        src()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = purchases.join(
+        views,
+        (F.col("v_user") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("view_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {int(lookback_minutes)} MINUTES")
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "view_id",
+        "user_id",
+        F.date_format("purchase_ts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+        F.date_format("view_ts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+        (F.unix_micros(F.col("purchase_ts")) - F.unix_micros(F.col("view_ts")))
+        .cast("long")
+        .alias("lag_us"),
+    )
+    name = f"stream_attr_{abs(hash(sf_dir)) % 100000}"
+    q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
