@@ -70,7 +70,8 @@ def doc_shingles(docs: DataFrame, n: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_shingle_docs: int = 1000
+    docs: DataFrame, n: int = 3, threshold: float = 0.5, max_shingle_docs: int = 1000,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-duplicate pairs (a < b, jaccard >= t).
 
@@ -85,7 +86,8 @@ def ngram_jaccard_pairs(
     that only matched through mega-shingles are near-duplicates by
     definition — exact_dedup catches them without a pairwise join.
     """
-    sh = doc_shingles(docs, n)
+    if sh is None:
+        sh = doc_shingles(docs, n)
     hot = (
         sh.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -247,6 +249,7 @@ def minhash_lsh_verified(
     threshold: float = 0.5,
     max_bucket_size: int = 1000,
     sigs: DataFrame | None = None,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH-then-verify: band-bucket candidate pairs, then EXACT Jaccard on
     the candidates only — the production near-dup shape at corpus scale.
@@ -257,7 +260,8 @@ def minhash_lsh_verified(
     precision from the exact verification. Columns: doc_a, doc_b, jaccard.
     """
     cand = minhash_lsh_pairs(docs, n, num_hashes, bands, max_bucket_size, sigs=sigs)
-    sh = doc_shingles(docs, n)
+    if sh is None:
+        sh = doc_shingles(docs, n)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = sh.withColumnsRenamed({"doc_id": "doc_a"})
     b = sh.withColumnsRenamed({"doc_id": "doc_b"})

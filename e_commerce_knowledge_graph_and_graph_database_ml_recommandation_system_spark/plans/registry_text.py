@@ -79,7 +79,10 @@ WHERE ROUND(inter / (sa.n_sh + sb.n_sh - inter), 6) >= 0.5
 """,
 )
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dd.ngram_jaccard_pairs(load_table(spark, "documents", sf_dir), n=3, threshold=0.5)
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, "documents", sf_dir), n=3, threshold=0.5,
+        sh=_shingles_shared(spark, sf_dir),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -110,6 +113,19 @@ sigs AS (
     FROM documents d LEFT JOIN rawsigs USING (doc_id)
 )
 """
+
+
+def _shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One (doc_id, shingle) relation per (app, sf_dir) — the base of the
+    Jaccard/MinHash family; shared for the same verify-wall reason as
+    _sigs_shared."""
+    from ._memo import memo
+
+    return memo(
+        spark,
+        ("doc_shingles_3", sf_dir),
+        lambda: dd.doc_shingles(load_table(spark, "documents", sf_dir), 3),
+    )
 
 
 def _sigs_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -236,7 +252,9 @@ def q_skew_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     cust = basket.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
-    shingle = dd.doc_shingles(docs, 3).groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    shingle = (
+        _shingles_shared(spark, sf_dir).groupBy("shingle").agg(F.count(F.lit(1)).alias("n"))
+    )
     bucket = (
         dd.lsh_band_stack(docs, 3, _N_HASHES, _BANDS, sigs=_sigs_shared(spark, sf_dir))
         .groupBy("band_key")
@@ -289,7 +307,7 @@ def q_minhash_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     replaces ngram_jaccard_pairs' corpus-bounded self-join at scale."""
     return dd.minhash_lsh_verified(
         load_table(spark, "documents", sf_dir), n=3, num_hashes=_N_HASHES, bands=_BANDS,
-        threshold=0.5, sigs=_sigs_shared(spark, sf_dir),
+        threshold=0.5, sigs=_sigs_shared(spark, sf_dir), sh=_shingles_shared(spark, sf_dir),
     )
 
 
@@ -362,10 +380,13 @@ def q_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantity LSH actually trades). Fully hash-checked: both pair sets are
     deterministic, so even the recall ratios match DuckDB exactly."""
     docs = load_table(spark, "documents", sf_dir)
-    exact = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.5).select("doc_a", "doc_b", "jaccard")
+    exact = dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.5, sh=_shingles_shared(spark, sf_dir)
+    ).select("doc_a", "doc_b", "jaccard")
     found = (
         dd.minhash_lsh_verified(docs, n=3, num_hashes=_N_HASHES, bands=_BANDS, threshold=0.5,
-                                sigs=_sigs_shared(spark, sf_dir))
+                                sigs=_sigs_shared(spark, sf_dir),
+                                sh=_shingles_shared(spark, sf_dir))
         .select("doc_a", "doc_b")
         .withColumn("found", F.lit(1))
     )
