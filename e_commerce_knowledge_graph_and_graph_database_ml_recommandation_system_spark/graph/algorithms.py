@@ -1167,3 +1167,71 @@ def triangle_counts(
     if orient == "degree":
         out.unpersist()
     return result
+
+
+def personalized_pagerank(
+    edges: DataFrame, seeds: DataFrame, iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Personalized PageRank (random-walk-with-restart) — THE graph
+    recommendation primitive (Haveliwala 2002; Pixie/GraphSAGE-era rec
+    systems): restart mass concentrates on the seed set instead of
+    uniformly, so ranks measure proximity to the seeds. Companion to
+    ``pagerank`` (same decimal-exact iterative-join dataflow, same
+    unrolled-oracle correctness gate) for the reference's domain:
+    'rank this nation's customers' neighborhood of the catalog'.
+
+    Scale design difference vs global PageRank: the rank vector is kept
+    SPARSE — rows exist only where rank != 0, so per-iteration state is
+    the seed set's i-hop reachable frontier, not |V|. At 100 TB with a
+    city-sized seed set that is the difference between joining the full
+    node list five times and joining a few-million-row frontier. Zero
+    ranks contribute zero shares, so sparse and dense iterates agree
+    decimal-exactly (the oracle computes the dense form).
+
+    ``seeds``: DataFrame with an ``id`` column; intersected with the
+    graph's node set (restart mass only on reachable endpoints).
+    Returns (id, rank DOUBLE 6dp) for nonzero-rank nodes.
+    """
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct()
+    s = seeds.select("id").distinct().join(nodes, "id").localCheckpoint(eager=True)
+    ns = s.count()
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+
+    dec = "decimal(26,12)"
+    seed_flag = s.withColumn("is_seed", F.lit(1))
+    ranks = s.select("id", F.round(F.lit(1.0) / F.lit(ns), 12).cast(dec).alias("r"))
+    for _ in range(iters):
+        ranks = ranks.localCheckpoint(eager=False)
+        shares = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("id"),
+                F.round(F.col("r").cast("double") / F.col("outdeg"), 12).cast(dec).alias("share"),
+            )
+        )
+        contrib = shares.groupBy("id").agg(F.sum("share").alias("contrib"))
+        dang = (
+            ranks.join(outdeg, ranks.id == outdeg.src, "left_anti")
+            .agg(F.coalesce(F.sum("r"), F.lit(0).cast(dec)).alias("dang"))
+        )
+        svec = F.coalesce(F.col("is_seed"), F.lit(0)).cast("double") / F.lit(float(ns))
+        ranks = (
+            contrib.join(seed_flag, "id", "full")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "id",
+                F.round(
+                    (F.lit(1.0) - F.lit(damping)) * svec
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0).cast(dec)).cast("double")
+                        + F.col("dang").cast("double") * svec
+                    ),
+                    12,
+                ).cast(dec).alias("r"),
+            )
+            .filter(F.col("r") != 0)
+        )
+    return ranks.select("id", F.round(F.col("r").cast("double"), 6).alias("rank"))

@@ -382,3 +382,96 @@ def ddsketch_quantiles(
             ).alias("rel_error"),
         )
     )
+
+
+def hll_distinct_sketch(
+    df, group_cols: list[str], value_col: str, p: int = 10, include_merged: bool = True
+):
+    """HyperLogLog distinct-count sketch per group (Flajolet et al. 2007)
+    — the third leg of the mergeable cardinality family next to KMV, and
+    the one every warehouse actually ships (approx_count_distinct is
+    HLL++). Beyond-reference scope: at 100 TB each shard keeps its m=2^p
+    max-rho registers and shards merge by register-wise MAX; the merged
+    row this operator emits IS that merge, computed relationally.
+
+    Engine-agnostic by construction — the claim that an HLL oracle is
+    impossible holds only for library register layouts; this one pins
+    every bit: bucket = md5-uint32 % m, w = the next 13 hex chars as a
+    52-bit integer, rho = position of the first '1' in bin(w) lpad'ed to
+    52 (pure string ops, no float log), register = MAX(rho). The harmonic
+    sum is kept EXACT as SUM(2^(53-rho)) in BIGINT (max 1023*2^53 + 2^52
+    < 2^63), so the raw estimate alpha*m^2*2^53/S is one correctly-
+    rounded double division on identical operands in any engine. The
+    small-range linear-counting branch (E <= 2.5m with V empty registers)
+    uses ln, so the final estimate is rounded to 4dp — the repo's
+    cross-engine ulp guard.
+
+    Dataflow: distinct (group, value) -> one narrow (group, bucket, rho)
+    shuffle -> m-bounded registers per group -> 1 row per group (+ the
+    register-wise-MAX merged row when include_merged). Exact count rides
+    along from the same distinct pass to expose realized error.
+
+    Columns: *group_cols, n_exact, v_zero (empty registers), estimate
+    (4dp), rel_error (6dp).
+    """
+    m = 1 << p
+    two53 = float(1 << 53)
+    alpha = "(0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * {two53}"
+
+    d = df.select(*group_cols, F.col(value_col).alias("v")).distinct().cache()
+    hexed = d.withColumn("hex", F.md5(F.concat(F.lit("hll_"), F.col("v").cast("string"))))
+    hb = hexed.select(
+        *group_cols,
+        F.pmod(F.conv(F.substring("hex", 1, 8), 16, 10).cast("long"), F.lit(m)).alias("bucket"),
+        F.conv(F.substring("hex", 9, 13), 16, 10).cast("long").alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(53)).otherwise(
+        F.instr(F.lpad(F.bin(F.col("w")), 52, "0"), "1")
+    )
+    regs = (
+        hb.withColumn("rho", rho.cast("int"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("m_reg"))
+    )
+    exact = d.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("n_exact"))
+
+    def _estimate(r, ex, keys):
+        agg = r.groupBy(*keys).agg(
+            # each term 2^(53-rho) is an exact double -> exact BIGINT; the
+            # sum is integer arithmetic, order-independent by construction
+            F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m_reg")).cast("long")).alias("s_present"),
+            F.count(F.lit(1)).alias("n_buckets"),
+        )
+        v_zero = F.lit(m) - F.col("n_buckets")
+        s_scaled = F.col("s_present") + v_zero.cast("long") * F.lit(1 << 53)
+        e_raw = F.expr(alpha.format(m=m, two53=two53)) / s_scaled.cast("double")
+        est = F.round(
+            F.when(
+                (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+                F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+            ).otherwise(e_raw),
+            4,
+        )
+        return (
+            agg.join(ex, keys)
+            .select(
+                *keys,
+                F.col("n_exact").cast("long").alias("n_exact"),
+                v_zero.cast("long").alias("v_zero"),
+                est.alias("estimate"),
+                F.round(F.abs(est - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
+            )
+        )
+
+    out = _estimate(regs, exact, group_cols)
+    if include_merged and len(group_cols) == 1:
+        g = group_cols[0]
+        merged_regs = regs.groupBy("bucket").agg(F.max("m_reg").alias("m_reg")).withColumn(
+            g, F.lit("__all__")
+        )
+        merged_exact = d.select("v").distinct().agg(F.count(F.lit(1)).alias("n_exact")).withColumn(
+            g, F.lit("__all__")
+        )
+        out = out.unionByName(_estimate(merged_regs, merged_exact, [g]))
+    d.unpersist()
+    return out

@@ -65,6 +65,9 @@ _DRIVER_UNSAMPLED = (
     "events_cusum_shifts",
     "multimodal_thumbnail",
     "events_stream_attribution",
+    "hll_vocab_sketch",
+    "item_item_neighbors",
+    "graph_ppr_nation",
 )
 
 

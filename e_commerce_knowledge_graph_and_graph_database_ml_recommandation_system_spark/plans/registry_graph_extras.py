@@ -355,3 +355,69 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..graph.algorithms import pagerank
 
     return pagerank(build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES)), iters=5)
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (random-walk-with-restart) — seed-restart variant
+# ---------------------------------------------------------------------------
+
+
+def _ppr_oracle_sql(iters: int = 5, nation: int = 7) -> str:
+    """Unrolled DuckDB mirror of graph.algorithms.personalized_pagerank:
+    dense form of the engine's sparse frontier (zero ranks contribute
+    zero shares, so the iterates agree decimal-exactly); restart vector
+    concentrated on nation-``nation`` customer nodes."""
+    dec = "DECIMAL(26,12)"
+    parts = [
+        "de AS (SELECT DISTINCT src, dst FROM edges)",
+        "nodes_pr AS (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        f"seeds AS (SELECT DISTINCT n.id FROM nodes_pr n JOIN "
+        f"(SELECT concat_ws('_', 'cust', c_custkey) AS id FROM customer WHERE c_nationkey = {nation}) s "
+        f"ON n.id = s.id)",
+        "ns AS (SELECT COUNT(*) AS ns FROM seeds)",
+        "sv AS (SELECT n.id, CASE WHEN s.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS flag "
+        "FROM nodes_pr n LEFT JOIN seeds s ON n.id = s.id)",
+        "od AS (SELECT src, COUNT(*) AS outdeg FROM de GROUP BY src)",
+        f"r0 AS (SELECT sv.id, CAST(ROUND(sv.flag / ns.ns, 12) AS {dec}) AS r FROM sv CROSS JOIN ns)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS (SELECT de.dst AS id, "
+            f"CAST(ROUND(CAST(r.r AS DOUBLE) / od.outdeg, 12) AS {dec}) AS share "
+            f"FROM de JOIN r{p} r ON de.src = r.id JOIN od ON de.src = od.src)"
+        )
+        parts.append(f"c{i} AS (SELECT id, SUM(share) AS contrib FROM s{i} GROUP BY id)")
+        parts.append(
+            f"g{i} AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS {dec}) AS dang "
+            f"FROM r{p} r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL)"
+        )
+        parts.append(
+            f"r{i} AS (SELECT v.id, "
+            f"CAST(ROUND((1.0 - 0.85) * (v.flag / ns.ns) + 0.85 * "
+            f"(CAST(COALESCE(c.contrib, 0) AS DOUBLE) + CAST(g.dang AS DOUBLE) * (v.flag / ns.ns)), 12) AS {dec}) AS r "
+            f"FROM sv v CROSS JOIN ns CROSS JOIN g{i} g LEFT JOIN c{i} c ON v.id = c.id)"
+        )
+    from .registry import GRAPH_EDGES_CTE as _E
+
+    return (
+        f"WITH {_E.strip()},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT id, ROUND(CAST(r AS DOUBLE), 6) AS rank FROM r{iters} WHERE r <> 0"
+    )
+
+
+@register("graph_ppr_nation", _ppr_oracle_sql(iters=5, nation=7))
+def q_graph_ppr_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank seeded on nation-7 customers — proximity
+    ranking of the catalog neighborhood those customers touch (orders,
+    products, locations, categories), the random-walk-with-restart
+    primitive behind modern graph recommenders; full nonzero rank vector
+    hash-checked against the unrolled decimal-exact oracle."""
+    from ..graph.algorithms import personalized_pagerank
+
+    tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    seeds = tables["customer"].filter(F.col("c_nationkey") == 7).select(
+        F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id")
+    )
+    return personalized_pagerank(build_edges(tables), seeds, iters=5)

@@ -653,3 +653,113 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     basket.unpersist()
     return out
+
+
+@register(
+    "item_item_neighbors",
+    """
+WITH basket0 AS (
+    SELECT DISTINCT o_custkey AS c, l_partkey AS p
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+basket AS (
+    SELECT * FROM basket0 WHERE c NOT IN (
+        SELECT c FROM basket0 GROUP BY c HAVING COUNT(*) > 200
+    )
+),
+prod AS (SELECT p, COUNT(*) AS cnt FROM basket GROUP BY p),
+anchors AS (SELECT p, cnt FROM prod ORDER BY cnt DESC, p ASC LIMIT 100),
+pairs AS (
+    SELECT a.p AS anchor, b.p AS neighbor, COUNT(*) AS support
+    FROM (SELECT bk.c, bk.p FROM basket bk JOIN anchors an ON bk.p = an.p) a
+    JOIN basket b ON a.c = b.c AND a.p <> b.p
+    GROUP BY a.p, b.p
+),
+scored AS (
+    SELECT anchor, neighbor, support,
+           CAST(support AS DOUBLE) / sqrt(CAST(pa.cnt * pb.cnt AS DOUBLE)) AS cos_raw
+    FROM pairs
+    JOIN anchors pa ON pa.p = anchor
+    JOIN prod pb ON pb.p = neighbor
+    WHERE support >= 3
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY anchor ORDER BY cos_raw DESC, neighbor ASC) AS rank
+    FROM scored
+)
+SELECT anchor, CAST(rank AS INT) AS rank, neighbor,
+       CAST(support AS BIGINT) AS support,
+       ROUND(cos_raw, 6) AS cosine
+FROM ranked WHERE rank <= 5
+""",
+)
+def q_item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering — the 'customers who bought X
+    also bought Y' neighborhood model (the classic e-commerce recommender
+    the reference's serving scripts approximate with per-customer
+    category heuristics, e.g. ``took_recommandations_discount.py``):
+    cosine similarity over binary customer-purchase vectors,
+    cos(a,b) = |A∩B| / sqrt(|A|·|B|), top-5 neighbors per anchor.
+
+    Scale design: the pair self-join is restricted to the top-100 anchor
+    products BEFORE pair generation (broadcast semi-join — candidate
+    volume is anchor-basket incidence, not |basket|²) and rides the same
+    hot-basket cap as copurchase_lift; the per-anchor top-5 is a window
+    partitioned by anchor (no single-partition sort). Cosine is exact
+    ints + one IEEE sqrt + one division — engine-identical unrounded, so
+    the rank window (cos desc, neighbor asc) is deterministic
+    cross-engine; output rounds to 6dp.
+    """
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    basket0 = (
+        t["orders"].join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    hot = basket0.groupBy("c").agg(F.count(F.lit(1)).alias("b")).filter(F.col("b") > 200)
+    basket = basket0.join(hot.select("c"), "c", "left_anti").cache()
+    prod = basket.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    anchors = prod.orderBy(F.desc("cnt"), F.asc("p")).limit(100).localCheckpoint(eager=True)
+
+    a = (
+        basket.join(F.broadcast(anchors.select("p")), "p")
+        .select("c", F.col("p").alias("anchor"))
+    )
+    b = basket.select("c", F.col("p").alias("neighbor"))
+    pairs = (
+        a.join(b, "c")
+        .filter(F.col("anchor") != F.col("neighbor"))
+        .groupBy("anchor", "neighbor")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    scored = (
+        pairs.join(
+            F.broadcast(anchors.select(F.col("p").alias("anchor"), F.col("cnt").alias("cnt_a"))),
+            "anchor",
+        )
+        .join(prod.select(F.col("p").alias("neighbor"), F.col("cnt").alias("cnt_b")), "neighbor")
+        .withColumn(
+            "cos_raw",
+            F.col("support").cast("double")
+            / F.sqrt((F.col("cnt_a") * F.col("cnt_b")).cast("double")),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor").orderBy(F.desc("cos_raw"), F.asc("neighbor"))
+    out = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "anchor",
+            F.col("rank").cast("int").alias("rank"),
+            "neighbor",
+            F.col("support").cast("long").alias("support"),
+            F.round("cos_raw", 6).alias("cosine"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    basket.unpersist()
+    return out

@@ -2120,3 +2120,82 @@ def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.desc("pmi"), F.asc("bigram")).limit(20)
+
+
+_HLL_ALPHA = "(0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0 * 9007199254740992.0"
+
+
+@register(
+    "hll_vocab_sketch",
+    f"""
+WITH toks AS (
+    SELECT DISTINCT source, tok
+    FROM (SELECT source, unnest({_WS8}) AS tok FROM documents)
+    WHERE tok <> ''
+),
+hb AS (
+    SELECT source,
+           ('0x' || substr(md5(concat('hll_', tok)), 1, 8))::BIGINT % 1024 AS bucket,
+           ('0x' || substr(md5(concat('hll_', tok)), 9, 13))::BIGINT AS w
+    FROM toks
+),
+regs AS (
+    SELECT source, bucket,
+           MAX(CASE WHEN w = 0 THEN 53
+                    ELSE instr(lpad(bin(w), 52, '0'), '1') END) AS m_reg
+    FROM hb GROUP BY source, bucket
+),
+allregs AS (
+    SELECT source, bucket, m_reg FROM regs
+    UNION ALL
+    SELECT '__all__' AS source, bucket, MAX(m_reg) AS m_reg FROM regs GROUP BY bucket
+),
+exact AS (
+    SELECT source, COUNT(*) AS n_exact FROM toks GROUP BY source
+    UNION ALL
+    SELECT '__all__', COUNT(DISTINCT tok) FROM toks
+),
+agg AS (
+    SELECT source,
+           SUM(CAST(POWER(2, 53 - m_reg) AS BIGINT)) AS s_present,
+           COUNT(*) AS n_buckets
+    FROM allregs GROUP BY source
+),
+est0 AS (
+    SELECT source,
+           1024 - n_buckets AS v_zero,
+           {_HLL_ALPHA}
+             / CAST(s_present + (1024 - n_buckets) * 9007199254740992 AS DOUBLE) AS e_raw
+    FROM agg
+),
+est AS (
+    SELECT source, v_zero,
+           ROUND(CASE WHEN e_raw <= 2560.0 AND v_zero > 0
+                      THEN 1024.0 * ln(1024.0 / v_zero)
+                      ELSE e_raw END, 4) AS estimate
+    FROM est0
+)
+SELECT e.source,
+       CAST(x.n_exact AS BIGINT) AS n_exact,
+       CAST(e.v_zero AS BIGINT) AS v_zero,
+       e.estimate,
+       ROUND(ABS(e.estimate - x.n_exact) / x.n_exact, 6) AS rel_error
+FROM est e JOIN exact x ON e.source = x.source
+""",
+)
+def q_hll_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-token cardinality per source PLUS the
+    register-wise-MAX merged '__all__' row — the mergeable-sketch family's
+    missing leg (KMV/CMS/Bloom/DDSketch landed earlier), under a FULL
+    DuckDB hash oracle: every register bit is pinned by md5 string ops
+    (see operators/aggregates.hll_distinct_sketch), refuting the 'HLL
+    oracles are impossible' caveat the KMV docstring recorded for
+    library-layout HLLs."""
+    from ..functions.text import words as _words
+    from ..operators.aggregates import hll_distinct_sketch
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select("source", F.explode(_words(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    return hll_distinct_sketch(toks, ["source"], "tok", p=10, include_merged=True)

@@ -1488,3 +1488,88 @@ def test_ddsketch_mergeability_and_error_bound(spark):
         for r in part.select(b.alias("bucket")).groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect():
             shard_sum[r["bucket"]] = shard_sum.get(r["bucket"], 0) + r["cnt"]
     assert shard_sum == whole, "per-shard histograms must sum to the global histogram"
+
+
+def test_hll_sketch_merge_identity_and_error(spark):
+    """HLL's merge identity: register-wise MAX of per-source sketches IS
+    the sketch of the union — the '__all__' row the operator emits must
+    equal a direct single-group sketch bit-for-bit (same v_zero, same
+    estimate). Error sanity: with m=1024 registers the standard error is
+    ~1.04/sqrt(m) ≈ 3.3%, so realized |error| beyond 15% on a
+    thousands-cardinality stream would mean broken register math."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.functions.text import words as _words
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.aggregates import (
+        hll_distinct_sketch,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    toks = docs.select("source", F.explode(_words(F.col("text"))).alias("tok")).filter(
+        F.col("tok") != ""
+    )
+    rows = {r["source"]: r for r in hll_distinct_sketch(toks, ["source"], "tok").collect()}
+    merged = rows["__all__"]
+    direct = hll_distinct_sketch(
+        toks.withColumn("g", F.lit("all")), ["g"], "tok", include_merged=False
+    ).collect()[0]
+    assert merged["v_zero"] == direct["v_zero"]
+    assert merged["estimate"] == direct["estimate"]
+    assert merged["n_exact"] == direct["n_exact"]
+    for r in rows.values():
+        if r["n_exact"] > 1000:
+            assert r["rel_error"] < 0.15, f"{r['source']}: rel_error {r['rel_error']}"
+
+
+def test_item_item_neighbors_invariants(spark):
+    """Item-item CF: cosine in (0,1], per-anchor ranks contiguous from 1,
+    support floor respected, no self-neighbors."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+
+    rows = registry.queries()["item_item_neighbors"](spark, SF).collect()
+    assert rows, "no neighbor rows at test SF"
+    by_anchor = {}
+    for r in rows:
+        assert 0.0 < r["cosine"] <= 1.0
+        assert r["support"] >= 3
+        assert r["neighbor"] != r["anchor"]
+        by_anchor.setdefault(r["anchor"], []).append(r["rank"])
+    for a, ranks in by_anchor.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), f"anchor {a}: {ranks}"
+
+
+def test_personalized_pagerank_mass_and_seeds(spark):
+    """PPR invariants: total rank mass is conserved at ~1 (restart + damped
+    transfer + dangling-to-seeds; only 12dp rounding leaks), every seed
+    retains nonzero rank (restart mass), and the nonzero support set is
+    exactly the seeds' forward-reachable closure — the sparse-frontier
+    claim in the docstring."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.algorithms import (
+        personalized_pagerank,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.build import build_edges
+
+    tables = _tables(spark)
+    edges = build_edges({k: tables[k] for k in ("orders", "lineitem", "part", "customer")})
+    seeds = tables["customer"].filter(F.col("c_nationkey") == 7).select(
+        F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id")
+    )
+    out = personalized_pagerank(edges, seeds, iters=3).collect()
+    total = sum(r["rank"] for r in out)
+    # 6dp output rounding adds up to ±5e-7 per row across the support set
+    assert 0.98 < total < 1.002, f"mass not conserved: {total}"
+    seed_ids = {r["id"] for r in seeds.join(
+        edges.select(F.col("src").alias("id")).union(edges.select(F.col("dst").alias("id"))).distinct(),
+        "id",
+    ).collect()}
+    got = {r["id"] for r in out}
+    assert seed_ids <= got, "some seeds lost their restart mass"
+    # forward reachability in 3 hops from seeds over the directed edge list
+    adj = {}
+    for r in edges.select("src", "dst").distinct().collect():
+        adj.setdefault(r["src"], set()).add(r["dst"])
+    reach = set(seed_ids)
+    frontier = set(seed_ids)
+    for _ in range(3):
+        frontier = {d for s in frontier for d in adj.get(s, ())}
+        reach |= frontier
+    assert got <= reach, "nonzero rank outside the reachable closure"
