@@ -337,3 +337,69 @@ def incremental_dedup(docs: DataFrame, n_batches: int = 2, max_hamming: int = 3)
         "dup_of",
         "hamming",
     )
+
+
+def containment_pairs(
+    docs: DataFrame, n: int = 3, threshold: float = 0.8, min_shingles: int = 5,
+    max_shingle_docs: int = 1000, sh: DataFrame | None = None,
+) -> DataFrame:
+    """Directional shingle containment C(a in b) = |A∩B| / |A| — the
+    doc-in-doc detector symmetric Jaccard misses by construction: a quote
+    or verbatim inclusion of a small doc inside a large one has high
+    containment but low Jaccard (|A∩B|/|A∪B| is crushed by the size
+    imbalance), so near-dup passes keep both copies. Standard third pass
+    of an LLM dedup stack (exact -> near-dup -> containment); same
+    pair dataflow and hot-shingle skew hatch as ngram_jaccard_pairs,
+    with a ``min_shingles`` floor so trivial snippets aren't 'contained'
+    everywhere.
+
+    Emits one row per qualifying DIRECTION: (contained, container,
+    n_contained, n_container, containment 6dp).
+    """
+    if sh is None:
+        sh = doc_shingles(docs, n)
+    hot = (
+        sh.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_shingle_docs)
+        .select("shingle")
+    )
+    sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    pairs = (
+        inter.join(sizes.withColumnsRenamed({"doc_id": "doc_a", "n_sh": "na"}), "doc_a")
+        .join(sizes.withColumnsRenamed({"doc_id": "doc_b", "n_sh": "nb"}), "doc_b")
+    )
+    fwd = pairs.select(
+        F.col("doc_a").alias("contained"),
+        F.col("doc_b").alias("container"),
+        F.col("na").alias("n_contained"),
+        F.col("nb").alias("n_container"),
+        F.round(F.col("inter") / F.col("na"), 6).alias("containment"),
+    )
+    rev = pairs.select(
+        F.col("doc_b").alias("contained"),
+        F.col("doc_a").alias("container"),
+        F.col("nb").alias("n_contained"),
+        F.col("na").alias("n_container"),
+        F.round(F.col("inter") / F.col("nb"), 6).alias("containment"),
+    )
+    return (
+        fwd.unionByName(rev)
+        .filter((F.col("containment") >= threshold) & (F.col("n_contained") >= min_shingles))
+        .select(
+            "contained",
+            "container",
+            F.col("n_contained").cast("long").alias("n_contained"),
+            F.col("n_container").cast("long").alias("n_container"),
+            "containment",
+        )
+    )

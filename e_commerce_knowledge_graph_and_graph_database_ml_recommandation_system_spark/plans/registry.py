@@ -68,6 +68,9 @@ _DRIVER_UNSAMPLED = (
     "hll_vocab_sketch",
     "item_item_neighbors",
     "graph_ppr_nation",
+    "events_markov_transitions",
+    "containment_pairs",
+    "recency_weighted_popularity",
 )
 
 

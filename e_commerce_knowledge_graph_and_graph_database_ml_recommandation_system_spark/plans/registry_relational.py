@@ -763,3 +763,63 @@ def q_item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     basket.unpersist()
     return out
+
+
+@register(
+    "recency_weighted_popularity",
+    """
+WITH purch AS (
+    SELECT l_partkey AS p, CAST(o_orderdate AS DATE) AS d
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+mx AS (SELECT MAX(d) AS mx FROM purch),
+terms AS (
+    SELECT p,
+           CAST(ROUND(POWER(0.5, date_diff('day', d, mx.mx) / 180.0), 12)
+                AS DECIMAL(26,12)) AS term
+    FROM purch CROSS JOIN mx
+),
+agg AS (
+    SELECT p, SUM(term) AS score_dec, COUNT(*) AS n_purchases
+    FROM terms GROUP BY p
+)
+SELECT p AS p_partkey, CAST(n_purchases AS BIGINT) AS n_purchases,
+       ROUND(CAST(score_dec AS DOUBLE), 6) AS decayed_score
+FROM agg
+ORDER BY score_dec DESC, p ASC
+LIMIT 20
+""",
+)
+def q_recency_weighted_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential time-decay product popularity (180-day half-life) —
+    the 'trending now' serving feature every storefront ranks by:
+    score = Σ 2^(−age/180) over purchases, age relative to the corpus'
+    latest order date. Each decay term is rounded to 12dp and summed in
+    DECIMAL (order-independent, the repo's cross-engine pattern for
+    float-termed aggregates), so the ranking — not just the rounded
+    output — is engine-exact. One join + one aggregate; the 1-row max-
+    date broadcast is the only fan-out."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    purch = (
+        t["orders"].join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(F.col("l_partkey").alias("p"), F.to_date("o_orderdate").alias("d"))
+    )
+    mx = purch.agg(F.max("d").alias("mx"))
+    terms = purch.crossJoin(F.broadcast(mx)).select(
+        "p",
+        F.round(F.pow(F.lit(0.5), F.datediff("mx", "d") / F.lit(180.0)), 12)
+        .cast("decimal(26,12)")
+        .alias("term"),
+    )
+    agg = terms.groupBy("p").agg(
+        F.sum("term").alias("score_dec"), F.count(F.lit(1)).alias("n_purchases")
+    )
+    return (
+        agg.orderBy(F.desc("score_dec"), F.asc("p"))
+        .limit(20)
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.col("n_purchases").cast("long").alias("n_purchases"),
+            F.round(F.col("score_dec").cast("double"), 6).alias("decayed_score"),
+        )
+    )

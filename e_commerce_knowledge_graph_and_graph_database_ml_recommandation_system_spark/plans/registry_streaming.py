@@ -570,3 +570,65 @@ def q_events_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.windows import stream_stream_attribution
 
     return stream_stream_attribution(spark, sf_dir, lookback_minutes=240)
+
+
+@register(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+    SELECT user_id, ts, event_type,
+           LEAD(event_type) OVER w AS next_type,
+           LEAD(ts) OVER w AS next_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+    SELECT event_type AS cur_type, next_type
+    FROM seq
+    WHERE next_type IS NOT NULL
+      AND date_diff('second', ts, next_ts) <= 1800
+),
+cnts AS (
+    SELECT cur_type, next_type, COUNT(*) AS cnt FROM trans GROUP BY 1, 2
+),
+tot AS (SELECT cur_type, SUM(cnt) AS total FROM cnts GROUP BY 1)
+SELECT c.cur_type, c.next_type, CAST(c.cnt AS BIGINT) AS cnt,
+       ROUND(CAST(c.cnt AS DOUBLE) / t.total, 6) AS prob
+FROM cnts c JOIN tot t ON c.cur_type = t.cur_type
+""",
+)
+def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event model over per-user event sequences —
+    the transition matrix behind next-item prediction (the sequential
+    recommender baseline; companion to the graph recommenders): P(next |
+    current) from lead() pairs within a 30-minute gap, the same session
+    notion as events_session_windows.
+
+    Scale: one window partitioned by user (no global sort), one
+    |types|²-bounded aggregate — the matrix is dimension-sized however
+    large the event log. Gap test is integer microsecond arithmetic;
+    probabilities are exact-int divisions (engine-identical), 6dp out.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts"), F.asc("event_id"))
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    trans = seq.filter(
+        F.col("next_type").isNotNull()
+        & (F.unix_timestamp("next_ts") - F.unix_timestamp("ts") <= 1800)
+    ).select(F.col("event_type").alias("cur_type"), "next_type")
+    cnts = trans.groupBy("cur_type", "next_type").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = cnts.groupBy("cur_type").agg(F.sum("cnt").alias("total"))
+    return cnts.join(tot, "cur_type").select(
+        "cur_type",
+        "next_type",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("prob"),
+    )

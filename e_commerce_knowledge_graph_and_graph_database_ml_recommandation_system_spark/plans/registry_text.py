@@ -2199,3 +2199,49 @@ def q_hll_vocab_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("tok") != ""
     )
     return hll_distinct_sketch(toks, ["source"], "tok", p=10, include_merged=True)
+
+
+@register(
+    "containment_pairs",
+    f"""
+WITH {_SHINGLES_CTE.strip().replace("sh AS", "sh0 AS")},
+sh AS (
+    SELECT * FROM sh0 WHERE shingle NOT IN (
+        SELECT shingle FROM sh0 GROUP BY shingle HAVING COUNT(*) > 1000
+    )
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT doc_a, doc_b, inter, sa.n_sh AS na, sb.n_sh AS nb
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+),
+dirs AS (
+    SELECT doc_a AS contained, doc_b AS container, na AS n_contained,
+           nb AS n_container, ROUND(inter / na, 6) AS containment
+    FROM pairs
+    UNION ALL
+    SELECT doc_b, doc_a, nb, na, ROUND(inter / nb, 6) FROM pairs
+)
+SELECT contained, container,
+       CAST(n_contained AS BIGINT) AS n_contained,
+       CAST(n_container AS BIGINT) AS n_container,
+       containment
+FROM dirs
+WHERE containment >= 0.8 AND n_contained >= 5
+""",
+)
+def q_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional shingle containment (doc-in-doc / quote detection) —
+    the third dedup pass symmetric Jaccard can't express: high
+    |A∩B|/|A| with low |A∩B|/|A∪B| means a small doc living verbatim
+    inside a bigger one. Shares the memoized shingle relation with the
+    Jaccard/MinHash family."""
+    docs = load_table(spark, "documents", sf_dir)
+    return dd.containment_pairs(docs, sh=_shingles_shared(spark, sf_dir))

@@ -1573,3 +1573,56 @@ def test_personalized_pagerank_mass_and_seeds(spark):
         frontier = {d for s in frontier for d in adj.get(s, ())}
         reach |= frontier
     assert got <= reach, "nonzero rank outside the reachable closure"
+
+
+def test_markov_transitions_rows_are_distributions(spark):
+    """Per-current-type transition probabilities form a distribution
+    (sum ~1 up to 6dp rounding), counts are positive, and both endpoints
+    are real event types."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    rows = registry.queries()["events_markov_transitions"](spark, SF).collect()
+    assert rows
+    types = {r["event_type"] for r in load_table(spark, "events", SF).select("event_type").distinct().collect()}
+    by_cur = {}
+    for r in rows:
+        assert r["cnt"] > 0
+        assert r["cur_type"] in types and r["next_type"] in types
+        by_cur[r["cur_type"]] = by_cur.get(r["cur_type"], 0.0) + r["prob"]
+    for cur, s in by_cur.items():
+        assert abs(s - 1.0) < 1e-4, f"{cur}: probs sum to {s}"
+
+
+def test_containment_vs_jaccard_direction(spark):
+    """Containment is bounded by (0,1], respects the floor/threshold, and
+    is the DIRECTIONAL refinement of Jaccard: for every emitted pair,
+    jaccard <= containment (|A∩B|/|A∪B| <= |A∩B|/|A|)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.dedup import (
+        containment_pairs,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF)
+    rows = containment_pairs(docs, threshold=0.5).collect()
+    assert rows, "no containment pairs at test SF"
+    for r in rows:
+        assert 0.0 < r["containment"] <= 1.0
+        assert r["n_contained"] >= 5
+        assert r["contained"] != r["container"]
+        inter = round(r["containment"] * r["n_contained"])  # 6dp-rounded ratio × size
+        union = r["n_contained"] + r["n_container"] - inter
+        assert inter / union <= r["containment"] + 1e-6
+
+
+def test_recency_weighted_popularity_bounds(spark):
+    """Decay terms are in (0,1], so a product's decayed score is bounded
+    by its purchase count; the top-20 ordering is non-increasing."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+
+    rows = registry.queries()["recency_weighted_popularity"](spark, SF).collect()
+    assert len(rows) == 20
+    scores = [r["decayed_score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 0.0 < r["decayed_score"] <= r["n_purchases"] + 1e-6

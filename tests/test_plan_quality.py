@@ -77,6 +77,9 @@ NO_NESTED_LOOP = [
     "lsh_recall_audit",
     "skew_cap_audit",
     "customer_spend_distribution",
+    # round-5: the anchor-restricted item-item pair join is
+    # equi-join/aggregate-only
+    "item_item_neighbors",
 ]
 
 # Queries where an intentional crossJoin(F.broadcast(tiny-side)) exists —
@@ -95,6 +98,12 @@ NO_CARTESIAN_ONLY = [
     # both sides unbroadcast — is still a bug
     "graph_pagerank",
     "pmi_collocations",
+    # round-5: PPR's dangling-mass term is the same 1-row scalar
+    # broadcast; HLL's merged '__all__' row joins two 1-row aggregates on
+    # a literal key (constant-folded to a 1-row×1-row BNLJ — benign at
+    # any scale; register relations are m-bounded)
+    "graph_ppr_nation",
+    "hll_vocab_sketch",
 ]
 
 
