@@ -72,6 +72,11 @@ HEADLINE = [
     # the basket/bucket cap aggregates end to end)
     "events_cusum_shifts",
     "skew_cap_audit",
+    # round-5 second batch: the two new recommender-surface entries (CF
+    # neighbor join, HLL register aggregate) — cross-round comparisons
+    # keep using the shared-query subset
+    "item_item_neighbors",
+    "hll_vocab_sketch",
 ]
 
 
