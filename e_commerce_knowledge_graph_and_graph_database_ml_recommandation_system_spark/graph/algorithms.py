@@ -1032,7 +1032,7 @@ def pagerank(edges: DataFrame, iters: int = 5, damping: float = 0.85) -> DataFra
     dec = "decimal(26,12)"
     ranks = nodes.select("id", F.round(F.lit(1.0) / F.lit(n), 12).cast(dec).alias("r"))
     for _ in range(iters):
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.localCheckpoint(eager=True)
         shares = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(outdeg, "src")
@@ -1202,7 +1202,7 @@ def personalized_pagerank(
     seed_flag = s.withColumn("is_seed", F.lit(1))
     ranks = s.select("id", F.round(F.lit(1.0) / F.lit(ns), 12).cast(dec).alias("r"))
     for _ in range(iters):
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = ranks.localCheckpoint(eager=True)
         shares = (
             e.join(ranks.withColumnRenamed("id", "src"), "src")
             .join(outdeg, "src")
@@ -1235,3 +1235,78 @@ def personalized_pagerank(
             .filter(F.col("r") != 0)
         )
     return ranks.select("id", F.round(F.col("r").cast("double"), 6).alias("rank"))
+
+
+def hits(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) — the mutual-reinforcement
+    companion to PageRank on the directed property graph: hubs point at
+    good authorities (customers/orders fanning into the catalog),
+    authorities are pointed at by good hubs (products/categories). Third
+    member of the decimal-exact iterative family (pagerank,
+    personalized_pagerank): scores live as DECIMAL(26,12); each
+    half-iteration is one equi-join + one decimal aggregate (exact,
+    order-independent) + an L1 normalization whose single division runs
+    in DOUBLE on identical operands and is rounded to 12dp before
+    re-entering the decimal domain — so the full hub AND authority
+    vectors hash-match an unrolled SQL oracle.
+
+    Scale: per iteration = two edge⋈score joins keyed by src/dst + two
+    node-keyed aggregates + two 1-row L1 sums broadcast back; state is
+    one (id, score) row per node, same dataflow budget as pagerank.
+    Returns (id, hub DOUBLE 6dp, authority DOUBLE 6dp).
+    """
+    dec = "decimal(26,12)"
+    e = edges.select("src", "dst").distinct().cache()
+    nodes = e.select(F.col("src").alias("id")).union(e.select(F.col("dst").alias("id"))).distinct().cache()
+
+    h = nodes.select("id", F.lit(1).cast(dec).alias("s"))
+    a = None
+    for _ in range(iters):
+        # raw vectors feed BOTH the L1 sum and the normalization join —
+        # checkpoint-mark them or the shared subtree re-evaluates per use
+        # and the recomputation doubles every half-iteration
+        araw = (
+            e.join(h.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("s").alias("raw"))
+        ).localCheckpoint(eager=True)
+        asum = araw.agg(F.sum("raw").cast(dec).alias("t"))
+        a = (
+            nodes.join(araw, "id", "left")
+            .crossJoin(F.broadcast(asum))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0).cast(dec)).cast("double")
+                    / F.col("t").cast("double"),
+                    12,
+                ).cast(dec).alias("s"),
+            )
+        ).localCheckpoint(eager=True)
+        hraw = (
+            e.join(a.withColumnRenamed("id", "dst"), "dst")
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("s").alias("raw"))
+        ).localCheckpoint(eager=True)
+        hsum = hraw.agg(F.sum("raw").cast(dec).alias("t"))
+        h = (
+            nodes.join(hraw, "id", "left")
+            .crossJoin(F.broadcast(hsum))
+            .select(
+                "id",
+                F.round(
+                    F.coalesce(F.col("raw"), F.lit(0).cast(dec)).cast("double")
+                    / F.col("t").cast("double"),
+                    12,
+                ).cast(dec).alias("s"),
+            )
+        )
+    return (
+        h.withColumnRenamed("s", "h")
+        .join(a.withColumnRenamed("s", "a"), "id")
+        .select(
+            "id",
+            F.round(F.col("h").cast("double"), 6).alias("hub"),
+            F.round(F.col("a").cast("double"), 6).alias("authority"),
+        )
+    )

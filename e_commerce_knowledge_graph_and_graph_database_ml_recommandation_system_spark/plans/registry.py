@@ -71,6 +71,7 @@ _DRIVER_UNSAMPLED = (
     "events_markov_transitions",
     "containment_pairs",
     "recency_weighted_popularity",
+    "graph_hits",
 )
 
 

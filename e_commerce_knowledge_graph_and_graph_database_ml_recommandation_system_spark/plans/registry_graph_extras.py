@@ -312,27 +312,31 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
     uniform dangling redistribution — the LPA chained-CTE technique applied
     to a float-valued iterative algorithm."""
     dec = "DECIMAL(26,12)"
+    # AS MATERIALIZED throughout: r{i-1} is referenced twice per iteration
+    # (shares + dangling mass) and DuckDB's default inlining re-expands the
+    # whole preceding chain per reference — 7.1 s inlined vs ~0.2 s
+    # materialized at sf0.01
     parts = [
-        "de AS (SELECT DISTINCT src, dst FROM edges)",
-        "nodes_pr AS (SELECT src AS id FROM de UNION SELECT dst FROM de)",
-        "nn AS (SELECT COUNT(*) AS n FROM nodes_pr)",
-        "od AS (SELECT src, COUNT(*) AS outdeg FROM de GROUP BY src)",
-        f"r0 AS (SELECT id, CAST(ROUND(1.0 / nn.n, 12) AS {dec}) AS r FROM nodes_pr CROSS JOIN nn)",
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes_pr AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes_pr)",
+        "od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM de GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT id, CAST(ROUND(1.0 / nn.n, 12) AS {dec}) AS r FROM nodes_pr CROSS JOIN nn)",
     ]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(
-            f"s{i} AS (SELECT de.dst AS id, "
+            f"s{i} AS MATERIALIZED (SELECT de.dst AS id, "
             f"CAST(ROUND(CAST(r.r AS DOUBLE) / od.outdeg, 12) AS {dec}) AS share "
             f"FROM de JOIN r{p} r ON de.src = r.id JOIN od ON de.src = od.src)"
         )
-        parts.append(f"c{i} AS (SELECT id, SUM(share) AS contrib FROM s{i} GROUP BY id)")
+        parts.append(f"c{i} AS MATERIALIZED (SELECT id, SUM(share) AS contrib FROM s{i} GROUP BY id)")
         parts.append(
-            f"g{i} AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS {dec}) AS dang "
+            f"g{i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r.r), 0) AS {dec}) AS dang "
             f"FROM r{p} r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL)"
         )
         parts.append(
-            f"r{i} AS (SELECT n.id, "
+            f"r{i} AS MATERIALIZED (SELECT n.id, "
             f"CAST(ROUND((1.0 - 0.85) / nn.n + 0.85 * "
             f"(CAST(COALESCE(c.contrib, 0) AS DOUBLE) + CAST(g.dang AS DOUBLE) / nn.n), 12) AS {dec}) AS r "
             f"FROM nodes_pr n CROSS JOIN nn CROSS JOIN g{i} g LEFT JOIN c{i} c ON n.id = c.id)"
@@ -368,32 +372,34 @@ def _ppr_oracle_sql(iters: int = 5, nation: int = 7) -> str:
     zero shares, so the iterates agree decimal-exactly); restart vector
     concentrated on nation-``nation`` customer nodes."""
     dec = "DECIMAL(26,12)"
+    # AS MATERIALIZED throughout (see _pagerank_oracle_sql: 12.5 s inlined
+    # vs ~0.3 s materialized at sf0.01)
     parts = [
-        "de AS (SELECT DISTINCT src, dst FROM edges)",
-        "nodes_pr AS (SELECT src AS id FROM de UNION SELECT dst FROM de)",
-        f"seeds AS (SELECT DISTINCT n.id FROM nodes_pr n JOIN "
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes_pr AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        f"seeds AS MATERIALIZED (SELECT DISTINCT n.id FROM nodes_pr n JOIN "
         f"(SELECT concat_ws('_', 'cust', c_custkey) AS id FROM customer WHERE c_nationkey = {nation}) s "
         f"ON n.id = s.id)",
-        "ns AS (SELECT COUNT(*) AS ns FROM seeds)",
-        "sv AS (SELECT n.id, CASE WHEN s.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS flag "
+        "ns AS MATERIALIZED (SELECT COUNT(*) AS ns FROM seeds)",
+        "sv AS MATERIALIZED (SELECT n.id, CASE WHEN s.id IS NOT NULL THEN 1.0 ELSE 0.0 END AS flag "
         "FROM nodes_pr n LEFT JOIN seeds s ON n.id = s.id)",
-        "od AS (SELECT src, COUNT(*) AS outdeg FROM de GROUP BY src)",
-        f"r0 AS (SELECT sv.id, CAST(ROUND(sv.flag / ns.ns, 12) AS {dec}) AS r FROM sv CROSS JOIN ns)",
+        "od AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM de GROUP BY src)",
+        f"r0 AS MATERIALIZED (SELECT sv.id, CAST(ROUND(sv.flag / ns.ns, 12) AS {dec}) AS r FROM sv CROSS JOIN ns)",
     ]
     for i in range(1, iters + 1):
         p = i - 1
         parts.append(
-            f"s{i} AS (SELECT de.dst AS id, "
+            f"s{i} AS MATERIALIZED (SELECT de.dst AS id, "
             f"CAST(ROUND(CAST(r.r AS DOUBLE) / od.outdeg, 12) AS {dec}) AS share "
             f"FROM de JOIN r{p} r ON de.src = r.id JOIN od ON de.src = od.src)"
         )
-        parts.append(f"c{i} AS (SELECT id, SUM(share) AS contrib FROM s{i} GROUP BY id)")
+        parts.append(f"c{i} AS MATERIALIZED (SELECT id, SUM(share) AS contrib FROM s{i} GROUP BY id)")
         parts.append(
-            f"g{i} AS (SELECT CAST(COALESCE(SUM(r.r), 0) AS {dec}) AS dang "
+            f"g{i} AS MATERIALIZED (SELECT CAST(COALESCE(SUM(r.r), 0) AS {dec}) AS dang "
             f"FROM r{p} r LEFT JOIN od ON r.id = od.src WHERE od.src IS NULL)"
         )
         parts.append(
-            f"r{i} AS (SELECT v.id, "
+            f"r{i} AS MATERIALIZED (SELECT v.id, "
             f"CAST(ROUND((1.0 - 0.85) * (v.flag / ns.ns) + 0.85 * "
             f"(CAST(COALESCE(c.contrib, 0) AS DOUBLE) + CAST(g.dang AS DOUBLE) * (v.flag / ns.ns)), 12) AS {dec}) AS r "
             f"FROM sv v CROSS JOIN ns CROSS JOIN g{i} g LEFT JOIN c{i} c ON v.id = c.id)"
@@ -421,3 +427,64 @@ def q_graph_ppr_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id")
     )
     return personalized_pagerank(build_edges(tables), seeds, iters=5)
+
+
+def _hits_oracle_sql(iters: int = 4) -> str:
+    """Unrolled DuckDB mirror of graph.algorithms.hits — same decimal
+    score domain, 12dp-rounded L1 normalizations, authorities from the
+    PREVIOUS hub vector and hubs from the CURRENT authority vector.
+
+    Every per-iteration CTE is AS MATERIALIZED: each score vector is
+    referenced twice (its L1 sum + the normalization join), and DuckDB's
+    default inlining re-expands the whole preceding chain per reference —
+    measured 409 s for the inlined form vs ~2 s materialized at sf0.01
+    (the oracle-side twin of the Spark checkpoint in hits())."""
+    dec = "DECIMAL(26,12)"
+    parts = [
+        "de AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges)",
+        "nodes_pr AS MATERIALIZED (SELECT src AS id FROM de UNION SELECT dst FROM de)",
+        f"h0 AS MATERIALIZED (SELECT id, CAST(1 AS {dec}) AS s FROM nodes_pr)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"ar{i} AS MATERIALIZED (SELECT de.dst AS id, SUM(h.s) AS raw "
+            f"FROM de JOIN h{p} h ON de.src = h.id GROUP BY de.dst)"
+        )
+        parts.append(f"asum{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS {dec}) AS t FROM ar{i})")
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT n.id, "
+            f"CAST(ROUND(CAST(COALESCE(ar.raw, 0) AS DOUBLE) / CAST(asum.t AS DOUBLE), 12) AS {dec}) AS s "
+            f"FROM nodes_pr n LEFT JOIN ar{i} ar ON n.id = ar.id CROSS JOIN asum{i} asum)"
+        )
+        parts.append(
+            f"hr{i} AS MATERIALIZED (SELECT de.src AS id, SUM(a.s) AS raw "
+            f"FROM de JOIN a{i} a ON de.dst = a.id GROUP BY de.src)"
+        )
+        parts.append(f"hsum{i} AS MATERIALIZED (SELECT CAST(SUM(raw) AS {dec}) AS t FROM hr{i})")
+        parts.append(
+            f"h{i} AS MATERIALIZED (SELECT n.id, "
+            f"CAST(ROUND(CAST(COALESCE(hr.raw, 0) AS DOUBLE) / CAST(hsum.t AS DOUBLE), 12) AS {dec}) AS s "
+            f"FROM nodes_pr n LEFT JOIN hr{i} hr ON n.id = hr.id CROSS JOIN hsum{i} hsum)"
+        )
+    from .registry import GRAPH_EDGES_CTE as _E
+
+    return (
+        f"WITH {_E.strip()},\n"
+        + ",\n".join(parts)
+        + f"\nSELECT h.id, ROUND(CAST(h.s AS DOUBLE), 6) AS hub, "
+        f"ROUND(CAST(a.s AS DOUBLE), 6) AS authority "
+        f"FROM h{iters} h JOIN a{iters} a ON h.id = a.id"
+    )
+
+
+@register("graph_hits", _hits_oracle_sql(iters=4))
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the property graph — customers/orders
+    as hubs fanning into product/category authorities; full hub AND
+    authority vectors hash-checked against the unrolled decimal-exact
+    oracle (third iterative-algorithm family member next to pagerank and
+    personalized pagerank)."""
+    from ..graph.algorithms import hits
+
+    return hits(build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES)), iters=4)

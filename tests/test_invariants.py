@@ -1626,3 +1626,28 @@ def test_recency_weighted_popularity_bounds(spark):
     assert scores == sorted(scores, reverse=True)
     for r in rows:
         assert 0.0 < r["decayed_score"] <= r["n_purchases"] + 1e-6
+
+
+def test_hits_l1_normalized_and_bipartite_structure(spark):
+    """HITS invariants: hub and authority vectors are L1-normalized (~1 up
+    to 12dp iteration + 6dp output rounding), non-negative, and respect
+    the property graph's direction — pure-sink nodes (categories,
+    locations) carry zero hub mass; pure-source nodes (customers) carry
+    zero authority mass."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.algorithms import hits
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.build import build_edges
+
+    tables = _tables(spark)
+    edges = build_edges({k: tables[k] for k in ("orders", "lineitem", "part", "customer")})
+    rows = hits(edges, iters=3).collect()
+    assert rows
+    hub_sum = sum(r["hub"] for r in rows)
+    auth_sum = sum(r["authority"] for r in rows)
+    assert abs(hub_sum - 1.0) < 0.01, hub_sum
+    assert abs(auth_sum - 1.0) < 0.01, auth_sum
+    for r in rows:
+        assert r["hub"] >= 0 and r["authority"] >= 0
+        if r["id"].startswith(("cat_", "loc_")):
+            assert r["hub"] == 0.0, f"sink {r['id']} has hub mass"
+        if r["id"].startswith("cust_"):
+            assert r["authority"] == 0.0, f"source {r['id']} has authority mass"

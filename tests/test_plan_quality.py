@@ -104,6 +104,8 @@ NO_CARTESIAN_ONLY = [
     # any scale; register relations are m-bounded)
     "graph_ppr_nation",
     "hll_vocab_sketch",
+    # HITS: the two L1 sums per iteration are 1-row scalar broadcasts
+    "graph_hits",
 ]
 
 
