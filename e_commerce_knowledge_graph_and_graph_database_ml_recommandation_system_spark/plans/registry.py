@@ -72,6 +72,9 @@ _DRIVER_UNSAMPLED = (
     "containment_pairs",
     "recency_weighted_popularity",
     "graph_hits",
+    "adamic_adar_links",
+    "degree_assortativity",
+    "rec_eval_popularity",
 )
 
 
@@ -686,3 +689,4 @@ from . import registry_streaming  # noqa: E402,F401  isort:skip
 from . import registry_relational  # noqa: E402,F401  isort:skip
 from . import registry_ml  # noqa: E402,F401  isort:skip
 from . import registry_graph_extras  # noqa: E402,F401  isort:skip
+from . import registry_recsys  # noqa: E402,F401  isort:skip

@@ -12,7 +12,30 @@ from ..functions.text import md5_int32
 from ..graph.build import build_edges, build_nodes, snapshot
 from ..operators import traversals as trav
 from ..sources.tables import load_tables
+from ._memo import memo
 from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register
+
+
+def capped_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared market-basket relation: distinct (customer, product)
+    purchase incidence behind the 200-product hot-basket cap (the skew
+    hatch every pair-generating consumer needs — see copurchase_lift).
+    Memoized per Spark app: copurchase_lift, item_item_neighbors and
+    adamic_adar_links all fan out from this one materialized artifact,
+    the 'shared prefix' pattern a production pipeline expresses as an
+    intermediate table."""
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+        basket0 = (
+            t["orders"].join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+            .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+            .distinct()
+        )
+        hot = basket0.groupBy("c").agg(F.count(F.lit(1)).alias("b")).filter(F.col("b") > 200)
+        return basket0.join(hot.select("c"), "c", "left_anti")
+
+    return memo(spark, ("capped_basket", sf_dir), build)
 
 # ---------------------------------------------------------------------------
 # U1: union of heterogeneous sources with source/dvid lits
@@ -616,14 +639,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     market-basket job carries); all counts are exact integers so the lift
     ratios hash-match cross-engine; the top-50 is a deterministic
     TakeOrdered (lift desc, pair asc)."""
-    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-    basket0 = (
-        t["orders"].join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    hot = basket0.groupBy("c").agg(F.count(F.lit(1)).alias("b")).filter(F.col("b") > 200)
-    basket = basket0.join(hot.select("c"), "c", "left_anti").cache()
+    basket = capped_basket(spark, sf_dir)
     n_cust = basket.select("c").distinct().count()
     prod = basket.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
     a = basket.select("c", F.col("p").alias("prod_a"))
@@ -649,9 +665,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("lift"), F.asc("prod_a"), F.asc("prod_b"))
         .limit(50)
-        .localCheckpoint(eager=True)
     )
-    basket.unpersist()
     return out
 
 
@@ -711,14 +725,7 @@ def q_item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank window (cos desc, neighbor asc) is deterministic
     cross-engine; output rounds to 6dp.
     """
-    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-    basket0 = (
-        t["orders"].join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
-    )
-    hot = basket0.groupBy("c").agg(F.count(F.lit(1)).alias("b")).filter(F.col("b") > 200)
-    basket = basket0.join(hot.select("c"), "c", "left_anti").cache()
+    basket = capped_basket(spark, sf_dir)
     prod = basket.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
     anchors = prod.orderBy(F.desc("cnt"), F.asc("p")).limit(100).localCheckpoint(eager=True)
 
@@ -761,7 +768,6 @@ def q_item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=True)
     )
-    basket.unpersist()
     return out
 
 

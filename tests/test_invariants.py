@@ -1651,3 +1651,51 @@ def test_hits_l1_normalized_and_bipartite_structure(spark):
             assert r["hub"] == 0.0, f"sink {r['id']} has hub mass"
         if r["id"].startswith("cust_"):
             assert r["authority"] == 0.0, f"source {r['id']} has authority mass"
+
+
+def test_adamic_adar_bounds(spark):
+    """AA/Jaccard link heuristics: jaccard in (0,1], every AA score is
+    positive and bounded by cn/ln(2) (each shared customer contributes at
+    most 1/ln(2) since capped baskets have >= 2 products when they pair),
+    and the top-50 is sorted by AA desc."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.registry import queries
+
+    import math
+
+    rows = queries()["adamic_adar_links"](spark, SF).collect()
+    assert rows
+    scores = [r["adamic_adar"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert r["common_neighbors"] >= 5
+        assert 0.0 < r["jaccard"] <= 1.0
+        assert 0.0 < r["adamic_adar"] <= r["common_neighbors"] / math.log(2) + 1e-6
+
+
+def test_degree_assortativity_is_valid_correlation(spark):
+    """Assortativity is a Pearson r: |r| <= 1; the end count is exactly
+    2x the edge count (symmetrized); and on this hub-and-spoke retail
+    graph hubs attach to leaves, so r must be negative."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.graph.build import build_edges
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.registry import queries
+
+    row = queries()["degree_assortativity"](spark, SF).collect()[0]
+    n_edges = build_edges(_tables(spark)).count()
+    assert row["n_edge_ends"] == 2 * n_edges
+    assert -1.0 <= row["assortativity"] <= 1.0
+    assert row["assortativity"] < 0
+
+
+def test_rec_eval_popularity_metric_bounds(spark):
+    """Offline eval metrics are all in [0,1]; every customer with a hit
+    contributes MRR >= its precision share, so macro MRR >= macro
+    precision/5 is implied — assert the weaker per-metric bounds plus a
+    non-empty eval cohort."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.registry import queries
+
+    row = queries()["rec_eval_popularity"](spark, SF).collect()[0]
+    assert row["n_eval_customers"] > 0
+    for m in ("precision_at_5", "recall_at_5", "mrr_at_5", "ndcg_at_5"):
+        assert 0.0 <= row[m] <= 1.0, (m, row[m])
+    # a hit at rank r contributes 1/5 to precision and 1/r >= 1/5 to MRR
+    assert row["mrr_at_5"] >= row["precision_at_5"] / 5 - 1e-9

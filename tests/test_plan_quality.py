@@ -80,6 +80,10 @@ NO_NESTED_LOOP = [
     # round-5: the anchor-restricted item-item pair join is
     # equi-join/aggregate-only
     "item_item_neighbors",
+    # round-5: the AA/Jaccard pair join rides the same capped-basket
+    # self-join; assortativity is two degree joins + one aggregate
+    "adamic_adar_links",
+    "degree_assortativity",
 ]
 
 # Queries where an intentional crossJoin(F.broadcast(tiny-side)) exists —
@@ -106,6 +110,9 @@ NO_CARTESIAN_ONLY = [
     "hll_vocab_sketch",
     # HITS: the two L1 sums per iteration are 1-row scalar broadcasts
     "graph_hits",
+    # rec eval: the 10-row popularity list fans out to eval customers as
+    # an explicit broadcast crossJoin
+    "rec_eval_popularity",
 ]
 
 
