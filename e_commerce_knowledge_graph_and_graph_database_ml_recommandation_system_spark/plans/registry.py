@@ -75,6 +75,9 @@ _DRIVER_UNSAMPLED = (
     "adamic_adar_links",
     "degree_assortativity",
     "rec_eval_popularity",
+    "discount_elasticity",
+    "interpurchase_intervals",
+    "bm25_search",
 )
 
 

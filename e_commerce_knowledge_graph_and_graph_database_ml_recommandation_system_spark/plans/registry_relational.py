@@ -829,3 +829,141 @@ def q_recency_weighted_popularity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.col("score_dec").cast("double"), 6).alias("decayed_score"),
         )
     )
+
+
+@register(
+    "discount_elasticity",
+    """
+WITH pts AS (
+    SELECT p.p_type AS category,
+           CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+           CAST(l_quantity AS BIGINT) AS y
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+),
+s AS (
+    SELECT category,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x) AS BIGINT) AS sx,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x * y) AS BIGINT) AS sxy,
+           CAST(SUM(x * x) AS BIGINT) AS sxx,
+           CAST(SUM(y * y) AS BIGINT) AS syy
+    FROM pts GROUP BY category
+)
+SELECT category, n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)),
+             6) AS slope_qty_per_pct,
+       ROUND((CAST(sy AS DOUBLE) - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS intercept_qty,
+       ROUND(POWER(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE), 2)
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+             6) AS r_squared
+FROM s
+ORDER BY category
+""",
+)
+def q_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form per-category OLS of quantity on discount percentage —
+    the demand-elasticity readout a pricing team runs before tuning the
+    discount events the serving queries emit (R6 ``discount_events``):
+    slope, intercept and R² of qty ~ discount, per product category.
+
+    Scale design: the textbook two-pass regression (means first, then
+    residuals) becomes ONE algebraic aggregate — discounts are exact
+    integer percentage points (2dp doubles ×100) and quantities exact
+    integers, so the five moment sums are integer-exact and map-side
+    combinable (bounded values: Σxy ≤ 500·n fits BIGINT past 10^15
+    rows); slope/intercept/R² are formed from the six exact sums in
+    deterministic double expressions, identical cross-engine. One
+    broadcast dim join + one shuffle."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "part"))
+    pts = (
+        t["lineitem"].join(
+            F.broadcast(t["part"].select("p_partkey", "p_type")),
+            t["lineitem"].l_partkey == F.col("p_partkey"),
+        )
+        .select(
+            F.col("p_type").alias("category"),
+            F.round(F.col("l_discount") * 100).cast("long").alias("x"),
+            F.col("l_quantity").cast("long").alias("y"),
+        )
+    )
+    s = pts.groupBy("category").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    nd, sxd, syd = (F.col(c).cast("double") for c in ("n", "sx", "sy"))
+    sxyd, sxxd, syyd = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    cov = nd * sxyd - sxd * syd
+    varx = nd * sxxd - sxd * sxd
+    vary = nd * syyd - syd * syd
+    slope = cov / varx
+    return s.select(
+        "category",
+        "n",
+        F.round(slope, 6).alias("slope_qty_per_pct"),
+        F.round((syd - slope * sxd) / nd, 6).alias("intercept_qty"),
+        F.round(F.pow(cov, F.lit(2)) / (varx * vary), 6).alias("r_squared"),
+    ).orderBy("category")
+
+
+@register(
+    "interpurchase_intervals",
+    """
+WITH seq AS (
+    SELECT o_custkey AS c, CAST(o_orderdate AS DATE) AS d, o_orderkey AS k,
+           LEAD(CAST(o_orderdate AS DATE)) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nxt
+    FROM orders
+),
+gaps AS (
+    SELECT date_diff('day', d, nxt) AS gap FROM seq WHERE nxt IS NOT NULL
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM gaps)
+SELECT CAST(floor(gap / 7) * 7 AS BIGINT) AS gap_week_lo,
+       CAST(COUNT(*) AS BIGINT) AS cnt,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / tot.n, 6) AS share
+FROM gaps CROSS JOIN tot
+GROUP BY 1, tot.n
+ORDER BY 1
+""",
+)
+def q_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: days between consecutive
+    orders per customer (deterministic lag order: date then order key),
+    binned to weeks with the share of all gaps — the repeat-purchase
+    cadence behind recency/frequency features (A8) and the time-decay
+    half-life choice in ``recency_weighted_popularity``.
+
+    Scale design: one customer-partitioned lead() window (the per-key
+    sequence idiom — no global sort), then a bin-cardinality aggregate;
+    the gap total is a 1-row broadcast. Integer day arithmetic
+    end-to-end; the only division is cnt/total, same IEEE op in both
+    engines."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    seq = orders.select(
+        F.to_date("o_orderdate").alias("d"),
+        F.lead(F.to_date("o_orderdate")).over(
+            Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate"), F.col("o_orderkey"))
+        ).alias("nxt"),
+    )
+    gaps = seq.filter(F.col("nxt").isNotNull()).select(F.datediff("nxt", "d").alias("gap"))
+    tot = gaps.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        gaps.crossJoin(F.broadcast(tot))
+        .groupBy((F.floor(F.col("gap") / 7) * 7).cast("long").alias("gap_week_lo"), F.col("n"))
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            "gap_week_lo",
+            "cnt",
+            F.round(F.col("cnt").cast("double") / F.col("n"), 6).alias("share"),
+        )
+        .orderBy("gap_week_lo")
+    )

@@ -1699,3 +1699,60 @@ def test_rec_eval_popularity_metric_bounds(spark):
         assert 0.0 <= row[m] <= 1.0, (m, row[m])
     # a hit at rank r contributes 1/5 to precision and 1/r >= 1/5 to MRR
     assert row["mrr_at_5"] >= row["precision_at_5"] / 5 - 1e-9
+
+
+def test_discount_elasticity_moment_identities(spark):
+    """Per-category OLS: R² in [0,1]; category row counts sum to the
+    lineitem row count (every line item lands in exactly one category);
+    and the fitted line evaluated at the category's mean discount equals
+    the category's mean quantity (the OLS normal-equation identity)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.registry import queries
+
+    rows = queries()["discount_elasticity"](spark, SF).collect()
+    assert rows
+    t = _tables(spark)
+    li = t["lineitem"].count()
+    assert sum(r["n"] for r in rows) == li
+    means = {
+        m["category"]: m
+        for m in t["lineitem"]
+        .join(t["part"], t["lineitem"].l_partkey == t["part"].p_partkey)
+        .groupBy(F.col("p_type").alias("category"))
+        .agg(
+            F.avg(F.round(F.col("l_discount") * 100)).alias("mx"),
+            F.avg("l_quantity").alias("my"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert 0.0 <= r["r_squared"] <= 1.0
+        m = means[r["category"]]
+        fitted = r["intercept_qty"] + r["slope_qty_per_pct"] * m["mx"]
+        assert fitted == pytest.approx(m["my"], abs=1e-3)
+
+
+def test_interpurchase_intervals_distribution(spark):
+    """Gap histogram: bins are non-negative multiples of 7, shares sum
+    to 1 (6dp), counts are positive."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.registry import queries
+
+    rows = queries()["interpurchase_intervals"](spark, SF).collect()
+    assert rows
+    assert abs(sum(r["share"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["gap_week_lo"] >= 0 and r["gap_week_lo"] % 7 == 0
+        assert r["cnt"] > 0
+
+
+def test_bm25_ranking_properties(spark):
+    """BM25 top-20: scores sorted desc, every returned doc matches at
+    least one query term, terms_matched <= |query|, scores positive."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.registry import queries
+
+    rows = queries()["bm25_search"](spark, SF).collect()
+    assert rows
+    scores = [r["bm25"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    for r in rows:
+        assert 1 <= r["terms_matched"] <= 4
+        assert r["bm25"] > 0

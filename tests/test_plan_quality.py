@@ -84,6 +84,9 @@ NO_NESTED_LOOP = [
     # self-join; assortativity is two degree joins + one aggregate
     "adamic_adar_links",
     "degree_assortativity",
+    # round-5: the per-category OLS is one broadcast dim join + one
+    # algebraic aggregate
+    "discount_elasticity",
 ]
 
 # Queries where an intentional crossJoin(F.broadcast(tiny-side)) exists —
@@ -113,6 +116,9 @@ NO_CARTESIAN_ONLY = [
     # rec eval: the 10-row popularity list fans out to eval customers as
     # an explicit broadcast crossJoin
     "rec_eval_popularity",
+    # 1-row scalar broadcasts: gap total / corpus stats
+    "interpurchase_intervals",
+    "bm25_search",
 ]
 
 
