@@ -72,6 +72,12 @@ HEADLINE = [
     # the basket/bucket cap aggregates end to end)
     "events_cusum_shifts",
     "skew_cap_audit",
+    # round-5 second batch: the recommender eval harness, the one-pass
+    # graph correlation, and BM25 lexical retrieval (all sub-2s shapes;
+    # cross-round comparisons keep using the shared-query subset)
+    "rec_eval_popularity",
+    "degree_assortativity",
+    "bm25_search",
     # round-5 second batch: the two new recommender-surface entries (CF
     # neighbor join, HLL register aggregate) — cross-round comparisons
     # keep using the shared-query subset

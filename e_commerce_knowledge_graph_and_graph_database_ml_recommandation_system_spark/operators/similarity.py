@@ -753,3 +753,99 @@ def semdedup_incremental(
             "cosine",
         )
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means over an embedding column — the TRAINED
+    coarse quantizer (reference trains sklearn KMeans for clustering-side
+    analysis; Spark MLlib's KMeans backs ``ann_ivf_topk`` but its RNG
+    init is engine-private, so that query is rows-only). This trainer is
+    fully hash-oracle-able: md5-ordered seeding (smallest k hashes),
+    distances rounded to 9dp before the argmin (the repo's cross-engine
+    compare guard), and centroid updates as 9dp-rounded DECIMAL component
+    sums divided once and re-rounded to 12dp — every iterate is
+    engine-exact, so cluster sizes AND inertia hash-match an unrolled SQL
+    oracle.
+
+    Scale: assignment is a k-row broadcast against the corpus (linear,
+    shuffle-free); the update is one (cell, dim)-keyed aggregate — k·dim
+    cells regardless of corpus size; per-iteration state is the k×dim
+    centroid table. Empty clusters simply drop out (deterministic in both
+    engines). Returns (cell, size, inertia, mean_dist).
+    """
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+
+    seed_w = Window.orderBy(F.md5(F.concat(F.lit("km_"), F.col("vec_id").cast("string"))), F.col("vec_id"))
+    cent = (
+        e.withColumn("rn", F.row_number().over(seed_w))
+        .filter(F.col("rn") <= k)
+        .select((F.col("rn") - 1).cast("long").alias("cell"), F.col("v").alias("cv"))
+        .localCheckpoint(eager=True)
+    )
+
+    def _assign(cent_df: DataFrame) -> DataFrame:
+        d = F.round(
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(F.col("v"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+            ),
+            9,
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cell"))
+        return (
+            e.crossJoin(F.broadcast(cent_df))
+            .withColumn("d", d)
+            .withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select("vec_id", "cell", "d")
+        )
+
+    for _ in range(iters):
+        assign = _assign(cent)
+        comp = (
+            e.join(assign.select("vec_id", "cell"), "vec_id")
+            .select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(
+                F.sum(F.round(F.col("val"), 9).cast("decimal(26,12)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .select(
+                "cell",
+                "dim",
+                F.round(F.col("s").cast("double") / F.col("n"), 12).alias("m"),
+            )
+        )
+        cent = (
+            comp.groupBy("cell")
+            .agg(F.sort_array(F.collect_list(F.struct("dim", "m"))).alias("pairs"))
+            .select("cell", F.transform(F.col("pairs"), lambda p: p["m"]).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+
+    final = _assign(cent)
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("size"),
+            F.sum(F.col("d").cast("decimal(26,12)")).alias("inertia_dec"),
+        )
+        .select(
+            "cell",
+            "size",
+            F.round(F.col("inertia_dec").cast("double"), 6).alias("inertia"),
+            F.round(F.col("inertia_dec").cast("double") / F.col("size"), 6).alias("mean_dist"),
+        )
+        .orderBy("cell")
+    )

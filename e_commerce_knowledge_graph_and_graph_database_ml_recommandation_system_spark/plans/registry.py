@@ -78,6 +78,7 @@ _DRIVER_UNSAMPLED = (
     "discount_elasticity",
     "interpurchase_intervals",
     "bm25_search",
+    "kmeans_codebook",
 )
 
 

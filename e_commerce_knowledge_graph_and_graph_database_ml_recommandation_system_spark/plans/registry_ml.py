@@ -845,3 +845,69 @@ def q_quality_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("n_features", float(len(feats))),
     ]
     return spark.createDataFrame(rows, ["metric", "value"])
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd k-means codebook (round-5: the TRAINED quantizer,
+# fully hash-oracle-checked — MLlib's KMeans behind ann_ivf_topk stays
+# rows-only because its init RNG is engine-private)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled DuckDB mirror of sim.kmeans_lloyd: md5-ordered seeding,
+    9dp-rounded distances before each argmin, centroid means as
+    9dp-rounded DECIMAL component sums divided once and re-rounded to
+    12dp. Iteration CTEs are AS MATERIALIZED (each is referenced by both
+    the next assignment and the update — same re-inlining pathology as
+    the pagerank/HITS oracles)."""
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"dims AS MATERIALIZED (SELECT UNNEST(range(1, {dim + 1})) AS dim)",
+        "cent0 AS MATERIALIZED (SELECT ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell, v AS cv "
+        "FROM (SELECT vec_id, v, md5(concat('km_', CAST(vec_id AS VARCHAR))) AS h "
+        f"FROM e ORDER BY h, vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 2):
+        p = i - 1
+        parts.append(
+            f"dist{i} AS MATERIALIZED (SELECT e.vec_id, c.cell, "
+            f"ROUND(list_distance(e.v, c.cv), 9) AS d FROM e CROSS JOIN cent{p} c)"
+        )
+        parts.append(
+            f"assign{i} AS MATERIALIZED (SELECT vec_id, cell, d FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d ASC, cell ASC) AS r "
+            f"FROM dist{i}) WHERE r = 1)"
+        )
+        if i <= iters:
+            parts.append(
+                f"comp{i} AS MATERIALIZED (SELECT a.cell, dims.dim, "
+                f"ROUND(CAST(SUM(CAST(ROUND(e.v[dims.dim], 9) AS DECIMAL(26,12))) AS DOUBLE) "
+                f"/ COUNT(*), 12) AS m "
+                f"FROM assign{i} a JOIN e ON e.vec_id = a.vec_id CROSS JOIN dims "
+                f"GROUP BY a.cell, dims.dim)"
+            )
+            parts.append(
+                f"cent{i} AS MATERIALIZED (SELECT cell, list(m ORDER BY dim) AS cv "
+                f"FROM comp{i} GROUP BY cell)"
+            )
+    last = iters + 1
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS size,
+       ROUND(CAST(SUM(CAST(d AS DECIMAL(26,12))) AS DOUBLE), 6) AS inertia,
+       ROUND(CAST(SUM(CAST(d AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 6) AS mean_dist
+FROM assign{last} GROUP BY cell ORDER BY cell
+"""
+    )
+
+
+@register("kmeans_codebook", _kmeans_oracle_sql(k=8, iters=2, dim=64))
+def q_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd k-means (k=8, 2 update rounds) over the
+    embeddings table — cluster sizes, inertia and mean within-cluster
+    distance hash-checked against the unrolled oracle. The trained
+    sibling of the md5-sampled quantizers behind ann_ivf_hash_topk /
+    semdedup_prune; assignment is a k-row broadcast, the update a
+    (cell,dim)-keyed aggregate, so the dataflow is corpus-linear."""
+    return sim.kmeans_lloyd(load_table(spark, "embeddings", sf_dir), k=8, iters=2)

@@ -1756,3 +1756,23 @@ def test_bm25_ranking_properties(spark):
     for r in rows:
         assert 1 <= r["terms_matched"] <= 4
         assert r["bm25"] > 0
+
+
+def test_kmeans_lloyd_monotone_inertia(spark):
+    """Lloyd's algorithm: every (assign, update) round weakly decreases
+    total inertia — checkable because the iterates are deterministic.
+    Also: cluster sizes partition the corpus, cells <= k, mean_dist =
+    inertia/size."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.similarity import kmeans_lloyd
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    n = emb.count()
+    r1 = kmeans_lloyd(emb, k=4, iters=1).collect()
+    r2 = kmeans_lloyd(emb, k=4, iters=2).collect()
+    for rows in (r1, r2):
+        assert sum(r["size"] for r in rows) == n
+        assert len(rows) <= 4
+        for r in rows:
+            assert r["mean_dist"] == pytest.approx(r["inertia"] / r["size"], abs=2e-6)
+    assert sum(r["inertia"] for r in r2) <= sum(r["inertia"] for r in r1) + 1e-6

@@ -119,6 +119,9 @@ NO_CARTESIAN_ONLY = [
     # 1-row scalar broadcasts: gap total / corpus stats
     "interpurchase_intervals",
     "bm25_search",
+    # k-means: the k-row centroid table fans out to the corpus as an
+    # explicit broadcast crossJoin
+    "kmeans_codebook",
 ]
 
 
