@@ -849,3 +849,115 @@ def kmeans_lloyd(
         )
         .orderBy("cell")
     )
+
+
+def power_iteration_pc1(
+    emb: DataFrame,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top principal component by power iteration — mean-center, then
+    repeat x <- normalize(Σ_rows (v_c·x)·v_c (= X_cᵀX_c x, the covariance
+    matvec WITHOUT materializing the dim×dim covariance). The spectral
+    summary every embedding-quality audit starts with (is the space
+    collapsing onto one axis?), and the deterministic cousin of the
+    sklearn PCA the reference's analysis scripts would reach for.
+
+    Engine-exact like the other iterative numerics: per-row projections
+    are rounded to 9dp (the in-order array fold both engines share), the
+    per-dim accumulations are 9dp-rounded DECIMAL sums (order-free), and
+    each normalized coordinate re-rounds to 12dp — so the full loading
+    vector AND the eigenvalue estimate hash-match an unrolled oracle.
+    Sign is pinned by the md5-seeded init.
+
+    Scale: each iteration is one broadcast of the 1-row direction, one
+    linear scan computing projections, and one (dim)-keyed aggregate —
+    dim cells total; nothing is ever corpus × corpus. Returns
+    (dim, loading, eigenvalue)."""
+    from ..functions.text import md5_int32
+
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    dim = len(e.select("v").first()["v"])
+    dec = "decimal(26,12)"
+
+    comp = (
+        e.select(F.posexplode("v").alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.round(
+                F.sum(F.round(F.col("val"), 9).cast(dec)).cast("double") / F.count(F.lit(1)),
+                12,
+            ).alias("m")
+        )
+    )
+    marr = comp.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("dim", "m"))), lambda p: p["m"]
+        ).alias("marr")
+    )
+    centered = (
+        e.crossJoin(F.broadcast(marr))
+        .select("vec_id", F.zip_with("v", "marr", lambda x, m: x - m).alias("vc"))
+        .localCheckpoint(eager=True)
+    )
+
+    x_arr = (
+        centered.sparkSession.range(1)
+        .select(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda d: F.round(
+                    md5_int32(F.concat(F.lit("pc_"), d.cast("string")))
+                    / F.lit(2147483648.0)
+                    - 1.0,
+                    9,
+                ),
+            ).alias("xa")
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    x_long = norm2 = None
+    for _ in range(iters):
+        s = centered.crossJoin(F.broadcast(x_arr)).select(
+            "vc",
+            F.round(
+                F.aggregate(
+                    F.zip_with("vc", "xa", lambda a, b: a * b), F.lit(0.0), lambda acc, t: acc + t
+                ),
+                9,
+            ).alias("s"),
+        )
+        w = (
+            s.select("s", F.posexplode("vc").alias("dim", "val"))
+            .groupBy("dim")
+            .agg(F.sum(F.round(F.col("s") * F.col("val"), 9).cast(dec)).alias("wdec"))
+            .select("dim", F.round(F.col("wdec").cast("double"), 9).alias("w9"))
+            .localCheckpoint(eager=True)
+        )
+        norm2 = w.agg(
+            F.sum(F.round(F.col("w9") * F.col("w9"), 9).cast(dec)).cast("double").alias("n2")
+        )
+        x_long = (
+            w.crossJoin(F.broadcast(norm2))
+            .select("dim", F.round(F.col("w9") / F.sqrt(F.col("n2")), 12).alias("x"))
+            .localCheckpoint(eager=True)
+        )
+        x_arr = x_long.groupBy().agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("dim", "x"))), lambda p: p["x"]
+            ).alias("xa")
+        )
+
+    return (
+        x_long.crossJoin(F.broadcast(norm2))
+        .select(
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("x"), 6).alias("loading"),
+            F.round(F.sqrt(F.col("n2")), 6).alias("eigenvalue"),
+        )
+        .orderBy("dim")
+    )

@@ -79,6 +79,7 @@ _DRIVER_UNSAMPLED = (
     "interpurchase_intervals",
     "bm25_search",
     "kmeans_codebook",
+    "embedding_top_component",
 )
 
 

@@ -911,3 +911,65 @@ def q_kmeans_codebook(spark: SparkSession, sf_dir: str) -> DataFrame:
     semdedup_prune; assignment is a k-row broadcast, the update a
     (cell,dim)-keyed aggregate, so the dataflow is corpus-linear."""
     return sim.kmeans_lloyd(load_table(spark, "embeddings", sf_dir), k=8, iters=2)
+
+
+def _pc1_oracle_sql(iters: int = 3, dim: int = 64) -> str:
+    """Unrolled DuckDB mirror of sim.power_iteration_pc1: decimal-exact
+    per-dim means, list-fold projections rounded to 9dp, 9dp-rounded
+    DECIMAL matvec accumulation, 12dp normalized coordinates. Iteration
+    CTEs AS MATERIALIZED (dual-referenced state, same re-inlining
+    pathology as pagerank/HITS/kmeans oracles)."""
+    r = dim + 1
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        f"dims AS MATERIALIZED (SELECT UNNEST(range(1, {r})) AS dim)",
+        "compm AS MATERIALIZED (SELECT dims.dim, "
+        "ROUND(CAST(SUM(CAST(ROUND(e.v[dims.dim], 9) AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 12) AS m "
+        "FROM e CROSS JOIN dims GROUP BY dims.dim)",
+        "marr AS MATERIALIZED (SELECT list(m ORDER BY dim) AS m FROM compm)",
+        f"c AS MATERIALIZED (SELECT e.vec_id, "
+        f"list_transform(range(1, {r}), i -> e.v[i] - mm.m[i]) AS vc FROM e CROSS JOIN marr mm)",
+        "x0l AS MATERIALIZED (SELECT dim, "
+        "ROUND(('0x' || substr(md5(concat('pc_', CAST(dim - 1 AS VARCHAR))), 1, 8))::BIGINT "
+        "/ 2147483648.0 - 1.0, 9) AS x FROM dims)",
+        "x0 AS MATERIALIZED (SELECT list(x ORDER BY dim) AS xa FROM x0l)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        parts.append(
+            f"s{i} AS MATERIALIZED (SELECT c.vec_id, c.vc, "
+            f"ROUND(list_dot_product(c.vc, x{p}.xa), 9) AS s FROM c CROSS JOIN x{p})"
+        )
+        parts.append(
+            f"w{i} AS MATERIALIZED (SELECT dims.dim, "
+            f"ROUND(CAST(SUM(CAST(ROUND(s.s * s.vc[dims.dim], 9) AS DECIMAL(26,12))) AS DOUBLE), 9) AS w9 "
+            f"FROM s{i} s CROSS JOIN dims GROUP BY dims.dim)"
+        )
+        parts.append(
+            f"n{i} AS MATERIALIZED (SELECT "
+            f"CAST(SUM(CAST(ROUND(w9 * w9, 9) AS DECIMAL(26,12))) AS DOUBLE) AS n2 FROM w{i})"
+        )
+        parts.append(
+            f"xl{i} AS MATERIALIZED (SELECT w.dim, ROUND(w.w9 / sqrt(n.n2), 12) AS x "
+            f"FROM w{i} w CROSS JOIN n{i} n)"
+        )
+        parts.append(f"x{i} AS MATERIALIZED (SELECT list(x ORDER BY dim) AS xa FROM xl{i})")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT CAST(xl.dim - 1 AS BIGINT) AS dim, ROUND(xl.x, 6) AS loading,
+       ROUND(sqrt(n.n2), 6) AS eigenvalue
+FROM xl{iters} xl CROSS JOIN n{iters} n
+ORDER BY dim
+"""
+    )
+
+
+@register("embedding_top_component", _pc1_oracle_sql(iters=3, dim=64))
+def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding space by 3 power-iteration
+    rounds — the full 64-dim loading vector and the eigenvalue estimate
+    hash-checked against the unrolled decimal-exact oracle. The spectral
+    collapse audit for embedding quality (a dominant first component
+    flags an anisotropic/collapsed space), and the covariance matvec
+    pattern without ever materializing the dim×dim covariance."""
+    return sim.power_iteration_pc1(load_table(spark, "embeddings", sf_dir), iters=3)

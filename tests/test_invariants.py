@@ -1776,3 +1776,45 @@ def test_kmeans_lloyd_monotone_inertia(spark):
         for r in rows:
             assert r["mean_dist"] == pytest.approx(r["inertia"] / r["size"], abs=2e-6)
     assert sum(r["inertia"] for r in r2) <= sum(r["inertia"] for r in r1) + 1e-6
+
+
+def test_power_iteration_matches_numpy_pc1(spark):
+    """On a PLANTED dominant direction (the testdata embeddings are
+    near-isotropic — lambda2/lambda1 = 0.99, exactly the 'no collapse'
+    reading the audit exists to give), 3 power-iteration rounds recover
+    numpy's exact top principal component: |cos| >= 0.99, unit-norm
+    loading, eigenvalue within 5% of numpy's lambda_1 of X_c^T X_c. Also
+    sanity-checks the registered isotropic query output: unit norm,
+    eigenvalue between the mean and the sum of eigenvalues."""
+    import numpy as np
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.similarity import (
+        power_iteration_pc1,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    rng = np.random.default_rng(0)
+    u = rng.standard_normal(16)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.standard_normal(200) * 3.0, u) + 0.1 * rng.standard_normal((200, 16))
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)], ["vec_id", "embedding"]
+    )
+    rows = power_iteration_pc1(emb, iters=3).collect()
+    loading = np.array([r["loading"] for r in sorted(rows, key=lambda r: r["dim"])])
+    assert abs(np.linalg.norm(loading) - 1.0) < 1e-3
+    Xc = X - X.mean(axis=0)
+    evals, evecs = np.linalg.eigh(Xc.T @ Xc)
+    assert abs(float(loading @ evecs[:, -1])) >= 0.99
+    assert rows[0]["eigenvalue"] == pytest.approx(float(evals[-1]), rel=0.05)
+
+    real = power_iteration_pc1(load_table(spark, "embeddings", SF), iters=3).collect()
+    rl = np.array([r["loading"] for r in sorted(real, key=lambda r: r["dim"])])
+    assert abs(np.linalg.norm(rl) - 1.0) < 1e-3
+    E = np.array(
+        load_table(spark, "embeddings", SF).select("embedding").toPandas()["embedding"].tolist(),
+        dtype=np.float64,
+    )
+    Ec = E - E.mean(axis=0)
+    ev = np.linalg.eigvalsh(Ec.T @ Ec)
+    assert ev.mean() * 0.9 <= real[0]["eigenvalue"] <= ev.sum()

@@ -122,6 +122,8 @@ NO_CARTESIAN_ONLY = [
     # k-means: the k-row centroid table fans out to the corpus as an
     # explicit broadcast crossJoin
     "kmeans_codebook",
+    # power iteration: the 1-row direction vector broadcasts per round
+    "embedding_top_component",
 ]
 
 
