@@ -83,6 +83,9 @@ HEADLINE = [
     # keep using the shared-query subset
     "item_item_neighbors",
     "hll_vocab_sketch",
+    # round-5 third batch: the model-based CF factorizer (rank-2 ALS,
+    # 2 alternations of join+aggregate half-steps)
+    "als_factors",
 ]
 
 

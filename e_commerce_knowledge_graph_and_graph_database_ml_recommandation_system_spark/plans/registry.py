@@ -80,6 +80,11 @@ _DRIVER_UNSAMPLED = (
     "bm25_search",
     "kmeans_codebook",
     "embedding_top_component",
+    "als_factors",
+    "landmark_closeness",
+    "rfm_segments",
+    "degree_spend_spearman",
+    "events_ewma_daily",
 )
 
 

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from ..graph import algorithms as alg
 from ..graph.build import build_edges
+from ..ml import als as als_mod
 from ..ml import link_prediction as lp
 from ..operators import multimodal as mm
 from ..operators import similarity as sim
@@ -277,7 +278,7 @@ def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFra
     return alg.label_propagation(e, max_iter=5)
 
 
-def _landmark_oracle_sql(n_landmarks: int, max_hops: int) -> str:
+def _landmark_oracle_sql(n_landmarks: int, max_hops: int, final_select: str | None = None) -> str:
     """DuckDB mirror of graph/algorithms.landmark_distances: md5-min
     landmark sample, then ``max_hops`` synchronous BFS relaxations as
     chained CTEs (the k-core/LPA unrolled-oracle pattern)."""
@@ -309,8 +310,21 @@ s{r} AS (
         WHERE f.distance = {r - 1}
     ) GROUP BY id, landmark
 )"""
-    return sql + f"""
-SELECT id, landmark, CAST(distance AS INT) AS distance FROM s{max_hops}"""
+    final = final_select or f"SELECT id, landmark, CAST(distance AS INT) AS distance FROM s{max_hops}"
+    return sql + "\n" + final.format(last=f"s{max_hops}")
+
+
+def _shared_landmark_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (4 landmarks × 4 hops) BFS distance table shared by
+    ``landmark_distances`` and ``landmark_closeness`` — one frontier
+    expansion per verification run instead of two."""
+
+    def build():
+        edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+        e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
+        return alg.landmark_distances(e, n_landmarks=4, max_hops=4)
+
+    return memo(spark, ("landmark_bfs_4x4", sf_dir), build)
 
 
 @register("landmark_distances", _landmark_oracle_sql(n_landmarks=4, max_hops=4))
@@ -319,9 +333,52 @@ def q_landmark_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the PURCHASED/CONTAINS projection — frontier-expansion iteration
     under a full unrolled-CTE hash oracle (the third iterative-graph
     oracle family next to LPA voting and k-core peeling)."""
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
-    e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
-    return alg.landmark_distances(e, n_landmarks=4, max_hops=4)
+    return _shared_landmark_bfs(spark, sf_dir)
+
+
+_CLOSENESS_FINAL = """
+SELECT id, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       CAST(SUM(distance) AS BIGINT) AS sum_dist,
+       ROUND(CAST(SUM(CAST(ROUND(CAST(1 AS DOUBLE) / distance, 9) AS DECIMAL(26,12))) AS DOUBLE), 6) AS harmonic
+FROM {last} WHERE distance > 0
+GROUP BY id
+ORDER BY harmonic DESC, id
+LIMIT 20
+"""
+
+
+@register(
+    "landmark_closeness",
+    _landmark_oracle_sql(n_landmarks=4, max_hops=4, final_select=_CLOSENESS_FINAL),
+)
+def q_landmark_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark-approximated harmonic closeness centrality: per node the
+    count of reached landmarks, the distance sum, and the harmonic sum
+    Σ 1/d (9dp-rounded DECIMAL accumulation) — top 20 most-central nodes,
+    hash-checked through the same unrolled BFS oracle as
+    landmark_distances (whose frontier table it shares via memo). The
+    standard sublinear stand-in for exact closeness (one BFS per landmark
+    instead of per node); the final top-k is a partial TakeOrdered, never
+    a global sort."""
+    d = _shared_landmark_bfs(spark, sf_dir).filter(F.col("distance") > 0)
+    return (
+        d.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+            F.sum("distance").cast("long").alias("sum_dist"),
+            F.sum(
+                F.round(F.lit(1.0) / F.col("distance"), 9).cast("decimal(26,12)")
+            ).alias("hdec"),
+        )
+        .select(
+            "id",
+            "n_reached",
+            "sum_dist",
+            F.round(F.col("hdec").cast("double"), 6).alias("harmonic"),
+        )
+        .orderBy(F.desc("harmonic"), F.asc("id"))
+        .limit(20)
+    )
 
 
 def _kcore_oracle_sql(k: int, rounds: int) -> str:
@@ -973,3 +1030,144 @@ def q_embedding_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
     flags an anisotropic/collapsed space), and the covariance matvec
     pattern without ever materializing the dim×dim covariance."""
     return sim.power_iteration_pc1(load_table(spark, "embeddings", sf_dir), iters=3)
+
+
+# ---------------------------------------------------------------------------
+# Rank-2 weighted ALS (round-5: the model-based CF factorizer, fully
+# hash-oracle-checked — MLlib's ALS stays out for the same reason as its
+# KMeans: engine-private RNG/LAPACK that no SQL oracle can replay)
+# ---------------------------------------------------------------------------
+
+
+def _als_oracle_sql(alternations: int = 2) -> str:
+    """Unrolled DuckDB mirror of ml.als.als_rank2 + als_fit_report:
+    md5-seeded item factors, per-alternation user/item 2x2 Cramer solves
+    from 9dp-rounded DECIMAL Gram sums, 12dp-rounded factors, and the
+    0.1 regularizer multiplied as DOUBLE on both engines (DuckDB would
+    otherwise parse 0.1 as DECIMAL and compute lam*n exactly, diverging
+    from Spark's double multiply). Iteration CTEs AS MATERIALIZED (state
+    is dual-referenced — same re-inlining pathology as the pagerank/
+    HITS/kmeans oracles)."""
+    lam_n = "CAST(0.1 AS DOUBLE) * CAST(n AS DOUBLE)"
+    det = f"((a11 + {lam_n}) * (a22 + {lam_n}) - a12 * a12)"
+
+    def seed(tag: str) -> str:
+        return (
+            f"ROUND(('0x' || substr(md5(concat('{tag}', CAST(p AS VARCHAR))), 1, 8))::BIGINT"
+            " / 2147483648.0 - 1.0, 9) * 0.5"
+        )
+
+    def gram(out_key: str, in_key: str, factors: str) -> str:
+        return (
+            f"SELECT i.{out_key}, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1 * f.f1, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a11, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1 * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a12, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f2 * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a22, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1, 9) AS DECIMAL(26,12))) AS DOUBLE) AS b1, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS b2, "
+            "COUNT(*) AS n "
+            f"FROM inter i JOIN {factors} f ON f.{in_key} = i.{in_key} GROUP BY i.{out_key}"
+        )
+
+    def solve(key: str, gram_cte: str) -> str:
+        return (
+            f"SELECT {key}, "
+            f"ROUND(((a22 + {lam_n}) * b1 - a12 * b2) / {det}, 12) AS f1, "
+            f"ROUND(((a11 + {lam_n}) * b2 - a12 * b1) / {det}, 12) AS f2 "
+            f"FROM {gram_cte}"
+        )
+
+    parts = [
+        "inter AS MATERIALIZED (SELECT o_custkey AS c, l_partkey AS p, "
+        "CAST(COUNT(*) AS DOUBLE) AS w FROM orders "
+        "JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_custkey, l_partkey)",
+        "yf0 AS MATERIALIZED (SELECT p, "
+        f"{seed('alsYA_')} AS f1, {seed('alsYB_')} AS f2 "
+        "FROM (SELECT DISTINCT p FROM inter))",
+    ]
+    for i in range(1, alternations + 1):
+        parts.append(f"ug{i} AS MATERIALIZED ({gram('c', 'p', f'yf{i - 1}')})")
+        parts.append(f"xf{i} AS MATERIALIZED ({solve('c', f'ug{i}')})")
+        parts.append(f"ig{i} AS MATERIALIZED ({gram('p', 'c', f'xf{i}')})")
+        parts.append(f"yf{i} AS MATERIALIZED ({solve('p', f'ig{i}')})")
+    a = alternations
+    parts.append(
+        f"pred AS MATERIALIZED (SELECT i.w, ROUND(x.f1 * y.f1 + x.f2 * y.f2, 9) AS dot "
+        f"FROM inter i JOIN xf{a} x ON x.c = i.c JOIN yf{a} y ON y.p = i.p)"
+    )
+    parts.append(
+        "fit AS MATERIALIZED (SELECT "
+        "CAST(SUM(CAST(ROUND(w * (1.0 - dot) * (1.0 - dot), 9) AS DECIMAL(26,12))) AS DOUBLE) AS wsse_d, "
+        "CAST(SUM(CAST(w AS DECIMAL(26,12))) AS DOUBLE) AS sw_d FROM pred)"
+    )
+    parts.append(
+        "nat AS MATERIALIZED (SELECT n.n_name AS nation, COUNT(*) AS n_customers, "
+        "ROUND(CAST(SUM(CAST(ROUND(x.f1, 9) AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 6) AS avg_f1, "
+        "ROUND(CAST(SUM(CAST(ROUND(x.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) / COUNT(*), 6) AS avg_f2 "
+        f"FROM xf{a} x JOIN customer cu ON cu.c_custkey = x.c "
+        "JOIN nation n ON n.n_nationkey = cu.c_nationkey GROUP BY n.n_name)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT nation, CAST(n_customers AS BIGINT) AS n_customers, avg_f1, avg_f2,
+       ROUND(f.wsse_d, 6) AS wsse, ROUND(sqrt(f.wsse_d / f.sw_d), 6) AS rmse
+FROM nat CROSS JOIN fit f
+ORDER BY nation
+"""
+    )
+
+
+@register("als_factors", _als_oracle_sql(alternations=2))
+def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 weighted ALS over the customer x product purchase matrix
+    (2 full U->I alternations, closed-form 2x2 solves, lam=0.1) — the
+    per-nation customer-factor means plus the global weighted SSE / RMSE,
+    all hash-checked against the unrolled decimal-exact oracle. The
+    model-based CF counterpart of item_item_neighbors; every iterate is
+    engine-exact (see ml/als.py for the convention and the scale story)."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem", "customer", "nation"))
+    inter = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("c"), "o_orderkey")
+        .join(
+            t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("c", "p")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    inter_m, x, y = als_mod.als_rank2(inter, alternations=2, lam=0.1)
+    fit = als_mod.als_fit_report(inter_m, x, y)
+    nat = (
+        x.join(
+            t["customer"].select(F.col("c_custkey").alias("c"), "c_nationkey"), "c"
+        )
+        .join(
+            t["nation"].select(F.col("n_nationkey").alias("c_nationkey"), "n_name"),
+            "c_nationkey",
+        )
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.round(F.col("f1"), 9).cast("decimal(26,12)")).alias("s1"),
+            F.sum(F.round(F.col("f2"), 9).cast("decimal(26,12)")).alias("s2"),
+        )
+        .select(
+            "nation",
+            F.col("cnt").cast("long").alias("n_customers"),
+            F.round(F.col("s1").cast("double") / F.col("cnt"), 6).alias("avg_f1"),
+            F.round(F.col("s2").cast("double") / F.col("cnt"), 6).alias("avg_f2"),
+        )
+    )
+    return (
+        nat.crossJoin(F.broadcast(fit))
+        .select(
+            "nation",
+            "n_customers",
+            "avg_f1",
+            "avg_f2",
+            F.round(F.col("wsse_d"), 6).alias("wsse"),
+            F.round(F.sqrt(F.col("wsse_d") / F.col("sw_d")), 6).alias("rmse"),
+        )
+        .orderBy("nation")
+    )

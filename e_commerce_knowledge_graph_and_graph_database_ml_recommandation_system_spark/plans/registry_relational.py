@@ -967,3 +967,221 @@ def q_interpurchase_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("gap_week_lo")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation + rank-transform correlation (round-5: two more consumers
+# of the distributed global-rank operator — quantile work with NO
+# single-partition window anywhere in the Spark plan)
+# ---------------------------------------------------------------------------
+
+
+def _rfm_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer R/F/M metrics: days since last order (relative to the
+    corpus max order date — a 1-row broadcast scalar), order count, and
+    lifetime spend as exact cents-longs."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    base = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.max("o_orderdate").alias("last_dt"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("monetary_cents"),
+    )
+    asof = base.agg(F.max("last_dt").alias("asof"))
+    return (
+        base.crossJoin(F.broadcast(asof))
+        .withColumn("recency_days", F.datediff("asof", "last_dt").cast("long"))
+        .drop("asof")
+    )
+
+
+@register(
+    "rfm_segments",
+    """
+WITH base AS (
+    SELECT o_custkey AS customer_id, MAX(o_orderdate) AS last_dt,
+           COUNT(*) AS frequency,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS monetary_cents
+    FROM orders GROUP BY o_custkey
+),
+anchor AS (SELECT MAX(last_dt) AS anchor_dt FROM base),
+feat AS (
+    SELECT b.customer_id, b.frequency, b.monetary_cents,
+           date_diff('day', b.last_dt, a.anchor_dt) AS recency_days
+    FROM base b CROSS JOIN anchor a
+),
+rk AS (
+    SELECT customer_id, frequency, monetary_cents,
+           ROW_NUMBER() OVER (ORDER BY recency_days ASC, customer_id ASC) AS rr,
+           ROW_NUMBER() OVER (ORDER BY frequency DESC, customer_id ASC) AS rf,
+           ROW_NUMBER() OVER (ORDER BY monetary_cents DESC, customer_id ASC) AS rm,
+           COUNT(*) OVER () AS n
+    FROM feat
+),
+seg AS (
+    SELECT customer_id, frequency, monetary_cents,
+           CAST(LEAST(floor(round((rr - 1) * 5.0 / n, 9)), 4) AS INT) + 1 AS r_seg,
+           CAST(LEAST(floor(round((rf - 1) * 5.0 / n, 9)), 4) AS INT) + 1 AS f_seg,
+           CAST(LEAST(floor(round((rm - 1) * 5.0 / n, 9)), 4) AS INT) + 1 AS m_seg
+    FROM rk
+)
+SELECT r_seg, f_seg, m_seg,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(monetary_cents) AS DOUBLE) / COUNT(*) / 100.0, 2) AS avg_spend,
+       ROUND(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 6) AS avg_frequency
+FROM seg GROUP BY r_seg, f_seg, m_seg
+""",
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every customer quintile-binned on Recency /
+    Frequency / Monetary (1 = best), segment cells aggregated. Each
+    quintile assignment is a GLOBAL rank — the classic place a naive
+    plan funnels the customer relation through one window task — so all
+    three ranks run through operators/ranking.global_rank_with_prefix
+    (range partition + local windows + broadcast offsets; oracle uses the
+    plain window, DuckDB is single-node anyway). Bin edges follow the
+    repo's cross-engine floor guard."""
+    from ..operators.ranking import global_rank_with_prefix
+
+    feat = _rfm_base(spark, sf_dir).withColumn("_zero", F.lit(0).cast("long"))
+
+    def quintile(df: DataFrame, order_cols, out: str) -> DataFrame:
+        r = global_rank_with_prefix(df, order_cols, "_zero", n_parts=8)
+        return r.withColumn(
+            out,
+            F.least(
+                F.floor(F.round((F.col("rank") - 1) * 5.0 / F.col("total_n"), 9)),
+                F.lit(4),
+            ).cast("int")
+            + F.lit(1),
+        ).drop("rank", "cum_value", "total_n", "total_value")
+
+    seg = quintile(feat, [F.asc("recency_days"), F.asc("customer_id")], "r_seg")
+    seg = quintile(seg, [F.desc("frequency"), F.asc("customer_id")], "f_seg")
+    seg = quintile(seg, [F.desc("monetary_cents"), F.asc("customer_id")], "m_seg")
+    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.round(
+            F.sum("monetary_cents").cast("double") / F.count(F.lit(1)) / 100.0, 2
+        ).alias("avg_spend"),
+        F.round(F.sum("frequency").cast("double") / F.count(F.lit(1)), 6).alias(
+            "avg_frequency"
+        ),
+    )
+
+
+@register(
+    "degree_spend_spearman",
+    """
+WITH degs AS (
+    SELECT o.o_custkey AS customer_id,
+           COUNT(DISTINCT l.l_partkey) AS deg
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_custkey
+),
+spend AS (
+    SELECT o_custkey AS customer_id,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS sp
+    FROM orders GROUP BY o_custkey
+),
+feat AS (
+    SELECT d.customer_id, d.deg, s.sp
+    FROM degs d JOIN spend s ON s.customer_id = d.customer_id
+),
+rx AS (
+    SELECT customer_id, deg, sp,
+           ROW_NUMBER() OVER (ORDER BY deg ASC, customer_id ASC) AS rkx,
+           ROW_NUMBER() OVER (ORDER BY sp ASC, customer_id ASC) AS rky
+    FROM feat
+),
+avgd AS (
+    SELECT customer_id,
+           CAST(ROUND(2 * AVG(rkx) OVER (PARTITION BY deg)) AS BIGINT) AS rx2,
+           CAST(ROUND(2 * AVG(rky) OVER (PARTITION BY sp)) AS BIGINT) AS ry2
+    FROM rx
+),
+s AS (
+    SELECT COUNT(*) AS n,
+           CAST(SUM(CAST(rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(rx2 * rx2 AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(ry2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+           CAST(SUM(CAST(rx2 * ry2 AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+    FROM avgd
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+             / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 6) AS rho_spearman
+FROM s
+""",
+)
+def q_degree_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between a customer's product-degree
+    (distinct parts purchased — their graph degree on the PURCHASED
+    projection) and lifetime spend, with PROPER tie handling: row ranks
+    come from the distributed global-rank operator, tie groups then
+    average their ranks via a per-value aggregate + join-back (never a
+    single-partition window). Average ranks are half-integers, so they
+    ride doubled as exact longs; moment sums accumulate in DECIMAL(38,0)
+    (Σ rank² wraps BIGINT near billion-row scale) and the final Pearson
+    on ranks is identical double arithmetic on both engines."""
+    from ..operators.ranking import global_rank_with_prefix
+
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    feat = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("customer_id"), "o_orderkey", "o_totalprice")
+        .join(
+            t["lineitem"].select("l_orderkey", "l_partkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("customer_id")
+        .agg(
+            F.countDistinct("l_partkey").alias("deg"),
+            # o_totalprice repeats per lineitem row; aggregate from the
+            # distinct order grain to keep spend = the per-ORDER sum
+        )
+        .join(
+            t["orders"]
+            .groupBy(F.col("o_custkey").alias("customer_id"))
+            .agg(
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sp")
+            ),
+            "customer_id",
+        )
+        .withColumn("_zero", F.lit(0).cast("long"))
+    )
+
+    def avg_rank2(df: DataFrame, metric: str, out: str) -> DataFrame:
+        r = global_rank_with_prefix(df, [F.asc(metric), F.asc("customer_id")], "_zero", n_parts=8)
+        per_value = (
+            r.groupBy(metric)
+            .agg(F.round(F.avg("rank") * 2).cast("long").alias(out))
+        )
+        return r.join(per_value, metric).drop(
+            "rank", "cum_value", "total_n", "total_value"
+        )
+
+    d = avg_rank2(feat, "deg", "rx2")
+    d = avg_rank2(d, "sp", "ry2")
+    dec = "decimal(38,0)"
+    s = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("rx2").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("ry2").cast(dec)).cast("double").alias("sy"),
+        F.sum((F.col("rx2") * F.col("rx2")).cast(dec)).cast("double").alias("sxx"),
+        F.sum((F.col("ry2") * F.col("ry2")).cast(dec)).cast("double").alias("syy"),
+        F.sum((F.col("rx2") * F.col("ry2")).cast(dec)).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("rho_spearman"),
+    )

@@ -632,3 +632,83 @@ def q_events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cnt").cast("long").alias("cnt"),
         F.round(F.col("cnt").cast("double") / F.col("total"), 6).alias("prob"),
     )
+
+
+@register(
+    "events_ewma_daily",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+contrib AS (
+    SELECT d.event_type,
+           d.day + k.k * INTERVAL 1 DAY AS target_day,
+           ROUND(ROUND(pow(0.7, k.k - 1), 9) * d.cnt, 9) AS wcnt,
+           ROUND(pow(0.7, k.k - 1), 9) AS w
+    FROM daily d CROSS JOIN (SELECT UNNEST(range(1, 8)) AS k) k
+),
+hist AS (
+    SELECT event_type, target_day,
+           CAST(SUM(CAST(wcnt AS DECIMAL(26,12))) AS DOUBLE) AS num,
+           CAST(SUM(CAST(w AS DECIMAL(26,12))) AS DOUBLE) AS den
+    FROM contrib GROUP BY 1, 2
+)
+SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+       CAST(d.cnt AS BIGINT) AS cnt,
+       ROUND(h.num / h.den, 6) AS ewma,
+       ROUND(d.cnt / (h.num / h.den), 6) AS ratio,
+       CAST(round(d.cnt / (h.num / h.den), 9) > 1.5 AS INT) AS is_burst
+FROM daily d JOIN hist h ON h.event_type = d.event_type AND h.target_day = d.day
+""",
+)
+def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type event volume against its exponentially-weighted
+    7-day history (alpha via 0.7^lag weights, missing days contribute
+    nothing to numerator OR denominator), burst-flagged at ratio > 1.5 —
+    the seasonal-baseline monitor next to the z-score (events_rate_
+    anomalies) and CUSUM (events_cusum_shifts) detectors. The EWMA
+    recursion is NOT computed as sequential state: each source day
+    scatters its weighted count onto the next 7 calendar days (a 7-way
+    explode, corpus-linear) and one keyed aggregate folds them — no
+    window over an unbounded frame, no single-partition sort; weights and
+    weighted terms follow the 9dp-round + DECIMAL accumulation
+    convention, and the burst compare carries the repo's cross-engine
+    round-before-threshold guard."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = F.round(F.pow(F.lit(0.7), F.col("k") - 1), 9)
+    contrib = (
+        daily.select(
+            "event_type",
+            "day",
+            "cnt",
+            F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+        )
+        .select(
+            "event_type",
+            F.date_add("day", F.col("k")).alias("target_day"),
+            F.round(w * F.col("cnt"), 9).alias("wcnt"),
+            w.alias("w"),
+        )
+    )
+    hist = contrib.groupBy("event_type", "target_day").agg(
+        F.sum(F.col("wcnt").cast("decimal(26,12)")).cast("double").alias("num"),
+        F.sum(F.col("w").cast("decimal(26,12)")).cast("double").alias("den"),
+    )
+    ewma = F.col("num") / F.col("den")
+    return (
+        daily.join(
+            hist.withColumnRenamed("target_day", "day"), ["event_type", "day"]
+        )
+        .select(
+            "event_type",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("cnt").cast("long").alias("cnt"),
+            F.round(ewma, 6).alias("ewma"),
+            F.round(F.col("cnt") / ewma, 6).alias("ratio"),
+            (F.round(F.col("cnt") / ewma, 9) > 1.5).cast("int").alias("is_burst"),
+        )
+    )

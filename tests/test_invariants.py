@@ -1818,3 +1818,41 @@ def test_power_iteration_matches_numpy_pc1(spark):
     Ec = E - E.mean(axis=0)
     ev = np.linalg.eigvalsh(Ec.T @ Ec)
     assert ev.mean() * 0.9 <= real[0]["eigenvalue"] <= ev.sum()
+
+
+def test_als_rank2_fit_improves(spark):
+    """ALS invariants on sf0.001: (1) two alternations beat the zero-factor
+    baseline (wsse < sum of weights, i.e. the model explains SOMETHING),
+    (2) the second alternation does not regress the weighted fit beyond
+    rounding slack, (3) every interacting customer and product receives a
+    finite factor pair."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import als
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_tables
+
+    t = load_tables(spark, SF, names=("orders", "lineitem"))
+    inter = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("c"), "o_orderkey")
+        .join(
+            t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("c", "p")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+
+    fits = {}
+    for alt in (1, 2):
+        im, x, y = als.als_rank2(inter, alternations=alt, lam=0.1)
+        row = als.als_fit_report(im, x, y).first()
+        fits[alt] = (row["wsse_d"], row["sw_d"])
+        # completeness: every interacting entity is solved, factors finite
+        assert x.count() == im.select("c").distinct().count()
+        assert y.count() == im.select("p").distinct().count()
+        bad = x.filter(F.isnan("f1") | F.isnan("f2") | F.col("f1").isNull()).count()
+        assert bad == 0
+
+    wsse1, sw = fits[1]
+    wsse2, _ = fits[2]
+    assert wsse1 < sw, "one alternation must beat the zero-factor baseline"
+    assert wsse2 <= wsse1 * 1.001, "second alternation regressed the weighted fit"

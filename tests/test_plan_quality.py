@@ -124,6 +124,8 @@ NO_CARTESIAN_ONLY = [
     "kmeans_codebook",
     # power iteration: the 1-row direction vector broadcasts per round
     "embedding_top_component",
+    # ALS: the 1-row global-fit aggregate broadcasts onto the nation rows
+    "als_factors",
 ]
 
 
@@ -191,14 +193,28 @@ def test_flagship_no_literal_in_list(spark, queries):
     assert "LeftAnti" not in plan, "candidate-expansion anti-join reappeared"
 
 
-def test_global_rank_no_single_partition_window(spark, queries):
-    """customer_spend_distribution computes a GLOBAL ranking; the naive
-    Window.orderBy-with-no-partitionBy plan funnels every row through one
-    task (Exchange SinglePartition). The range-partition + local-window +
-    broadcast-offset formulation (operators/ranking.py) must keep the plan
-    free of any SinglePartition exchange."""
-    plan = _plan(spark, queries["customer_spend_distribution"](spark, SF_DIR))
-    assert "SinglePartition" not in plan, "global ranking collapsed to one partition"
+@pytest.mark.parametrize(
+    "qname", ["customer_spend_distribution", "rfm_segments", "degree_spend_spearman"]
+)
+def test_global_rank_no_single_partition_window(spark, queries, qname):
+    """These queries compute GLOBAL rankings (spend rank / three RFM
+    quintile ranks / two rank-transforms); the naive Window.orderBy-with-
+    no-partitionBy plan funnels every ROW through one task (Exchange
+    SinglePartition feeding a Window/Sort). The range-partition +
+    local-window + broadcast-offset formulation (operators/ranking.py)
+    must keep row-scale operators off a single partition. A SinglePartition
+    exchange under a final scalar HashAggregate (spearman's 1-row moment
+    fold) is fine — partial aggregation runs map-side, so the exchange
+    moves num-partitions pre-aggregated rows, not the relation."""
+    plan = _plan(spark, queries[qname](spark, SF_DIR))
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "SinglePartition" not in line:
+            continue
+        consumers = " ".join(lines[max(0, i - 3) : i])
+        assert "Window" not in consumers and "Sort" not in consumers, (
+            f"{qname}: row-scale Window/Sort fed by a SinglePartition exchange"
+        )
 
 
 @pytest.mark.parametrize(
