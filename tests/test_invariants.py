@@ -1856,3 +1856,20 @@ def test_als_rank2_fit_improves(spark):
     wsse2, _ = fits[2]
     assert wsse1 < sw, "one alternation must beat the zero-factor baseline"
     assert wsse2 <= wsse1 * 1.001, "second alternation regressed the weighted fit"
+
+
+def test_ivf_pq_refined_recall(spark):
+    """IVF-PQ with exact refine: recall@5 vs brute must sit near the IVF
+    probe ceiling (the refine stage recovers what the 32-bit code loses —
+    0.275 vs ceiling 0.3224 on this corpus), must beat the unrefined ADC
+    ranking's historical 0.18, and must be bit-stable across runs."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    brute = sim.brute_topk(emb, k=5).select("query_id", "neighbor_id")
+    a = sim.ivf_pq_topk(emb, k=5)
+    recall = brute.intersect(a.select("query_id", "neighbor_id")).count() / brute.count()
+    assert recall > 0.22, f"refined IVF-PQ recall@5 too low: {recall:.3f}"
+    b = sim.ivf_pq_topk(emb, k=5)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

@@ -126,6 +126,8 @@ NO_CARTESIAN_ONLY = [
     "embedding_top_component",
     # ALS: the 1-row global-fit aggregate broadcasts onto the nation rows
     "als_factors",
+    # IVF-PQ: codebook/centroid tables are dim-sized broadcast crossJoins
+    "ann_ivf_pq_topk",
 ]
 
 
