@@ -86,6 +86,8 @@ _DRIVER_UNSAMPLED = (
     "degree_spend_spearman",
     "events_ewma_daily",
     "ann_ivf_pq_topk",
+    "frequent_triples",
+    "events_multitouch_attribution",
 )
 
 

@@ -37,6 +37,27 @@ def capped_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return memo(spark, ("capped_basket", sf_dir), build)
 
+
+def qualifying_pairs(spark: SparkSession, sf_dir: str, minsup: int = 4) -> DataFrame:
+    """Frequent product pairs (p1 < p2, support >= minsup) over the capped
+    basket — the apriori L2 set. Memoized: copurchase_lift ranks these by
+    lift, frequent_triples extends them to L3 candidates; one pair
+    self-join per verification run instead of two."""
+
+    def build() -> DataFrame:
+        basket = capped_basket(spark, sf_dir)
+        a = basket.select("c", F.col("p").alias("prod_a"))
+        b = basket.select("c", F.col("p").alias("prod_b"))
+        return (
+            a.join(b, "c")
+            .filter(F.col("prod_a") < F.col("prod_b"))
+            .groupBy("prod_a", "prod_b")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= minsup)
+        )
+
+    return memo(spark, ("qualifying_pairs", minsup, sf_dir), build)
+
 # ---------------------------------------------------------------------------
 # U1: union of heterogeneous sources with source/dvid lits
 # ---------------------------------------------------------------------------
@@ -642,15 +663,7 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     basket = capped_basket(spark, sf_dir)
     n_cust = basket.select("c").distinct().count()
     prod = basket.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    a = basket.select("c", F.col("p").alias("prod_a"))
-    b = basket.select("c", F.col("p").alias("prod_b"))
-    pairs = (
-        a.join(b, "c")
-        .filter(F.col("prod_a") < F.col("prod_b"))
-        .groupBy("prod_a", "prod_b")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 5)
-    )
+    pairs = qualifying_pairs(spark, sf_dir, minsup=4).filter(F.col("support") >= 5)
     out = (
         pairs.join(prod.select(F.col("p").alias("prod_a"), F.col("cnt").alias("cnt_a")), "prod_a")
         .join(prod.select(F.col("p").alias("prod_b"), F.col("cnt").alias("cnt_b")), "prod_b")
@@ -1197,4 +1210,121 @@ def q_degree_spend_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             6,
         ).alias("rho_spearman"),
+    )
+
+
+@register(
+    "frequent_triples",
+    """
+WITH basket0 AS (
+    SELECT DISTINCT o_custkey AS c, l_partkey AS p
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+basket AS (
+    SELECT * FROM basket0 WHERE c NOT IN (
+        SELECT c FROM basket0 GROUP BY c HAVING COUNT(*) > 200
+    )
+),
+qual AS (
+    SELECT a.p AS prod_a, b.p AS prod_b, COUNT(*) AS support
+    FROM basket a JOIN basket b ON a.c = b.c AND a.p < b.p
+    GROUP BY a.p, b.p HAVING COUNT(*) >= 4
+),
+qitems AS (
+    SELECT DISTINCT prod_a AS p FROM qual
+    UNION
+    SELECT DISTINCT prod_b FROM qual
+),
+-- apriori item prune: only items that appear in SOME qualifying pair can
+-- appear in a qualifying triple, so the pair expansion below runs over
+-- the pruned basket, not the full one
+bq AS (SELECT b.c, b.p FROM basket b JOIN qitems qi ON qi.p = b.p),
+b12 AS (
+    SELECT a.c, a.p AS p1, b.p AS p2
+    FROM bq a JOIN bq b ON a.c = b.c AND a.p < b.p
+    JOIN qual q ON q.prod_a = a.p AND q.prod_b = b.p
+),
+tri AS (
+    SELECT t.p1, t.p2, x.p AS p3, COUNT(*) AS support
+    FROM b12 t JOIN bq x ON x.c = t.c AND x.p > t.p2
+    JOIN qual qa ON qa.prod_a = t.p1 AND qa.prod_b = x.p
+    JOIN qual qb ON qb.prod_a = t.p2 AND qb.prod_b = x.p
+    GROUP BY t.p1, t.p2, x.p HAVING COUNT(*) >= 3
+)
+SELECT t.p1, t.p2, t.p3, CAST(t.support AS BIGINT) AS support,
+       ROUND(CAST(t.support AS DOUBLE) / q.support, 6) AS conf_12_3
+FROM tri t JOIN qual q ON q.prod_a = t.p1 AND q.prod_b = t.p2
+ORDER BY support DESC, p1 ASC, p2 ASC, p3 ASC
+LIMIT 100
+""",
+)
+def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed apriori L3 step: frequent product triples built ONLY
+    from qualifying pairs — candidate generation is (frequent-pair
+    occurrences) x basket extension with BOTH new sub-pairs semi-joined
+    against the L2 set before any counting, the classic anti-monotone
+    prune that keeps candidate volume support-bounded instead of
+    basket-cubed. Shares the capped basket AND the L2 pair relation
+    (plans memos) with copurchase_lift/item_item_neighbors/
+    adamic_adar_links; all counts exact integers, confidence of the
+    {p1,p2} -> p3 rule rounded at 6dp; top-100 is a deterministic
+    TakeOrdered."""
+    basket = capped_basket(spark, sf_dir)
+    qual = qualifying_pairs(spark, sf_dir, minsup=4)
+    # apriori item prune: only items inside SOME qualifying pair can be in
+    # a qualifying triple — shrink the basket BEFORE the pair expansion
+    qitems = (
+        qual.select(F.col("prod_a").alias("p"))
+        .union(qual.select(F.col("prod_b").alias("p")))
+        .distinct()
+    )
+    bq = basket.join(qitems, "p", "left_semi")
+    a = bq.select("c", F.col("p").alias("p1"))
+    b = bq.select("c", F.col("p").alias("p2"))
+    b12 = (
+        a.join(b, "c")
+        .filter(F.col("p1") < F.col("p2"))
+        .join(
+            qual.select(F.col("prod_a").alias("p1"), F.col("prod_b").alias("p2")),
+            ["p1", "p2"],
+            "left_semi",
+        )
+    )
+    ext = (
+        b12.join(bq.select("c", F.col("p").alias("p3")), "c")
+        .filter(F.col("p3") > F.col("p2"))
+        .join(
+            qual.select(F.col("prod_a").alias("p1"), F.col("prod_b").alias("p3")),
+            ["p1", "p3"],
+            "left_semi",
+        )
+        .join(
+            qual.select(F.col("prod_a").alias("p2"), F.col("prod_b").alias("p3")),
+            ["p2", "p3"],
+            "left_semi",
+        )
+    )
+    tri = (
+        ext.groupBy("p1", "p2", "p3")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= 3)
+    )
+    return (
+        tri.join(
+            qualifying_pairs(spark, sf_dir, minsup=4).select(
+                F.col("prod_a").alias("p1"),
+                F.col("prod_b").alias("p2"),
+                F.col("support").alias("s12"),
+            ),
+            ["p1", "p2"],
+        )
+        .select(
+            "p1",
+            "p2",
+            "p3",
+            F.col("support").cast("long").alias("support"),
+            F.round(F.col("support").cast("double") / F.col("s12"), 6).alias("conf_12_3"),
+        )
+        .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"), F.asc("p3"))
+        .limit(100)
     )

@@ -8,7 +8,7 @@ testable.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -710,5 +710,99 @@ def q_events_ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(ewma, 6).alias("ewma"),
             F.round(F.col("cnt") / ewma, 6).alias("ratio"),
             (F.round(F.col("cnt") / ewma, 9) > 1.5).cast("int").alias("is_burst"),
+        )
+    )
+
+
+@register(
+    "events_multitouch_attribution",
+    """
+WITH ordered AS (
+    SELECT user_id, event_id, event_type, ts,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS cum_purch
+    FROM events
+),
+convs AS (
+    SELECT user_id, cum_purch AS ord FROM ordered WHERE event_type = 'purchase'
+),
+touches AS (
+    SELECT o.user_id, o.event_id, o.event_type, o.ts,
+           o.cum_purch + 1 AS ord
+    FROM ordered o
+    JOIN convs c ON c.user_id = o.user_id AND c.ord = o.cum_purch + 1
+    WHERE o.event_type <> 'purchase'
+),
+pos AS (
+    SELECT user_id, event_type, ord,
+           ROW_NUMBER() OVER (PARTITION BY user_id, ord ORDER BY ts, event_id) AS r,
+           COUNT(*) OVER (PARTITION BY user_id, ord) AS n
+    FROM touches
+),
+weighted AS (
+    SELECT event_type,
+           CASE WHEN n = 1 THEN 1.0
+                WHEN n = 2 THEN 0.5
+                WHEN r = 1 OR r = n THEN 0.4
+                ELSE round(0.2 / (n - 2), 9)
+           END AS w
+    FROM pos
+)
+SELECT event_type AS channel,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(CAST(w AS DECIMAL(26,12))) AS DOUBLE), 6) AS attributed_conversions
+FROM weighted GROUP BY event_type
+""",
+)
+def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (40/20/40) multi-touch attribution: every purchase's
+    credit splits over the touchpoints since the user's previous purchase
+    — 40% first touch, 40% last, 20% spread over the middle (1.0 / 0.5-0.5
+    for 1- and 2-touch paths). The batch counterpart of the stream-side
+    events_stream_attribution: per-user windows are session-bounded (the
+    skew unit is one user's history, never the corpus), the conversion
+    scoping is a running purchase count + an equi-join back to conversion
+    ordinals — no self-join over the event log — and the fractional
+    credits follow the 9dp-round + DECIMAL accumulation convention."""
+    ev = load_table(spark, "events", sf_dir)
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(win.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_purch"),
+    )
+    convs = ordered.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("cum_purch").alias("ord")
+    )
+    touches = (
+        ordered.filter(F.col("event_type") != "purchase")
+        .withColumn("ord", F.col("cum_purch") + 1)
+        .join(convs, ["user_id", "ord"], "left_semi")
+    )
+    pw = Window.partitionBy("user_id", "ord")
+    pos = touches.select(
+        "event_type",
+        F.row_number().over(pw.orderBy("ts", "event_id")).alias("r"),
+        F.count(F.lit(1)).over(pw).alias("n"),
+    )
+    w = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("r") == 1) | (F.col("r") == F.col("n")), F.lit(0.4))
+        .otherwise(F.round(F.lit(0.2) / (F.col("n") - 2), 9))
+    )
+    return (
+        pos.select("event_type", w.alias("w"))
+        .groupBy(F.col("event_type").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(
+                F.sum(F.col("w").cast("decimal(26,12)")).cast("double"), 6
+            ).alias("attributed_conversions"),
         )
     )

@@ -128,6 +128,8 @@ NO_CARTESIAN_ONLY = [
     "als_factors",
     # IVF-PQ: codebook/centroid tables are dim-sized broadcast crossJoins
     "ann_ivf_pq_topk",
+    # apriori L3: all joins are key equi-joins against the L2 semi-joins
+    "frequent_triples",
 ]
 
 
