@@ -124,3 +124,32 @@ def load_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         return reader.schema(schema).json(path)
     return reader.json(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 8,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed-table sink: pre-shuffles rows into ``n_buckets``
+    hash buckets on ``bucket_col`` AT WRITE TIME so every later equi-join
+    or aggregation on that key reads co-located data and skips its
+    exchange entirely — the storage-side half of the 100-TB join story
+    (the other half, runtime repartitioning, is what the query plans do
+    for ad-hoc keys). ``sort_col`` additionally sorts within buckets,
+    letting sort-merge joins skip their sort. Spark only persists bucket
+    metadata through the catalog, so this is a saveAsTable, not a path
+    write."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Scan a bucketed managed table; the scan carries the bucket spec, so
+    joins/aggregations on the bucket key report no Exchange in the plan
+    (gated in tests/test_plans_and_sinks.py)."""
+    return spark.table(table)

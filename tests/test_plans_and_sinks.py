@@ -398,3 +398,47 @@ def test_stream_curated_ingest_idempotent(spark, sf_dir, tmp_path):
     assert [(r["batch_id"], r["admitted"]) for r in counts2] == [
         (r["batch_id"], r["admitted"]) for r in counts
     ]
+
+
+def test_bucketed_join_skips_shuffle(spark, sf_dir):
+    """Bucketed tables co-locate their join keys at WRITE time: a
+    self-contained two-table equi-join on the bucket column must carry no
+    Exchange on either scan side (the storage-side join strategy for
+    repeated joins at 100 TB), and the bucketed result must match the
+    plain-parquet join row-for-row."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import (
+        load_table,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = load_table(spark, "customer", sf_dir).select("c_custkey", "c_mktsegment")
+    write_bucketed(orders, "t_orders_bucketed", "o_custkey", n_buckets=8, sort_col="o_custkey")
+    write_bucketed(
+        cust.withColumnRenamed("c_custkey", "o_custkey"),
+        "t_cust_bucketed",
+        "o_custkey",
+        n_buckets=8,
+        sort_col="o_custkey",
+    )
+    try:
+        bo = read_bucketed(spark, "t_orders_bucketed")
+        bc = read_bucketed(spark, "t_cust_bucketed")
+        # disable broadcast so the join must pick SMJ/shuffle-hash — the
+        # bucket spec is what should eliminate the exchanges
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = bo.join(bc, "o_custkey")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:2000]}"
+            plain = orders.join(
+                cust.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey"
+            )
+            assert joined.count() == plain.count()
+            assert joined.exceptAll(plain).count() == 0
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
+        spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
