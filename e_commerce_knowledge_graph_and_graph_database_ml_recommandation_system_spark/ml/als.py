@@ -145,3 +145,16 @@ def als_fit_report(inter: DataFrame, x: DataFrame, y: DataFrame) -> DataFrame:
         F.sum(F.round(err, 9).cast(_DEC)).cast("double").alias("wsse_d"),
         F.sum(F.col("w").cast(_DEC)).cast("double").alias("sw_d"),
     )
+
+
+def als_fold_in(inter_new: DataFrame, y: DataFrame, lam: float = 0.1) -> DataFrame:
+    """Fold in NEW users against a trained item-factor table: one U-step
+    (the regularized 2x2 solve) over their observed interactions — the
+    standard cold-start serving path (no retraining; item factors frozen).
+    Items absent from the trained Y simply drop out of the inner join
+    (fold-in covers known items only — the cold-ITEM side needs a
+    retrain). Returns (c, f1, f2)."""
+    inter_new = inter_new.select(
+        "c", "p", F.col("w").cast("double").alias("w")
+    ).localCheckpoint(eager=True)
+    return _solve_step(inter_new, y, "p", "c", lam)

@@ -88,6 +88,8 @@ _DRIVER_UNSAMPLED = (
     "ann_ivf_pq_topk",
     "frequent_triples",
     "events_multitouch_attribution",
+    "als_fold_in",
+    "events_markov_holdout",
 )
 
 

@@ -1171,3 +1171,132 @@ def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+def _als_fold_oracle_sql(alternations: int = 2) -> str:
+    """Unrolled DuckDB mirror of als_rank2-on-the-warm-split +
+    als_fold_in: the md5 cohort split, the full train chain (same
+    gram/solve strings as _als_oracle_sql), one fold-in U-step for the
+    cohort against the frozen item factors, and the per-customer fit."""
+    lam_n = "CAST(0.1 AS DOUBLE) * CAST(n AS DOUBLE)"
+    det = f"((a11 + {lam_n}) * (a22 + {lam_n}) - a12 * a12)"
+
+    def seed(tag: str) -> str:
+        return (
+            f"ROUND(('0x' || substr(md5(concat('{tag}', CAST(p AS VARCHAR))), 1, 8))::BIGINT"
+            " / 2147483648.0 - 1.0, 9) * 0.5"
+        )
+
+    def gram(src: str, out_key: str, in_key: str, factors: str) -> str:
+        return (
+            f"SELECT i.{out_key}, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1 * f.f1, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a11, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1 * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a12, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f2 * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a22, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1, 9) AS DECIMAL(26,12))) AS DOUBLE) AS b1, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS b2, "
+            "COUNT(*) AS n "
+            f"FROM {src} i JOIN {factors} f ON f.{in_key} = i.{in_key} GROUP BY i.{out_key}"
+        )
+
+    def solve(key: str, gram_cte: str) -> str:
+        return (
+            f"SELECT {key}, "
+            f"ROUND(((a22 + {lam_n}) * b1 - a12 * b2) / {det}, 12) AS f1, "
+            f"ROUND(((a11 + {lam_n}) * b2 - a12 * b1) / {det}, 12) AS f2 "
+            f"FROM {gram_cte}"
+        )
+
+    parts = [
+        "inter0 AS MATERIALIZED (SELECT o_custkey AS c, l_partkey AS p, "
+        "CAST(COUNT(*) AS DOUBLE) AS w FROM orders "
+        "JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_custkey, l_partkey)",
+        "inter AS MATERIALIZED (SELECT * FROM inter0 WHERE "
+        "(('0x' || substr(md5(concat('alsfold_', CAST(c AS VARCHAR))), 1, 8))::BIGINT % 10) <> 0)",
+        "newu AS MATERIALIZED (SELECT * FROM inter0 WHERE "
+        "(('0x' || substr(md5(concat('alsfold_', CAST(c AS VARCHAR))), 1, 8))::BIGINT % 10) = 0)",
+        "yf0 AS MATERIALIZED (SELECT p, "
+        f"{seed('alsYA_')} AS f1, {seed('alsYB_')} AS f2 "
+        "FROM (SELECT DISTINCT p FROM inter))",
+    ]
+    for i in range(1, alternations + 1):
+        parts.append(f"ug{i} AS MATERIALIZED ({gram('inter', 'c', 'p', f'yf{i - 1}')})")
+        parts.append(f"xf{i} AS MATERIALIZED ({solve('c', f'ug{i}')})")
+        parts.append(f"ig{i} AS MATERIALIZED ({gram('inter', 'p', 'c', f'xf{i}')})")
+        parts.append(f"yf{i} AS MATERIALIZED ({solve('p', f'ig{i}')})")
+    a = alternations
+    parts.append(f"ugf AS MATERIALIZED ({gram('newu', 'c', 'p', f'yf{a}')})")
+    parts.append(f"xff AS MATERIALIZED ({solve('c', 'ugf')})")
+    parts.append(
+        "predu AS MATERIALIZED (SELECT i.c, i.w, "
+        f"ROUND(x.f1 * y.f1 + x.f2 * y.f2, 9) AS dot "
+        f"FROM newu i JOIN xff x ON x.c = i.c JOIN yf{a} y ON y.p = i.p)"
+    )
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT p.c AS customer_id,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       ROUND(MAX(x.f1), 6) AS f1,
+       ROUND(MAX(x.f2), 6) AS f2,
+       ROUND(sqrt(CAST(SUM(CAST(ROUND(p.w * (1.0 - p.dot) * (1.0 - p.dot), 9) AS DECIMAL(26,12))) AS DOUBLE)
+                  / CAST(SUM(CAST(p.w AS DECIMAL(26,12))) AS DOUBLE)), 6) AS rmse_u
+FROM predu p JOIN xff x ON x.c = p.c
+GROUP BY p.c
+"""
+    )
+
+
+@register("als_fold_in", _als_fold_oracle_sql(alternations=2))
+def q_als_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALS cold-start fold-in: train rank-2 ALS on the warm 90% of
+    customers (md5 cohort split), then solve the held-out 10% against the
+    FROZEN item factors in one U-step — the standard new-user serving
+    path (no retrain). Per-cohort-customer factors, covered-item count
+    and personal weighted RMSE, all hash-checked through the unrolled
+    train+fold oracle. Items unseen in training drop from the inner join
+    on both engines (fold-in covers known items only)."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    from ..functions.text import md5_int32
+
+    inter0 = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("c"), "o_orderkey")
+        .join(
+            t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("c", "p")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    is_new = (
+        md5_int32(F.concat(F.lit("alsfold_"), F.col("c").cast("string"))) % 10 == 0
+    )
+    train = inter0.filter(~is_new)
+    newu = inter0.filter(is_new).localCheckpoint(eager=True)
+    _, _, y = als_mod.als_rank2(train, alternations=2, lam=0.1)
+    xf = als_mod.als_fold_in(newu, y, lam=0.1)
+    pred = (
+        newu.join(xf.select("c", F.col("f1").alias("x1"), F.col("f2").alias("x2")), "c")
+        .join(y.select("p", F.col("f1").alias("y1"), F.col("f2").alias("y2")), "p")
+        .select(
+            "c",
+            "w",
+            F.round(F.col("x1") * F.col("y1") + F.col("x2") * F.col("y2"), 9).alias("dot"),
+        )
+    )
+    err = F.col("w") * (F.lit(1.0) - F.col("dot")) * (F.lit(1.0) - F.col("dot"))
+    per = pred.groupBy("c").agg(
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+        F.sum(F.round(err, 9).cast("decimal(26,12)")).cast("double").alias("wsse_d"),
+        F.sum(F.col("w").cast("decimal(26,12)")).cast("double").alias("sw_d"),
+    )
+    return (
+        per.join(xf, "c")
+        .select(
+            F.col("c").alias("customer_id"),
+            "n_items",
+            F.round(F.col("f1"), 6).alias("f1"),
+            F.round(F.col("f2"), 6).alias("f2"),
+            F.round(F.sqrt(F.col("wsse_d") / F.col("sw_d")), 6).alias("rmse_u"),
+        )
+    )

@@ -806,3 +806,87 @@ def q_events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFra
             ).alias("attributed_conversions"),
         )
     )
+
+
+@register(
+    "events_markov_holdout",
+    """
+WITH seq AS (
+    SELECT user_id, ts, event_id, event_type,
+           LEAD(event_type) OVER w AS next_type,
+           LEAD(ts) OVER w AS next_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+trans AS (
+    SELECT user_id, ts, event_id, event_type AS cur_type, next_type
+    FROM seq
+    WHERE next_type IS NOT NULL
+      AND date_diff('second', ts, next_ts) <= 1800
+),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM trans
+),
+hold AS (SELECT user_id, cur_type, next_type FROM ranked WHERE rn = 1),
+train AS (SELECT cur_type, next_type FROM ranked WHERE rn > 1),
+cnts AS (SELECT cur_type, next_type, COUNT(*) AS cnt FROM train GROUP BY 1, 2),
+pred AS (
+    SELECT cur_type, next_type AS pred_type FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY cur_type ORDER BY cnt DESC, next_type ASC) AS r
+        FROM cnts
+    ) WHERE r = 1
+)
+SELECT h.cur_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       CAST(SUM(CASE WHEN p.pred_type = h.next_type THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       ROUND(CAST(SUM(CASE WHEN p.pred_type = h.next_type THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS hit_rate
+FROM hold h JOIN pred p ON p.cur_type = h.cur_type
+GROUP BY h.cur_type
+""",
+)
+def q_events_markov_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal-holdout evaluation of the Markov next-event model: each
+    user's LAST in-session transition is held out, the argmax-count
+    predictor trains on everything earlier (same 1800 s session gap as
+    events_markov_transitions), and the per-state hit rate is reported —
+    the eval harness that tells you whether the transition matrix is
+    worth serving. Holdout states unseen in training drop from the inner
+    join on both engines. Per-user windows only (skew unit = one user's
+    history); the predictor is a state-cardinality-sized argmax."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("cur_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    trans = seq.filter(
+        F.col("next_type").isNotNull()
+        & (F.unix_timestamp("next_ts") - F.unix_timestamp("ts") <= 1800)
+    )
+    rw = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    ranked = trans.withColumn("rn", F.row_number().over(rw))
+    hold = ranked.filter(F.col("rn") == 1).select("user_id", "cur_type", "next_type")
+    train = ranked.filter(F.col("rn") > 1).select("cur_type", "next_type")
+    cnts = train.groupBy("cur_type", "next_type").agg(F.count(F.lit(1)).alias("cnt"))
+    pw = Window.partitionBy("cur_type").orderBy(F.desc("cnt"), F.asc("next_type"))
+    pred = (
+        cnts.withColumn("r", F.row_number().over(pw))
+        .filter(F.col("r") == 1)
+        .select("cur_type", F.col("next_type").alias("pred_type"))
+    )
+    hit = F.when(F.col("pred_type") == F.col("next_type"), 1).otherwise(0)
+    return (
+        hold.join(pred, "cur_type")
+        .groupBy("cur_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.sum(hit).cast("long").alias("hits"),
+            F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias("hit_rate"),
+        )
+    )

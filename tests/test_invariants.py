@@ -1873,3 +1873,20 @@ def test_ivf_pq_refined_recall(spark):
     assert recall > 0.22, f"refined IVF-PQ recall@5 too low: {recall:.3f}"
     b = sim.ivf_pq_topk(emb, k=5)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_als_fold_in_cold_start_quality(spark):
+    """Fold-in invariants: every cohort customer with covered items gets
+    finite factors, and the average personal RMSE beats the zero-factor
+    baseline (which predicts 0 for a target of 1, i.e. RMSE exactly 1)."""
+    import __spark_entry__ as ent
+
+    df = ent.queries()["als_fold_in"](spark, SF).cache()
+    n = df.count()
+    assert n > 0
+    bad = df.filter(
+        F.isnan("f1") | F.isnan("f2") | F.isnan("rmse_u") | F.col("f1").isNull()
+    ).count()
+    assert bad == 0
+    avg_rmse = df.agg(F.avg("rmse_u")).first()[0]
+    assert avg_rmse < 1.0, f"fold-in no better than zero factors: {avg_rmse:.3f}"

@@ -130,6 +130,8 @@ NO_CARTESIAN_ONLY = [
     "ann_ivf_pq_topk",
     # apriori L3: all joins are key equi-joins against the L2 semi-joins
     "frequent_triples",
+    # fold-in: one U-step join+aggregate against the frozen factor table
+    "als_fold_in",
 ]
 
 

@@ -442,3 +442,40 @@ def test_bucketed_join_skips_shuffle(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_bucketed")
         spark.sql("DROP TABLE IF EXISTS t_cust_bucketed")
+
+
+def test_partitioned_write_enables_dynamic_pruning(spark, sf_dir, tmp_path):
+    """Dynamic partition pruning: a fact table written partitionBy(key)
+    joined to a FILTERED dim on that key must carry a dynamicpruning
+    subquery on the fact scan — at 100 TB this is the difference between
+    scanning every partition and scanning the ones the dim filter selects.
+    Static partition pruning (a literal filter on the partition column)
+    must also reach the scan."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"
+    )
+    path = str(tmp_path / "orders_by_priority")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+
+    # static pruning: literal partition filter prunes at planning time
+    plan_static = (
+        fact.filter(F.col("o_orderpriority") == "1-URGENT")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan_static and "1-URGENT" in plan_static
+
+    # dynamic pruning: the dim-side filter reaches the fact scan at runtime
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly", "false")
+    try:
+        dim = (
+            orders.select("o_orderpriority").distinct()
+            .filter(F.col("o_orderpriority").startswith("1"))
+        )
+        joined = fact.join(dim, "o_orderpriority")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), f"no DPP subquery:\n{plan[:1500]}"
+    finally:
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
