@@ -479,3 +479,50 @@ def test_partitioned_write_enables_dynamic_pruning(spark, sf_dir, tmp_path):
         assert "dynamicpruning" in plan.lower(), f"no DPP subquery:\n{plan[:1500]}"
     finally:
         spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly")
+
+
+def test_als_halfstep_bucketed_join_skips_exchange(spark, sf_dir):
+    """The SCALE.md remedy for ALS's alternating shuffle, demonstrated:
+    bucket the interaction table and the factor table by the join key and
+    the half-step's join runs with NO Exchange (only the output-keyed
+    aggregate shuffles — the irreducible part). Also the layout-
+    independence claim made real: factors solved from bucketed inputs
+    are IDENTICAL to the plain-layout solve (decimal-exact sums are
+    order-free, so physical layout cannot change a single bit)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import als
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import (
+        load_tables,
+        read_bucketed,
+        write_bucketed,
+    )
+
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    inter = (
+        t["orders"]
+        .select(F.col("o_custkey").alias("c"), "o_orderkey")
+        .join(
+            t["lineitem"].select("l_orderkey", F.col("l_partkey").alias("p")),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .groupBy("c", "p")
+        .agg(F.count(F.lit(1)).cast("double").alias("w"))
+    )
+    y = als._init_factors(inter, "p", "Y")
+    write_bucketed(inter, "t_als_inter_by_p", "p", n_buckets=8, sort_col="p")
+    write_bucketed(y, "t_als_y_by_p", "p", n_buckets=8, sort_col="p")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bi = read_bucketed(spark, "t_als_inter_by_p")
+        by = read_bucketed(spark, "t_als_y_by_p")
+        joined = bi.join(by, "p")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed ALS half-step join still shuffles:\n{plan[:1500]}"
+
+        x_bucketed = als._solve_step(bi, by, "p", "c", lam=0.1)
+        x_plain = als._solve_step(inter, y, "p", "c", lam=0.1)
+        assert x_bucketed.exceptAll(x_plain).count() == 0
+        assert x_plain.exceptAll(x_bucketed).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS t_als_inter_by_p")
+        spark.sql("DROP TABLE IF EXISTS t_als_y_by_p")
