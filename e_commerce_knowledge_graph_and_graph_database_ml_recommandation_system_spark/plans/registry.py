@@ -90,6 +90,7 @@ _DRIVER_UNSAMPLED = (
     "events_multitouch_attribution",
     "als_fold_in",
     "events_markov_holdout",
+    "hybrid_recommendations",
 )
 
 

@@ -1117,16 +1117,9 @@ ORDER BY nation
     )
 
 
-@register("als_factors", _als_oracle_sql(alternations=2))
-def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rank-2 weighted ALS over the customer x product purchase matrix
-    (2 full U->I alternations, closed-form 2x2 solves, lam=0.1) — the
-    per-nation customer-factor means plus the global weighted SSE / RMSE,
-    all hash-checked against the unrolled decimal-exact oracle. The
-    model-based CF counterpart of item_item_neighbors; every iterate is
-    engine-exact (see ml/als.py for the convention and the scale story)."""
-    t = load_tables(spark, sf_dir, names=("orders", "lineitem", "customer", "nation"))
-    inter = (
+def _als_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    return (
         t["orders"]
         .select(F.col("o_custkey").alias("c"), "o_orderkey")
         .join(
@@ -1136,7 +1129,29 @@ def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c", "p")
         .agg(F.count(F.lit(1)).cast("double").alias("w"))
     )
-    inter_m, x, y = als_mod.als_rank2(inter, alternations=2, lam=0.1)
+
+
+def _als_shared(spark: SparkSession, sf_dir: str) -> tuple:
+    """One trained (inter, X, Y) rank-2 ALS per Spark app (2 alternations,
+    lam=0.1, full interaction table) — consumed by als_factors and the
+    hybrid recommender."""
+
+    def build():
+        return als_mod.als_rank2(_als_interactions(spark, sf_dir), alternations=2, lam=0.1)
+
+    return memo(spark, ("als_rank2_a2", sf_dir), build)
+
+
+@register("als_factors", _als_oracle_sql(alternations=2))
+def q_als_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-2 weighted ALS over the customer x product purchase matrix
+    (2 full U->I alternations, closed-form 2x2 solves, lam=0.1) — the
+    per-nation customer-factor means plus the global weighted SSE / RMSE,
+    all hash-checked against the unrolled decimal-exact oracle. The
+    model-based CF counterpart of item_item_neighbors; every iterate is
+    engine-exact (see ml/als.py for the convention and the scale story)."""
+    t = load_tables(spark, sf_dir, names=("customer", "nation"))
+    inter_m, x, y = _als_shared(spark, sf_dir)
     fit = als_mod.als_fit_report(inter_m, x, y)
     nat = (
         x.join(
@@ -1298,5 +1313,222 @@ def q_als_fold_in(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("f1"), 6).alias("f1"),
             F.round(F.col("f2"), 6).alias("f2"),
             F.round(F.sqrt(F.col("wsse_d") / F.col("sw_d")), 6).alias("rmse_u"),
+        )
+    )
+
+
+def _hybrid_oracle_sql(alternations: int = 2) -> str:
+    """Unrolled DuckDB mirror of q_hybrid_recommendations: capped basket +
+    item-item neighbor table + the full ALS train chain + decayed
+    popularity, fused per cohort customer by reciprocal-rank fusion.
+    Every ranker's sort key is engine-exact (6dp CF cosine, 9dp ALS dot,
+    DECIMAL popularity), ranks are integers, and the RRF sum is the same
+    fixed-order double expression on both engines."""
+    lam_n = "CAST(0.1 AS DOUBLE) * CAST(n AS DOUBLE)"
+    det = f"((a11 + {lam_n}) * (a22 + {lam_n}) - a12 * a12)"
+
+    def seed(tag: str) -> str:
+        return (
+            f"ROUND(('0x' || substr(md5(concat('{tag}', CAST(p AS VARCHAR))), 1, 8))::BIGINT"
+            " / 2147483648.0 - 1.0, 9) * 0.5"
+        )
+
+    def gram(src: str, out_key: str, in_key: str, factors: str) -> str:
+        return (
+            f"SELECT i.{out_key}, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1 * f.f1, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a11, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1 * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a12, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f2 * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS a22, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f1, 9) AS DECIMAL(26,12))) AS DOUBLE) AS b1, "
+            "CAST(SUM(CAST(ROUND(i.w * f.f2, 9) AS DECIMAL(26,12))) AS DOUBLE) AS b2, "
+            "COUNT(*) AS n "
+            f"FROM {src} i JOIN {factors} f ON f.{in_key} = i.{in_key} GROUP BY i.{out_key}"
+        )
+
+    def solve(key: str, gram_cte: str) -> str:
+        return (
+            f"SELECT {key}, "
+            f"ROUND(((a22 + {lam_n}) * b1 - a12 * b2) / {det}, 12) AS f1, "
+            f"ROUND(((a11 + {lam_n}) * b2 - a12 * b1) / {det}, 12) AS f2 "
+            f"FROM {gram_cte}"
+        )
+
+    parts = [
+        # capped basket (the item-item / cohort universe)
+        "basket0 AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "basket AS MATERIALIZED (SELECT * FROM basket0 WHERE c NOT IN ("
+        "SELECT c FROM basket0 GROUP BY c HAVING COUNT(*) > 200))",
+        # item-item neighbor table (same as item_item_neighbors)
+        "prod AS MATERIALIZED (SELECT p, COUNT(*) AS cnt FROM basket GROUP BY p)",
+        "anchors AS MATERIALIZED (SELECT p, cnt FROM prod ORDER BY cnt DESC, p ASC LIMIT 100)",
+        "iipairs AS MATERIALIZED (SELECT a.p AS anchor, b.p AS neighbor, COUNT(*) AS support "
+        "FROM (SELECT bk.c, bk.p FROM basket bk JOIN anchors an ON bk.p = an.p) a "
+        "JOIN basket b ON a.c = b.c AND a.p <> b.p GROUP BY a.p, b.p)",
+        "iiscored AS MATERIALIZED (SELECT anchor, neighbor, support, "
+        "CAST(support AS DOUBLE) / sqrt(CAST(pa.cnt * pb.cnt AS DOUBLE)) AS cos_raw "
+        "FROM iipairs JOIN anchors pa ON pa.p = anchor JOIN prod pb ON pb.p = neighbor "
+        "WHERE support >= 3)",
+        "nb AS MATERIALIZED (SELECT anchor, neighbor, ROUND(cos_raw, 6) AS cosine FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor ORDER BY cos_raw DESC, neighbor ASC) AS r "
+        "FROM iiscored) WHERE r <= 5)",
+        # ALS train chain (same as als_factors)
+        "inter AS MATERIALIZED (SELECT o_custkey AS c, l_partkey AS p, "
+        "CAST(COUNT(*) AS DOUBLE) AS w FROM orders "
+        "JOIN lineitem ON l_orderkey = o_orderkey GROUP BY o_custkey, l_partkey)",
+        "yf0 AS MATERIALIZED (SELECT p, "
+        f"{seed('alsYA_')} AS f1, {seed('alsYB_')} AS f2 "
+        "FROM (SELECT DISTINCT p FROM inter))",
+    ]
+    for i in range(1, alternations + 1):
+        parts.append(f"ug{i} AS MATERIALIZED ({gram('inter', 'c', 'p', f'yf{i - 1}')})")
+        parts.append(f"xf{i} AS MATERIALIZED ({solve('c', f'ug{i}')})")
+        parts.append(f"ig{i} AS MATERIALIZED ({gram('inter', 'p', 'c', f'xf{i}')})")
+        parts.append(f"yf{i} AS MATERIALIZED ({solve('p', f'ig{i}')})")
+    a = alternations
+    parts += [
+        # decayed popularity (same decimal terms as recency_weighted_popularity)
+        "purch AS MATERIALIZED (SELECT l_partkey AS p, CAST(o_orderdate AS DATE) AS d "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey)",
+        "mx AS MATERIALIZED (SELECT MAX(d) AS mx FROM purch)",
+        "popagg AS MATERIALIZED (SELECT p, SUM(CAST(ROUND(POWER(0.5, "
+        "date_diff('day', d, mx.mx) / 180.0), 12) AS DECIMAL(26,12))) AS score_dec "
+        "FROM purch CROSS JOIN mx GROUP BY p)",
+        "pop20 AS MATERIALIZED (SELECT p FROM popagg ORDER BY score_dec DESC, p ASC LIMIT 20)",
+        # cohort + candidate pool
+        "cohort AS MATERIALIZED (SELECT DISTINCT c FROM basket WHERE "
+        "(('0x' || substr(md5(concat('hyb_', CAST(c AS VARCHAR))), 1, 8))::BIGINT % 20) = 0)",
+        "cf_cand AS MATERIALIZED (SELECT b.c, nb.neighbor AS p, MAX(nb.cosine) AS cf "
+        "FROM basket b JOIN cohort ch ON ch.c = b.c JOIN nb ON nb.anchor = b.p "
+        "GROUP BY b.c, nb.neighbor)",
+        "pop_cand AS MATERIALIZED (SELECT ch.c, p20.p, CAST(NULL AS DOUBLE) AS cf "
+        "FROM cohort ch CROSS JOIN pop20 p20)",
+        "cand0 AS MATERIALIZED (SELECT c, p, MAX(cf) AS cf FROM ("
+        "SELECT * FROM cf_cand UNION ALL SELECT * FROM pop_cand) GROUP BY c, p)",
+        "cand1 AS MATERIALIZED (SELECT c0.* FROM cand0 c0 WHERE NOT EXISTS ("
+        "SELECT 1 FROM basket b WHERE b.c = c0.c AND b.p = c0.p))",
+        f"cand AS MATERIALIZED (SELECT c1.c, c1.p, COALESCE(c1.cf, -1.0) AS cfs, "
+        f"ROUND(x.f1 * y.f1 + x.f2 * y.f2, 9) AS als, pa.score_dec AS pop "
+        f"FROM cand1 c1 JOIN xf{a} x ON x.c = c1.c JOIN yf{a} y ON y.p = c1.p "
+        f"JOIN popagg pa ON pa.p = c1.p)",
+        "rr AS MATERIALIZED (SELECT c, p, "
+        "ROW_NUMBER() OVER (PARTITION BY c ORDER BY cfs DESC, p ASC) AS r_cf, "
+        "ROW_NUMBER() OVER (PARTITION BY c ORDER BY als DESC, p ASC) AS r_als, "
+        "ROW_NUMBER() OVER (PARTITION BY c ORDER BY pop DESC, p ASC) AS r_pop "
+        "FROM cand)",
+        "fused AS MATERIALIZED (SELECT c, p, "
+        "ROUND(CAST(0.5 AS DOUBLE) / r_cf + CAST(0.3 AS DOUBLE) / r_als "
+        "+ CAST(0.2 AS DOUBLE) / r_pop, 9) AS rrf FROM rr)",
+    ]
+    return (
+        "WITH " + ",\n".join(parts) + """
+SELECT c AS customer_id, CAST(rank AS INT) AS rank, p AS p_partkey,
+       ROUND(rrf, 6) AS rrf_score
+FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY c ORDER BY rrf DESC, p ASC) AS rank
+      FROM fused)
+WHERE rank <= 3
+"""
+    )
+
+
+@register("hybrid_recommendations", _hybrid_oracle_sql(alternations=2))
+def q_hybrid_recommendations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hybrid recommender, end to end: per cohort customer (md5 5%
+    sample), candidates = item-item CF neighbors of their purchased
+    anchor items ∪ the global time-decay top-20 fallback, minus
+    already-purchased; three rankers over the pool — CF cosine (6dp),
+    trained rank-2 ALS dot (9dp), decayed popularity (exact DECIMAL) —
+    fused by reciprocal-rank fusion 0.5/r_cf + 0.3/r_als + 0.2/r_pop
+    (RRF: ranks are integers, so fusion carries NO cross-engine float
+    normalization risk); top-3 per customer. Rides the memoized capped
+    basket, item-item table and trained ALS artifacts — the retrieval ∪
+    fallback → multi-ranker → fuse architecture every production
+    recommender serves. All three component models are themselves
+    hash-checked queries (item_item_neighbors, als_factors,
+    recency_weighted_popularity); this query pins their COMPOSITION."""
+    from .registry_relational import capped_basket, item_item_topk
+
+    basket = capped_basket(spark, sf_dir)
+    nb = item_item_topk(spark, sf_dir)
+    _, x, y = _als_shared(spark, sf_dir)
+
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+    purch = (
+        t["orders"]
+        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
+        .select(F.col("l_partkey").alias("p"), F.to_date("o_orderdate").alias("d"))
+    )
+    mx = purch.agg(F.max("d").alias("mx"))
+    popagg = (
+        purch.crossJoin(F.broadcast(mx))
+        .select(
+            "p",
+            F.round(F.pow(F.lit(0.5), F.datediff("mx", "d") / F.lit(180.0)), 12)
+            .cast("decimal(26,12)")
+            .alias("term"),
+        )
+        .groupBy("p")
+        .agg(F.sum("term").alias("pop"))
+        .localCheckpoint(eager=True)
+    )
+    pop20 = popagg.orderBy(F.desc("pop"), F.asc("p")).limit(20).select("p")
+
+    from ..functions.text import md5_int32
+
+    cohort = (
+        basket.select("c")
+        .distinct()
+        .filter(md5_int32(F.concat(F.lit("hyb_"), F.col("c").cast("string"))) % 20 == 0)
+    )
+    cf_cand = (
+        basket.join(cohort, "c")
+        .join(nb.select(F.col("anchor").alias("p"), "neighbor", "cosine"), "p")
+        .groupBy("c", F.col("neighbor").alias("cp"))
+        .agg(F.max("cosine").alias("cf"))
+        .select("c", F.col("cp").alias("p"), "cf")
+    )
+    pop_cand = cohort.crossJoin(F.broadcast(pop20)).select(
+        "c", "p", F.lit(None).cast("double").alias("cf")
+    )
+    cand0 = (
+        cf_cand.unionByName(pop_cand)
+        .groupBy("c", "p")
+        .agg(F.max("cf").alias("cf"))
+    )
+    cand1 = cand0.join(basket, ["c", "p"], "left_anti")
+    cand = (
+        cand1.join(x.select("c", F.col("f1").alias("x1"), F.col("f2").alias("x2")), "c")
+        .join(y.select("p", F.col("f1").alias("y1"), F.col("f2").alias("y2")), "p")
+        .join(popagg, "p")
+        .select(
+            "c",
+            "p",
+            F.coalesce(F.col("cf"), F.lit(-1.0)).alias("cfs"),
+            F.round(F.col("x1") * F.col("y1") + F.col("x2") * F.col("y2"), 9).alias("als"),
+            "pop",
+        )
+    )
+    from pyspark.sql import Window as W
+
+    def rnk(col: str) -> F.Column:
+        return F.row_number().over(W.partitionBy("c").orderBy(F.desc(col), F.asc("p")))
+
+    rr = cand.select(
+        "c", "p", rnk("cfs").alias("r_cf"), rnk("als").alias("r_als"), rnk("pop").alias("r_pop")
+    )
+    rrf = F.round(
+        F.lit(0.5) / F.col("r_cf") + F.lit(0.3) / F.col("r_als") + F.lit(0.2) / F.col("r_pop"),
+        9,
+    )
+    fused = rr.select("c", "p", rrf.alias("rrf"))
+    fw = W.partitionBy("c").orderBy(F.desc("rrf"), F.asc("p"))
+    return (
+        fused.withColumn("rank", F.row_number().over(fw))
+        .filter(F.col("rank") <= 3)
+        .select(
+            F.col("c").alias("customer_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.col("p").alias("p_partkey"),
+            F.round(F.col("rrf"), 6).alias("rrf_score"),
         )
     )

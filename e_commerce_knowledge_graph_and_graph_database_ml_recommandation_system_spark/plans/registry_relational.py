@@ -721,6 +721,59 @@ SELECT anchor, CAST(rank AS INT) AS rank, neighbor,
 FROM ranked WHERE rank <= 5
 """,
 )
+def item_item_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized item-item CF neighbor table (anchor, rank, neighbor,
+    support, cosine) — consumed by item_item_neighbors and the hybrid
+    recommender; one anchor-pair join per verification run."""
+
+    def build() -> DataFrame:
+        basket = capped_basket(spark, sf_dir)
+        prod = basket.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+        anchors = prod.orderBy(F.desc("cnt"), F.asc("p")).limit(100).localCheckpoint(eager=True)
+        a = (
+            basket.join(F.broadcast(anchors.select("p")), "p")
+            .select("c", F.col("p").alias("anchor"))
+        )
+        b = basket.select("c", F.col("p").alias("neighbor"))
+        pairs = (
+            a.join(b, "c")
+            .filter(F.col("anchor") != F.col("neighbor"))
+            .groupBy("anchor", "neighbor")
+            .agg(F.count(F.lit(1)).alias("support"))
+            .filter(F.col("support") >= 3)
+        )
+        scored = (
+            pairs.join(
+                F.broadcast(
+                    anchors.select(F.col("p").alias("anchor"), F.col("cnt").alias("cnt_a"))
+                ),
+                "anchor",
+            )
+            .join(prod.select(F.col("p").alias("neighbor"), F.col("cnt").alias("cnt_b")), "neighbor")
+            .withColumn(
+                "cos_raw",
+                F.col("support").cast("double")
+                / F.sqrt((F.col("cnt_a") * F.col("cnt_b")).cast("double")),
+            )
+        )
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("anchor").orderBy(F.desc("cos_raw"), F.asc("neighbor"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 5)
+            .select(
+                "anchor",
+                F.col("rank").cast("int").alias("rank"),
+                "neighbor",
+                F.col("support").cast("long").alias("support"),
+                F.round("cos_raw", 6).alias("cosine"),
+            )
+        )
+
+    return memo(spark, ("item_item_topk", sf_dir), build)
+
+
 def q_item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Item-item collaborative filtering — the 'customers who bought X
     also bought Y' neighborhood model (the classic e-commerce recommender
@@ -738,50 +791,7 @@ def q_item_item_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     the rank window (cos desc, neighbor asc) is deterministic
     cross-engine; output rounds to 6dp.
     """
-    basket = capped_basket(spark, sf_dir)
-    prod = basket.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
-    anchors = prod.orderBy(F.desc("cnt"), F.asc("p")).limit(100).localCheckpoint(eager=True)
-
-    a = (
-        basket.join(F.broadcast(anchors.select("p")), "p")
-        .select("c", F.col("p").alias("anchor"))
-    )
-    b = basket.select("c", F.col("p").alias("neighbor"))
-    pairs = (
-        a.join(b, "c")
-        .filter(F.col("anchor") != F.col("neighbor"))
-        .groupBy("anchor", "neighbor")
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= 3)
-    )
-    scored = (
-        pairs.join(
-            F.broadcast(anchors.select(F.col("p").alias("anchor"), F.col("cnt").alias("cnt_a"))),
-            "anchor",
-        )
-        .join(prod.select(F.col("p").alias("neighbor"), F.col("cnt").alias("cnt_b")), "neighbor")
-        .withColumn(
-            "cos_raw",
-            F.col("support").cast("double")
-            / F.sqrt((F.col("cnt_a") * F.col("cnt_b")).cast("double")),
-        )
-    )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("anchor").orderBy(F.desc("cos_raw"), F.asc("neighbor"))
-    out = (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "anchor",
-            F.col("rank").cast("int").alias("rank"),
-            "neighbor",
-            F.col("support").cast("long").alias("support"),
-            F.round("cos_raw", 6).alias("cosine"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    return out
+    return item_item_topk(spark, sf_dir)
 
 
 @register(

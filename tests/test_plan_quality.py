@@ -132,6 +132,9 @@ NO_CARTESIAN_ONLY = [
     "frequent_triples",
     # fold-in: one U-step join+aggregate against the frozen factor table
     "als_fold_in",
+    # hybrid: the 20-row popularity fallback fans out as an explicit
+    # broadcast crossJoin; the 1-row max-date broadcast feeds the decay
+    "hybrid_recommendations",
 ]
 
 
