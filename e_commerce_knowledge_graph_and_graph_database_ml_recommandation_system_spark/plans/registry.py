@@ -91,6 +91,9 @@ _DRIVER_UNSAMPLED = (
     "als_fold_in",
     "events_markov_holdout",
     "hybrid_recommendations",
+    "ivf_probe_recall_audit",
+    "large_volume_customers",
+    "min_cost_supplier_region",
 )
 
 

@@ -1338,3 +1338,137 @@ def q_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.asc("p1"), F.asc("p2"), F.asc("p3"))
         .limit(100)
     )
+
+
+@register(
+    "large_volume_customers",
+    """
+WITH big AS (
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(ROUND(l_quantity) AS BIGINT)) > 200
+)
+SELECT c.c_name, c.c_custkey, o.o_orderkey,
+       strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       ROUND(o.o_totalprice, 2) AS o_totalprice,
+       CAST(SUM(CAST(ROUND(l.l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN big ON big.l_orderkey = o.o_orderkey
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+""",
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (the classic TPC-H Q18 shape): orders whose
+    line quantities sum past a threshold, joined back to the customer —
+    the aggregate-subquery-as-semi-join pattern that exercises the
+    optimizer's decorrelation. The HAVING aggregate runs ONCE as a keyed
+    aggregate and semi-joins the fact table (never a correlated per-row
+    re-aggregation); quantities ride as exact ints."""
+    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem"))
+    qty = F.round(F.col("l_quantity")).cast("long")
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum(qty).alias("sq"))
+        .filter(F.col("sq") > 200)
+        .select("l_orderkey")
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(big, "l_orderkey", "left_semi")
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+        )
+        .agg(F.sum(qty).cast("long").alias("sum_qty"))
+    )
+
+
+@register(
+    "min_cost_supplier_region",
+    """
+WITH offer AS (
+    SELECT l.l_partkey AS p, l.l_suppkey AS s,
+           ROUND(MIN(l.l_extendedprice / l.l_quantity), 6) AS unit_cost
+    FROM lineitem l
+    JOIN supplier su ON su.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = su.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE' AND l.l_quantity > 0
+    GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (
+    SELECT p, s, unit_cost,
+           ROW_NUMBER() OVER (PARTITION BY p ORDER BY unit_cost ASC, s ASC) AS rnk
+    FROM offer
+)
+SELECT b.p AS p_partkey, pa.p_name, b.s AS s_suppkey, su.s_name, b.unit_cost
+FROM best b
+JOIN part pa ON pa.p_partkey = b.p
+JOIN supplier su ON su.s_suppkey = b.s
+WHERE b.rnk = 1
+ORDER BY b.unit_cost ASC, b.p ASC
+LIMIT 100
+""",
+)
+def q_min_cost_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier per part within a region (the TPC-H Q2
+    shape, using observed per-line unit prices since the schema carries
+    no partsupp): the correlated 'supplier with MIN cost for this part'
+    subquery expressed as one keyed aggregate + a per-part rank window —
+    the decorrelation every optimizer-workout suite checks. Unit costs
+    are identical IEEE divisions on both engines, so the 6dp-rounded
+    ranking is deterministic; region filter prunes at the dim side
+    before the fact join."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "supplier", "nation", "region", "part"))
+    offer = (
+        t["lineitem"]
+        .filter(F.col("l_quantity") > 0)
+        .join(
+            t["supplier"].select("s_suppkey", "s_nationkey"),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            t["nation"].select("n_nationkey", "n_regionkey"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            t["region"].filter(F.col("r_name") == "EUROPE").select("r_regionkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy(F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s"))
+        .agg(
+            F.round(F.min(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("p").orderBy(F.asc("unit_cost"), F.asc("s"))
+    best = offer.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return (
+        best.join(
+            load_tables(spark, sf_dir, names=("part",))["part"].select(
+                F.col("p_partkey"), "p_name"
+            ),
+            best.p == F.col("p_partkey"),
+        )
+        .join(
+            t["supplier"].select(F.col("s_suppkey").alias("sk"), "s_name"),
+            best.s == F.col("sk"),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s").alias("s_suppkey"),
+            "s_name",
+            "unit_cost",
+        )
+        .orderBy(F.asc("unit_cost"), F.asc("p_partkey"))
+        .limit(100)
+    )

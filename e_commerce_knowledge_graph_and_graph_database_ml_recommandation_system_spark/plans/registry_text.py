@@ -1045,13 +1045,27 @@ FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
 WHERE rank <= 5
 """,
 )
+def _ivf_hash_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized ivf_hash_topk(k=5, n_cells=16, n_probe=2) — consumed by
+    ann_ivf_hash_topk and the probe-depth audit's middle point."""
+    from ._memo import memo
+
+    return memo(
+        spark,
+        ("ivf_hash_topk_5_16_2", sf_dir),
+        lambda: sim.ivf_hash_topk(
+            load_table(spark, "embeddings", sf_dir), k=5, n_cells=16, n_probe=2
+        ),
+    )
+
+
 def q_ann_ivf_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic-centroid IVF ANN (md5-sampled coarse quantizer) — the
     hash-oracle-checked sibling of the KMeans ``ann_ivf_topk``: same
     index/probe/re-rank dataflow, reproducible centroids, so the FULL
     approximate result is pinned cross-engine. Recall-vs-brute stays a
     pytest invariant for both variants."""
-    return sim.ivf_hash_topk(load_table(spark, "embeddings", sf_dir), k=5, n_cells=16, n_probe=2)
+    return _ivf_hash_shared(spark, sf_dir)
 
 
 _SPLIT_CASE = (
@@ -2501,3 +2515,93 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, "embeddings", sf_dir),
         k=5, n_cells=16, n_probe=2, m=8, n_codes=16, iters=2, rerank=20,
     )
+
+
+def _ivf_probe_audit_oracle_sql(k: int = 5, n_cells: int = 16, probes=(1, 2, 4)) -> str:
+    """Unrolled DuckDB mirror of q_ivf_probe_recall_audit: the exact
+    brute-force top-k as ground truth, the ivf_hash candidate chain once,
+    then one recall row per probe depth — the ANN counterpart of
+    lsh_recall_audit's sampled-audit instrument."""
+    parts = [
+        "e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v, "
+        "('0x' || substr(md5(concat('ivf_', vec_id)), 1, 8))::BIGINT AS h FROM embeddings)",
+        "bp AS MATERIALIZED (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, "
+        "ROUND(list_cosine_similarity(a.v, b.v), 6) AS cosine "
+        "FROM e a JOIN e b ON a.vec_id <> b.vec_id)",
+        "brute AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS r "
+        f"FROM bp) WHERE r <= {k})",
+        "nb AS MATERIALIZED (SELECT COUNT(*) AS n FROM brute)",
+        "cent AS MATERIALIZED (SELECT v AS cv, ROW_NUMBER() OVER (ORDER BY h, vec_id) - 1 AS cell "
+        f"FROM (SELECT * FROM e ORDER BY h, vec_id LIMIT {n_cells}))",
+        "sims AS MATERIALIZED (SELECT e.vec_id, c.cell, "
+        "ROUND(list_dot_product(e.v, c.cv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))), 9) AS cos "
+        "FROM e CROSS JOIN cent c)",
+        "rc AS MATERIALIZED (SELECT vec_id, cell, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cell ASC) AS r FROM sims)",
+        "assign AS MATERIALIZED (SELECT vec_id, cell FROM rc WHERE r = 1)",
+    ]
+    sel = []
+    for np_ in probes:
+        parts.append(
+            f"top{np_} AS MATERIALIZED (SELECT query_id, neighbor_id FROM ("
+            "SELECT res.query_id, res.neighbor_id, "
+            "ROW_NUMBER() OVER (PARTITION BY res.query_id ORDER BY res.cosine DESC, res.neighbor_id ASC) AS r "
+            "FROM (SELECT c.query_id, c.neighbor_id, "
+            "ROUND(list_dot_product(ea.v, eb.v) / "
+            "(sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))), 6) AS cosine "
+            f"FROM (SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id "
+            f"FROM (SELECT vec_id, cell FROM rc WHERE r <= {np_}) p "
+            "JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id) c "
+            "JOIN e ea ON ea.vec_id = c.query_id JOIN e eb ON eb.vec_id = c.neighbor_id) res"
+            f") WHERE r <= {k})"
+        )
+        sel.append(
+            f"SELECT {np_} AS n_probe, CAST(nb.n AS BIGINT) AS n_exact, "
+            f"CAST((SELECT COUNT(*) FROM brute br JOIN top{np_} t "
+            "ON t.query_id = br.query_id AND t.neighbor_id = br.neighbor_id) AS BIGINT) AS n_hit, "
+            f"ROUND(CAST((SELECT COUNT(*) FROM brute br JOIN top{np_} t "
+            "ON t.query_id = br.query_id AND t.neighbor_id = br.neighbor_id) AS DOUBLE) / nb.n, 6) AS recall "
+            "FROM nb"
+        )
+    return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@register("ivf_probe_recall_audit", _ivf_probe_audit_oracle_sql(k=5, n_cells=16, probes=(1, 2, 4)))
+def q_ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN observability: recall@5 of the deterministic-centroid IVF
+    against exact brute force at probe depths 1 / 2 / 4 — the
+    probe-budget sweep a vector-search deployment runs on a sample
+    before picking its latency/recall operating point (the ANN
+    counterpart of lsh_recall_audit). Both pair sets are deterministic,
+    so the recall RATIOS hash-match. The brute ground truth and the
+    single cell-ranking table are computed once and shared across
+    probe depths."""
+    from ._memo import memo
+
+    emb = load_table(spark, "embeddings", sf_dir)
+    # ann_topk is the size-dispatched BLAS form of brute_topk — identical
+    # semantics (pytest-gated), ~8x cheaper ground truth
+    brute = memo(
+        spark,
+        ("brute_topk_pairs", sf_dir),
+        lambda: sim.ann_topk(emb, k=5).select("query_id", "neighbor_id"),
+    )
+    n_exact = brute.count()
+    out = None
+    for np_ in (1, 2, 4):
+        ivf = (
+            _ivf_hash_shared(spark, sf_dir)
+            if np_ == 2
+            else sim.ivf_hash_topk(emb, k=5, n_cells=16, n_probe=np_)
+        ).select("query_id", "neighbor_id")
+        n_hit = brute.join(ivf, ["query_id", "neighbor_id"]).count()
+        row = spark.range(1).select(
+            F.lit(np_).cast("int").alias("n_probe"),
+            F.lit(n_exact).cast("long").alias("n_exact"),
+            F.lit(n_hit).cast("long").alias("n_hit"),
+            F.round(F.lit(n_hit) / F.lit(n_exact), 6).alias("recall"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

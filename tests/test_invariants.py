@@ -1890,3 +1890,55 @@ def test_als_fold_in_cold_start_quality(spark):
     assert bad == 0
     avg_rmse = df.agg(F.avg("rmse_u")).first()[0]
     assert avg_rmse < 1.0, f"fold-in no better than zero factors: {avg_rmse:.3f}"
+
+
+def test_als_solve_matches_numpy(spark):
+    """Property test for the closed-form 2x2 Cramer solve: on randomized
+    weighted interaction sets, _solve_step's factors must match
+    numpy.linalg.solve on the same regularized normal equations (built
+    with the same 9dp/DECIMAL rounding discipline) to ~1e-9. Covers the
+    determinant-positivity claim (Cauchy-Schwarz + lam*n) on adversarial
+    single-item and duplicate-vector users."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    rows = []
+    y_rows = []
+    items = list(range(12))
+    for p in items:
+        y_rows.append((p, round(rng.uniform(-0.5, 0.5), 9), round(rng.uniform(-0.5, 0.5), 9)))
+    # user 0: single item; user 1: all items same factor dup; users 2-9 random
+    rows.append((0, 3, 2.0))
+    for p in items:
+        rows.append((1, p, 1.0))
+    for u in range(2, 10):
+        for p in rng.choice(items, size=rng.randint(1, 8), replace=False):
+            rows.append((u, int(p), float(rng.randint(1, 5))))
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import als
+
+    inter = spark.createDataFrame(rows, "c long, p long, w double")
+    y = spark.createDataFrame(y_rows, "p long, f1 double, f2 double")
+    got = {r["c"]: (r["f1"], r["f2"]) for r in als._solve_step(inter, y, "p", "c", lam=0.1).collect()}
+
+    yd = {p: np.array([f1, f2]) for p, f1, f2 in y_rows}
+    by_user = {}
+    for c, p, w in rows:
+        by_user.setdefault(c, []).append((p, w))
+    for c, pw in by_user.items():
+        A = np.zeros((2, 2))
+        b = np.zeros(2)
+        for p, w in pw:
+            v = yd[p]
+            A[0, 0] += round(w * v[0] * v[0], 9)
+            A[0, 1] += round(w * v[0] * v[1], 9)
+            A[1, 1] += round(w * v[1] * v[1], 9)
+            b[0] += round(w * v[0], 9)
+            b[1] += round(w * v[1], 9)
+        A[1, 0] = A[0, 1]
+        n = len(pw)
+        A[0, 0] += 0.1 * n
+        A[1, 1] += 0.1 * n
+        x = np.linalg.solve(A, b)
+        assert abs(got[c][0] - x[0]) < 1e-9 and abs(got[c][1] - x[1]) < 1e-9, (
+            f"user {c}: {got[c]} vs numpy {x}"
+        )

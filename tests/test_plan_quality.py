@@ -135,6 +135,9 @@ NO_CARTESIAN_ONLY = [
     # hybrid: the 20-row popularity fallback fans out as an explicit
     # broadcast crossJoin; the 1-row max-date broadcast feeds the decay
     "hybrid_recommendations",
+    # classic decision-support shapes: all equi-joins + one rank window
+    "large_volume_customers",
+    "min_cost_supplier_region",
 ]
 
 
