@@ -94,6 +94,8 @@ _DRIVER_UNSAMPLED = (
     "ivf_probe_recall_audit",
     "large_volume_customers",
     "min_cost_supplier_region",
+    "nation_trade_flows",
+    "events_anomaly_consensus",
 )
 
 

@@ -1472,3 +1472,57 @@ def q_min_cost_supplier_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("unit_cost"), F.asc("p_partkey"))
         .limit(100)
     )
+
+
+@register(
+    "nation_trade_flows",
+    """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l.l_shipdate) AS INT) AS l_year,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))
+                * CAST(1 - l.l_discount AS DECIMAL(8,4))) AS DOUBLE) AS revenue
+FROM lineitem l
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+WHERE n1.n_name <> n2.n_name
+GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
+""",
+)
+def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade volume by ship year (the TPC-H Q7 shape): the
+    two-role nation dimension joined from both the supplier and the
+    customer side of every line — the multi-hop star join whose dim
+    tables must all broadcast. Revenue accumulates in DECIMAL (the
+    repo's exact-money convention), so the per-(pair, year) sums are
+    engine-identical."""
+    t = load_tables(
+        spark, sf_dir, names=("lineitem", "supplier", "nation", "orders", "customer")
+    )
+    n1 = t["nation"].select(
+        F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = t["nation"].select(
+        F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    return (
+        t["lineitem"]
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(t["orders"].select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

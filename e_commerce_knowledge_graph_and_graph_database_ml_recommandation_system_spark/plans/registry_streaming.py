@@ -890,3 +890,116 @@ def q_events_markov_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(hit).cast("double") / F.count(F.lit(1)), 6).alias("hit_rate"),
         )
     )
+
+
+@register(
+    "events_anomaly_consensus",
+    """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+    FROM events GROUP BY 1, 2
+),
+stats AS (
+    SELECT event_type, AVG(cnt) AS mu, stddev_pop(cnt) AS sigma
+    FROM daily GROUP BY event_type
+),
+contrib AS (
+    SELECT d.event_type,
+           d.day + k.k * INTERVAL 1 DAY AS target_day,
+           ROUND(ROUND(pow(0.7, k.k - 1), 9) * d.cnt, 9) AS wcnt,
+           ROUND(pow(0.7, k.k - 1), 9) AS w
+    FROM daily d CROSS JOIN (SELECT UNNEST(range(1, 8)) AS k) k
+),
+hist AS (
+    SELECT event_type, target_day,
+           CAST(SUM(CAST(wcnt AS DECIMAL(26,12))) AS DOUBLE) AS num,
+           CAST(SUM(CAST(w AS DECIMAL(26,12))) AS DOUBLE) AS den
+    FROM contrib GROUP BY 1, 2
+),
+lagd AS (
+    SELECT event_type, day, cnt,
+           LAG(cnt) OVER (PARTITION BY event_type ORDER BY day) AS prev_cnt
+    FROM daily
+),
+flags AS (
+    SELECT l.event_type, l.day, l.cnt,
+           CAST(round(abs((l.cnt - s.mu) / NULLIF(s.sigma, 0)), 9) > 2.0 AS INT) AS z_flag,
+           CAST(round(l.cnt / (h.num / h.den), 9) > 1.5 AS INT) AS ewma_flag,
+           CAST(l.prev_cnt IS NOT NULL AND l.cnt > 2 * l.prev_cnt AS INT) AS jump_flag
+    FROM lagd l
+    JOIN stats s ON s.event_type = l.event_type
+    JOIN hist h ON h.event_type = l.event_type AND h.target_day = l.day
+)
+SELECT event_type, strftime(day, '%Y-%m-%d') AS day, CAST(cnt AS BIGINT) AS cnt,
+       z_flag, ewma_flag, jump_flag,
+       CAST(z_flag + ewma_flag + jump_flag AS INT) AS n_detectors,
+       CAST(z_flag + ewma_flag + jump_flag >= 2 AS INT) AS consensus
+FROM flags
+""",
+)
+def q_events_anomaly_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detector-ensemble monitoring: three independent daily anomaly
+    signals per event type — corpus z-score (|z| > 2), 7-day EWMA burst
+    (ratio > 1.5, the events_ewma_daily recursion-as-scatter form), and
+    a day-over-day jump (cnt > 2x previous) — plus the >=2-of-3
+    consensus flag that production alerting actually pages on (single
+    detectors are noisy; the ensemble is the standard fix). Every
+    threshold compare carries the repo's round-before-compare guard;
+    EWMA terms follow the 9dp+DECIMAL convention; the only window is a
+    per-type LAG over ~30 day-rows."""
+    ev = load_table(spark, "events", sf_dir)
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_pop("cnt").alias("sigma")
+    )
+    wexp = F.round(F.pow(F.lit(0.7), F.col("k") - 1), 9)
+    contrib = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.explode(F.sequence(F.lit(1), F.lit(7))).alias("k"),
+    ).select(
+        "event_type",
+        F.date_add("day", F.col("k")).alias("target_day"),
+        F.round(wexp * F.col("cnt"), 9).alias("wcnt"),
+        wexp.alias("w"),
+    )
+    hist = contrib.groupBy("event_type", "target_day").agg(
+        F.sum(F.col("wcnt").cast("decimal(26,12)")).cast("double").alias("num"),
+        F.sum(F.col("w").cast("decimal(26,12)")).cast("double").alias("den"),
+    )
+    lw = Window.partitionBy("event_type").orderBy("day")
+    lagd = daily.withColumn("prev_cnt", F.lag("cnt").over(lw))
+    ewma = F.col("num") / F.col("den")
+    flags = (
+        lagd.join(stats, "event_type")
+        .join(hist.withColumnRenamed("target_day", "day"), ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "cnt",
+            (
+                F.round(
+                    F.abs((F.col("cnt") - F.col("mu")) / F.nullif(F.col("sigma"), F.lit(0.0))), 9
+                )
+                > 2.0
+            ).cast("int").alias("z_flag"),
+            (F.round(F.col("cnt") / ewma, 9) > 1.5).cast("int").alias("ewma_flag"),
+            (
+                F.col("prev_cnt").isNotNull() & (F.col("cnt") > 2 * F.col("prev_cnt"))
+            ).cast("int").alias("jump_flag"),
+        )
+    )
+    nd = F.col("z_flag") + F.col("ewma_flag") + F.col("jump_flag")
+    return flags.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cnt").cast("long").alias("cnt"),
+        "z_flag",
+        "ewma_flag",
+        "jump_flag",
+        nd.cast("int").alias("n_detectors"),
+        (nd >= 2).cast("int").alias("consensus"),
+    )

@@ -138,6 +138,9 @@ NO_CARTESIAN_ONLY = [
     # classic decision-support shapes: all equi-joins + one rank window
     "large_volume_customers",
     "min_cost_supplier_region",
+    # Q7 star join (broadcast dims) and the detector ensemble
+    "nation_trade_flows",
+    "events_anomaly_consensus",
 ]
 
 
