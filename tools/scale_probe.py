@@ -43,8 +43,10 @@ KEY_UNITS = {
 }
 
 
-# dimension tables carried verbatim (no keys to shift; graph queries need them)
-COPY_TABLES = ("nation", "region")
+# dimension tables carried verbatim (no keys to shift; graph queries need
+# them; supplier rides along unshifted because lineitem's l_suppkey is not
+# key-shifted either — every replica references the same 100x|SF| suppliers)
+COPY_TABLES = ("nation", "region", "supplier")
 
 DEFAULT_QUERIES = (
     "flagship_diverse_topk",
