@@ -96,6 +96,8 @@ _DRIVER_UNSAMPLED = (
     "min_cost_supplier_region",
     "nation_trade_flows",
     "events_anomaly_consensus",
+    "nation_market_share",
+    "ltv_cohort_triangle",
 )
 
 

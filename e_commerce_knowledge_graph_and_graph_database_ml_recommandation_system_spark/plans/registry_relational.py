@@ -1526,3 +1526,163 @@ def q_nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@register(
+    "nation_market_share",
+    """
+WITH eu_lines AS (
+    SELECT year(o.o_orderdate) AS o_year,
+           n1.n_name AS supp_nation,
+           CAST(l.l_extendedprice AS DECIMAL(18,4))
+               * CAST(1 - l.l_discount AS DECIMAL(8,4)) AS rev
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n2.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+)
+SELECT CAST(o_year AS INT) AS o_year,
+       CAST(SUM(rev) AS DOUBLE) AS total_revenue,
+       CAST(SUM(CASE WHEN supp_nation = 'GERMANY' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS germany_revenue,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'GERMANY' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+FROM eu_lines GROUP BY o_year
+""",
+)
+def q_nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (the TPC-H Q8 shape): GERMANY's revenue
+    share among all supplier nations selling to EUROPE customers, by
+    order year — the conditional-aggregate-over-a-star-join pattern.
+    Revenue sums are exact DECIMAL on both engines, so the share ratio
+    divides identical doubles; the region filter prunes the customer dim
+    before the fact join."""
+    t = load_tables(
+        spark, sf_dir, names=("lineitem", "supplier", "nation", "orders", "customer", "region")
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(8,4)")
+    )
+    eu = (
+        t["lineitem"]
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                t["nation"].select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+            ),
+            F.col("s_nationkey") == F.col("nk1"),
+        )
+        .join(t["orders"].select("o_orderkey", "o_custkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].select("c_custkey", "c_nationkey"), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(
+                t["nation"].select(F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk"))
+            ),
+            F.col("c_nationkey") == F.col("nk2"),
+        )
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE").select("r_regionkey")),
+            F.col("rk") == F.col("r_regionkey"),
+        )
+        .select(F.year("o_orderdate").alias("o_year"), "supp_nation", rev.alias("rev"))
+    )
+    de = F.when(F.col("supp_nation") == "GERMANY", F.col("rev")).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return eu.groupBy(F.col("o_year").cast("int").alias("o_year")).agg(
+        F.sum("rev").cast("double").alias("total_revenue"),
+        F.sum(de).cast("double").alias("germany_revenue"),
+        F.round(F.sum(de).cast("double") / F.sum("rev").cast("double"), 6).alias("mkt_share"),
+    )
+
+
+@register(
+    "ltv_cohort_triangle",
+    """
+WITH first_m AS (
+    SELECT o_custkey AS c, date_trunc('month', MIN(o_orderdate)) AS cohort
+    FROM orders GROUP BY o_custkey
+),
+sizes AS (SELECT cohort, COUNT(*) AS cohort_size FROM first_m GROUP BY cohort),
+per AS (
+    SELECT f.cohort, f.c,
+           (year(o.o_orderdate) - year(f.cohort)) * 12
+               + (month(o.o_orderdate) - month(f.cohort)) AS month_offset,
+           SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS cents
+    FROM orders o JOIN first_m f ON f.c = o.o_custkey
+    GROUP BY f.cohort, f.c, month_offset
+),
+po AS (
+    SELECT cohort, month_offset,
+           COUNT(*) AS n_active,
+           SUM(cents) AS period_cents
+    FROM per GROUP BY cohort, month_offset
+),
+cum AS (
+    SELECT cohort, month_offset, n_active, period_cents,
+           SUM(period_cents) OVER (PARTITION BY cohort ORDER BY month_offset
+                                   ROWS UNBOUNDED PRECEDING) AS cum_cents
+    FROM po
+)
+SELECT strftime(cu.cohort, '%Y-%m') AS cohort,
+       CAST(cu.month_offset AS INT) AS month_offset,
+       CAST(cu.n_active AS BIGINT) AS n_active,
+       ROUND(CAST(cu.period_cents AS BIGINT) / 100.0, 2) AS period_spend,
+       ROUND(((2 * CAST(cu.cum_cents AS BIGINT) + s.cohort_size) // (2 * s.cohort_size)) / 100.0, 2)
+           AS cum_spend_per_customer
+FROM cum cu JOIN sizes s ON s.cohort = cu.cohort
+""",
+)
+def q_ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LTV cohort triangle: customers cohorted by first-order month,
+    spend accumulated per months-since-first-order — the growth-
+    analytics table every subscription/commerce business tracks. Spend
+    rides as exact cents-longs; the cumulative is a per-cohort window
+    over <= months-of-history rows (never row-scale); the per-customer
+    mean uses the exact integer HALF-UP ((2s+n) DIV 2n) from
+    rfm_segments, since ROUND(sum/size, 2) sits exactly on .xx5 for
+    2-customer cohorts with odd cents."""
+    orders = load_tables(spark, sf_dir, names=("orders",))["orders"]
+    first_m = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    sizes = first_m.groupBy("cohort").agg(F.count(F.lit(1)).alias("cohort_size"))
+    per = (
+        orders.join(first_m, orders.o_custkey == first_m.c)
+        .select(
+            "cohort",
+            "c",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).alias("month_offset"),
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("cents0"),
+        )
+        .groupBy("cohort", "c", "month_offset")
+        .agg(F.sum("cents0").alias("cents"))
+    )
+    po = per.groupBy("cohort", "month_offset").agg(
+        F.count(F.lit(1)).alias("n_active"), F.sum("cents").alias("period_cents")
+    )
+    w = Window.partitionBy("cohort").orderBy("month_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = po.withColumn("cum_cents", F.sum("period_cents").over(w))
+    return (
+        cum.join(sizes, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort"),
+            F.col("month_offset").cast("int").alias("month_offset"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.round(F.col("period_cents").cast("long") / 100.0, 2).alias("period_spend"),
+            F.round(
+                F.expr("(2 * CAST(cum_cents AS BIGINT) + cohort_size) DIV (2 * cohort_size)")
+                / 100.0,
+                2,
+            ).alias("cum_spend_per_customer"),
+        )
+    )

@@ -141,6 +141,9 @@ NO_CARTESIAN_ONLY = [
     # Q7 star join (broadcast dims) and the detector ensemble
     "nation_trade_flows",
     "events_anomaly_consensus",
+    # Q8 conditional-aggregate star join and the LTV cohort triangle
+    "nation_market_share",
+    "ltv_cohort_triangle",
 ]
 
 
