@@ -98,6 +98,7 @@ _DRIVER_UNSAMPLED = (
     "events_anomaly_consensus",
     "nation_market_share",
     "ltv_cohort_triangle",
+    "supplier_ship_latency",
 )
 
 

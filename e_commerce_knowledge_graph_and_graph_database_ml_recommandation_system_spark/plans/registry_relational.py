@@ -1686,3 +1686,61 @@ def q_ltv_cohort_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_spend_per_customer"),
         )
     )
+
+
+@register(
+    "supplier_ship_latency",
+    """
+WITH lat AS (
+    SELECT n.n_name AS supp_nation,
+           date_diff('day', o.o_orderdate, l.l_shipdate) AS ship_days
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+)
+SELECT supp_nation,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(((2 * CAST(SUM(ship_days) AS BIGINT) * 10000 + COUNT(*))
+              // (2 * COUNT(*))) / 10000.0, 4) AS avg_ship_days,
+       CAST(MAX(ship_days) AS BIGINT) AS max_ship_days,
+       CAST(SUM(CASE WHEN ship_days > 90 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(((2 * CAST(SUM(CASE WHEN ship_days > 90 THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+               + COUNT(*)) // (2 * COUNT(*))) / 1000000.0, 6) AS late_rate
+FROM lat GROUP BY supp_nation
+""",
+)
+def q_supplier_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier fulfillment latency by nation (the operational SLA view a
+    marketplace watches): days from order to line ship, with the >90-day
+    late share. Day counts are integers, so the late flag needs no
+    round guard; both means use the exact integer HALF-UP convention
+    (ROUND on a sum/count double sits exactly on the half boundary
+    whenever the divisor's factors allow a terminating expansion)."""
+    t = load_tables(spark, sf_dir, names=("lineitem", "orders", "supplier", "nation"))
+    lat = (
+        t["lineitem"]
+        .join(t["orders"].select("o_orderkey", "o_orderdate"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["supplier"].select("s_suppkey", "s_nationkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(
+                t["nation"].select(F.col("n_nationkey").alias("nk"), F.col("n_name").alias("supp_nation"))
+            ),
+            F.col("s_nationkey") == F.col("nk"),
+        )
+        .select("supp_nation", F.datediff("l_shipdate", "o_orderdate").cast("long").alias("ship_days"))
+    )
+    agg = lat.groupBy("supp_nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ship_days").cast("long").alias("sd"),
+        F.max("ship_days").cast("long").alias("max_ship_days"),
+        F.sum(F.when(F.col("ship_days") > 90, 1).otherwise(0)).cast("long").alias("nl"),
+    )
+    return agg.select(
+        "supp_nation",
+        F.col("n").cast("long").alias("n_lines"),
+        F.round(F.expr("(2 * sd * 10000 + n) DIV (2 * n)") / 10000.0, 4).alias("avg_ship_days"),
+        "max_ship_days",
+        F.col("nl").alias("n_late"),
+        F.round(F.expr("(2 * nl * 1000000 + n) DIV (2 * n)") / 1000000.0, 6).alias("late_rate"),
+    )

@@ -144,6 +144,8 @@ NO_CARTESIAN_ONLY = [
     # Q8 conditional-aggregate star join and the LTV cohort triangle
     "nation_market_share",
     "ltv_cohort_triangle",
+    # fulfillment-latency star join (broadcast nation dim)
+    "supplier_ship_latency",
 ]
 
 
