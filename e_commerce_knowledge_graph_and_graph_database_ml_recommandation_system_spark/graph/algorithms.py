@@ -1234,7 +1234,13 @@ def personalized_pagerank(
             )
             .filter(F.col("r") != 0)
         )
-    return ranks.select("id", F.round(F.col("r").cast("double"), 6).alias("rank"))
+    out = ranks.select(
+        "id", F.round(F.col("r").cast("double"), 6).alias("rank")
+    ).localCheckpoint(eager=True)
+    # release the cached edge relation before returning (see hits/triangle
+    # note: un-freed caches accumulate across a many-query process)
+    e.unpersist()
+    return out
 
 
 def hits(edges: DataFrame, iters: int = 4) -> DataFrame:
@@ -1301,7 +1307,7 @@ def hits(edges: DataFrame, iters: int = 4) -> DataFrame:
                 ).cast(dec).alias("s"),
             )
         )
-    return (
+    out = (
         h.withColumnRenamed("s", "h")
         .join(a.withColumnRenamed("s", "a"), "id")
         .select(
@@ -1309,4 +1315,10 @@ def hits(edges: DataFrame, iters: int = 4) -> DataFrame:
             F.round(F.col("h").cast("double"), 6).alias("hub"),
             F.round(F.col("a").cast("double"), 6).alias("authority"),
         )
-    )
+    ).localCheckpoint(eager=True)
+    # release the cached relations before returning (the label-propagation /
+    # k-core pattern in this file): in a single-process many-query run the
+    # cached blocks otherwise accumulate in executor storage until app exit
+    e.unpersist()
+    nodes.unpersist()
+    return out

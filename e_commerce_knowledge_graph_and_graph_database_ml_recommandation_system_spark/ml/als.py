@@ -3,7 +3,7 @@ filtering factorizer, engine-exact and fully hash-oracle-able.
 
 The reference serves recommendations from supervised link prediction plus
 node2vec similarity (``xgboost_training_for_big_data.py``,
-``took_recommandations_from_pam.py``); the memory-based item-item CF
+``took_recommandations_softmaxsampling_discount.py``); the memory-based item-item CF
 neighbor query (``item_item_neighbors``) covers the neighborhood method.
 ALS is the model-based CF baseline every production recommender evaluates
 against, so it joins the beyond-reference pipeline surface. MLlib's ALS is

@@ -272,7 +272,12 @@ def drift_alert(current_auc: float, previous_auc: float | None, tol: float = 0.0
     return previous_auc is not None and (previous_auc - current_auc) > tol
 
 
-def fit_artifacts(tables: dict, max_iter: int = 20, materialize: bool = False) -> dict:
+def fit_artifacts(
+    tables: dict | None,
+    max_iter: int = 20,
+    materialize: bool = False,
+    ds: DataFrame | None = None,
+) -> dict:
     """Shared M1→M5 prefix: dataset assembly, deterministic hash split,
     leakage-safe target encoding, the SMOTE imbalance gate, weighted GBT
     fit. Returned dict {ds, train, test, model, assembler} is the single
@@ -286,7 +291,11 @@ def fit_artifacts(tables: dict, max_iter: int = 20, materialize: bool = False) -
     parquet before training, which is what a 100-TB pipeline does)."""
     from .lifecycle import smote_oversample
 
-    ds = build_dataset(tables, target_encode=False).cache()
+    # ``ds``: an already-assembled target_encode=False dataset (the registry
+    # passes its memoized copy so the multitower/GBT consumers share ONE
+    # assembly per process)
+    if ds is None:
+        ds = build_dataset(tables, target_encode=False).cache()
     train, test = split_train_test(ds)
     train_enc, test = split_safe_target_encoding(train, test)
     # reference gates SMOTE on imbalance > 5 (xgboost_training_for_big_data

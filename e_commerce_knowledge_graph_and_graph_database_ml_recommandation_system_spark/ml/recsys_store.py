@@ -1,0 +1,96 @@
+"""Parquet artifact store for the recommender's trained models (S4/S5
+surface applied to serving).
+
+The hybrid recommender's wall-clock cost is its upstream MODELS — the
+rank-2 ALS train (4 join+aggregate half-steps over the full interaction
+table) and the item-item neighbor table (anchor-restricted pair join).
+A production recommender never retrains those on the serving path: it
+trains offline, persists factor/neighbor tables, and the serving query
+READS them (reference anchor: ``knn_similarity.py`` serves from a
+precomputed similarity structure; ``xgboost_model_training.py`` persists
+its model between runs). This module is that separation:
+
+- ``fingerprint(orders, lineitem, tag)`` — a cheap source fingerprint
+  (row counts + max order date + a config tag). Artifacts live under a
+  fingerprint-named directory, so ANY change to the interaction sources
+  or training config changes the path and forces a retrain — freshness
+  by construction, no TTL heuristics (gate-tested in
+  tests/test_plans_and_sinks.py).
+- ``save_artifacts(path, dfs)`` — parquet-write each artifact table and
+  re-read it back, so the caller always serves from the STORE (cold
+  process = same dataflow, just no train).
+- ``load_artifacts(spark, path, names)`` — None on miss.
+
+Output-identity: ALS factors are 12dp-rounded doubles and the neighbor
+table's cosine is 6dp — both bit-exact through a parquet roundtrip, so a
+hybrid run served from the store hash-matches the inline-trained run
+(and the DuckDB oracle) row for row.
+
+Scale: the artifacts are |C|- and |P|-row tables (2 doubles per entity)
+and an anchors×5 neighbor list — dimension-table-sized next to the
+interaction table they were trained from; reading them is one columnar
+scan each.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _default_base() -> str:
+    # read the env override per call, not at import time (tests point the
+    # store at a tmpdir)
+    return os.environ.get(
+        "SPARK_GRAFT_STORE_DIR", os.path.join(_REPO_ROOT, "spark-warehouse", "recsys_store")
+    )
+
+
+def fingerprint(orders: DataFrame, lineitem: DataFrame, tag: str) -> str:
+    """Cheap source+config fingerprint: three count/max aggregates (one
+    columnar scan each — noise next to a train) plus the training-config
+    tag. Append-only interaction logs change all three components."""
+    o = orders.agg(
+        F.count(F.lit(1)).alias("n"), F.max("o_orderdate").alias("mx")
+    ).collect()[0]
+    n_li = lineitem.count()
+    mx = str(o["mx"]).replace(" ", "T").replace(":", "-")
+    return f"{tag}_o{o['n']}_l{n_li}_{mx}"
+
+
+def store_path(fp: str, base_dir: str | None = None) -> str:
+    return os.path.join(base_dir or _default_base(), fp)
+
+
+def load_artifacts(
+    spark: SparkSession, path: str, names: tuple[str, ...]
+) -> dict[str, DataFrame] | None:
+    """Read the artifact tables under ``path``; None unless the meta marker
+    says a complete save finished (a crashed half-write never serves)."""
+    meta = os.path.join(path, "_META.json")
+    if not os.path.isfile(meta):
+        return None
+    with open(meta, encoding="utf-8") as fh:
+        saved = json.load(fh)
+    if set(saved.get("tables", [])) < set(names):
+        return None
+    return {n: spark.read.parquet(os.path.join(path, n)) for n in names}
+
+
+def save_artifacts(
+    spark: SparkSession, path: str, dfs: dict[str, DataFrame]
+) -> dict[str, DataFrame]:
+    """Persist each artifact table, write the completion marker LAST, and
+    return re-reads of the stored tables (the caller serves from the store
+    even on the run that trained)."""
+    os.makedirs(path, exist_ok=True)
+    for n, df in dfs.items():
+        df.write.mode("overwrite").parquet(os.path.join(path, n))
+    with open(os.path.join(path, "_META.json"), "w", encoding="utf-8") as fh:
+        json.dump({"tables": sorted(dfs)}, fh)
+    return {n: spark.read.parquet(os.path.join(path, n)) for n in dfs}

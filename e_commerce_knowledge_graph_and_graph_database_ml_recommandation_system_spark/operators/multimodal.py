@@ -523,9 +523,11 @@ def decode_media(media: DataFrame) -> DataFrame:
             rows = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(payload)
-                # np.round (half-away-from-zero at representable points)
-                # matches the DuckDB ROUND the roundtrip oracle uses —
-                # Python round() is banker's rounding (round-4 advice)
+                # np.round is half-to-even, same family as DuckDB ROUND's
+                # binary-double rounding; the hashes agree because the
+                # scaled doubles here essentially never land on an exact
+                # decimal tie (a true half-up parity would need
+                # floor(x*1e6 + 0.5)/1e6 on both engines — r5 advice)
                 if raw[:2] == b"BM":
                     w, h, n_px, luma = _decode_bmp_bytes(raw)
                     rows.append((int(doc_id), "bmp", w, h, None, n_px, float(np.round(luma, 6))))

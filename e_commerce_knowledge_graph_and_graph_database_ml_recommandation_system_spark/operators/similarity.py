@@ -967,11 +967,11 @@ def ivf_pq_topk(
     emb: DataFrame,
     k: int = 5,
     n_cells: int = 16,
-    n_probe: int = 2,
-    m: int = 8,
-    n_codes: int = 16,
+    n_probe: int = 10,
+    m: int = 16,
+    n_codes: int = 32,
     iters: int = 2,
-    rerank: int = 20,
+    rerank: int = 60,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -983,9 +983,10 @@ def ivf_pq_topk(
     candidate costs m table lookups — the raw vectors never reach the
     pair stage), and only the per-query ADC top-``rerank`` shortlist is
     exactly re-ranked by cosine for the final top-k. That shortlist
-    refine is what production PQ deployments do; without it the 32-bit
-    code is the accuracy ceiling (recall@5 0.18 vs 0.32 with refine on
-    the test corpus — the IVF probe ceiling).
+    refine is what production PQ deployments do; without it the PQ code
+    is the accuracy ceiling. Defaults are the ivf_probe_recall_audit-picked
+    servable operating point (recall@5 = 0.81-0.83 on the near-isotropic
+    test corpora; the old n_probe=2/m=8/rerank=20 point measured 0.275).
 
     Deterministic and hash-oracle-able throughout: sub-codebooks are
     Lloyd-TRAINED (kmeans_codebook's engine-parity convention — md5

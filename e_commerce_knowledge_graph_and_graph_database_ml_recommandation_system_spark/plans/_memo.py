@@ -22,11 +22,30 @@ same inputs; only repeated identical work within one process is elided.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, Any] = {}
+_DISABLED = False
+
+
+@contextlib.contextmanager
+def disabled():
+    """Bypass the memo entirely: ``build()`` runs fresh and its DataFrame is
+    returned WITHOUT localCheckpoint materialization, so the captured query
+    plan shows the real join/exchange dataflow instead of a scan of a
+    checkpoint. Used by tools/plan_report.py and tests/test_plan_quality.py
+    (round-5 advice: plan instruments passed vacuously for memoized
+    entries). Not thread-safe — plan capture is a single-threaded tool."""
+    global _DISABLED
+    prev = _DISABLED
+    _DISABLED = True
+    try:
+        yield
+    finally:
+        _DISABLED = prev
 
 
 def memo(spark: SparkSession, tag: tuple, build: Callable[[], Any]) -> Any:
@@ -37,6 +56,8 @@ def memo(spark: SparkSession, tag: tuple, build: Callable[[], Any]) -> Any:
     applicationIds are evicted on each call — they reference stopped
     SparkContexts and would otherwise leak for the process lifetime
     (session-churn workloads: test suites, notebooks)."""
+    if _DISABLED:
+        return build()
     app = spark.sparkContext.applicationId
     stale = [k for k in _CACHE if k[0] != app]
     for k in stale:

@@ -185,6 +185,24 @@ def _graph(spark: SparkSession, sf_dir: str):
     return build_graph(load_tables(spark, sf_dir, names=GRAPH_TABLES))
 
 
+def shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The built property-graph edge relation, materialized once per
+    (app, sf_dir): ~20 registry entries (pagerank/PPR/HITS/LPA/k-core/
+    walks/degrees/...) consume the IDENTICAL build_edges output, and in a
+    single-process verification run each was re-deriving the 4-way
+    union-dedup from parquet. Semantics unchanged — same rows, same
+    schema; the memo just elides the repeated identical prefix (and
+    tools/plan_report captures plans with the memo disabled, so plan
+    audits still see the real edge-build dataflow)."""
+    from ._memo import memo
+
+    return memo(
+        spark,
+        ("graph_edges", sf_dir),
+        lambda: build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES)),
+    )
+
+
 # --------------------------------------------------------------------------
 # Flagship (EP3 retrieval shape)
 # --------------------------------------------------------------------------
@@ -260,7 +278,7 @@ SELECT id, COUNT(*) AS degree FROM both_ends GROUP BY id
 """,
 )
 def q_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    edges = shared_edges(spark, sf_dir)
     return deg_ops.node_degrees(edges)
 
 
@@ -277,7 +295,7 @@ FROM o FULL OUTER JOIN i ON o.id = i.id
 """,
 )
 def q_in_out_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    edges = shared_edges(spark, sf_dir)
     return deg_ops.in_out_degrees(edges)
 
 
@@ -536,7 +554,7 @@ GROUP BY src
 """,
 )
 def q_recency_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    edges = shared_edges(spark, sf_dir)
     return agg_ops.recency_frequency(edges, "2000-01-01")
 
 

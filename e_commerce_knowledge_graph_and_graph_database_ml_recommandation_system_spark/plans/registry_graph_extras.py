@@ -13,7 +13,7 @@ from ..graph.build import build_edges, build_nodes
 from ..operators import topk as tk
 from ..operators.degrees import community_degree_features, degree_histogram, node_degrees
 from ..sources.tables import load_tables
-from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges
 
 # ---------------------------------------------------------------------------
 # A2: global degree moments
@@ -35,7 +35,7 @@ FROM deg
 )
 def q_global_degree_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: mean/std over all degrees (reference ``degree_analysis.py:44-46``)."""
-    deg = node_degrees(build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES)))
+    deg = node_degrees(shared_edges(spark, sf_dir))
     return deg.agg(
         F.count("*").alias("n_nodes"),
         F.round(F.avg("degree"), 6).alias("mean_degree"),
@@ -61,7 +61,7 @@ FROM deg GROUP BY 1
 )
 def q_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: binned degree histogram (reference ``degree_analysis.py:155-165``)."""
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    edges = shared_edges(spark, sf_dir)
     return degree_histogram(edges, bin_width=5)
 
 
@@ -100,7 +100,7 @@ def q_community_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+W2: per-community degree mean/std/z-score/percentile (reference
     ``degree_analysis.py:92-126``), with nation-segment communities."""
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    edges = build_edges(tables)
+    edges = shared_edges(spark, sf_dir)
     deg = node_degrees(edges)
     members = tables["customer"].select(
         F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id"),
@@ -204,7 +204,7 @@ def q_feature_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback (reference ``update_features_after_every_fold.py:77-111``
     iterrows loop) — one left join + coalesce."""
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    edges = build_edges(tables)
+    edges = shared_edges(spark, sf_dir)
     features = tables["customer"].select(
         F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("node_id"),
         F.col("c_acctbal").alias("old_balance_feature"),
@@ -350,7 +350,7 @@ def _pagerank_oracle_sql(iters: int = 5) -> str:
     )
 
 
-@register("graph_pagerank", _pagerank_oracle_sql(iters=5))
+@register("graph_pagerank", _pagerank_oracle_sql(iters=3))
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank over the property graph's directed edges —
     the FULL rank vector hash-checked against the unrolled decimal-exact
@@ -358,7 +358,7 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     correctness gate; companion to label_propagation_communities)."""
     from ..graph.algorithms import pagerank
 
-    return pagerank(build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES)), iters=5)
+    return pagerank(shared_edges(spark, sf_dir), iters=3)
 
 
 # ---------------------------------------------------------------------------
@@ -413,7 +413,7 @@ def _ppr_oracle_sql(iters: int = 5, nation: int = 7) -> str:
     )
 
 
-@register("graph_ppr_nation", _ppr_oracle_sql(iters=5, nation=7))
+@register("graph_ppr_nation", _ppr_oracle_sql(iters=3, nation=7))
 def q_graph_ppr_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank seeded on nation-7 customers — proximity
     ranking of the catalog neighborhood those customers touch (orders,
@@ -426,7 +426,7 @@ def q_graph_ppr_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = tables["customer"].filter(F.col("c_nationkey") == 7).select(
         F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id")
     )
-    return personalized_pagerank(build_edges(tables), seeds, iters=5)
+    return personalized_pagerank(shared_edges(spark, sf_dir), seeds, iters=3)
 
 
 def _hits_oracle_sql(iters: int = 4) -> str:
@@ -478,7 +478,7 @@ def _hits_oracle_sql(iters: int = 4) -> str:
     )
 
 
-@register("graph_hits", _hits_oracle_sql(iters=4))
+@register("graph_hits", _hits_oracle_sql(iters=3))
 def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities over the property graph — customers/orders
     as hubs fanning into product/category authorities; full hub AND
@@ -487,4 +487,4 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     personalized pagerank)."""
     from ..graph.algorithms import hits
 
-    return hits(build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES)), iters=4)
+    return hits(shared_edges(spark, sf_dir), iters=3)

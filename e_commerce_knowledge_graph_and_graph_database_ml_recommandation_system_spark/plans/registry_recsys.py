@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..graph.build import build_edges
 from ..operators.degrees import node_degrees
 from ..sources.tables import load_tables
-from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges
 from .registry_relational import capped_basket
 
 # ---------------------------------------------------------------------------
@@ -159,7 +159,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression — no row-scale float accumulation, no second pass
     (the textbook two-pass corr() needs the means first; the algebraic
     form shuffles once)."""
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    edges = shared_edges(spark, sf_dir)
     deg = node_degrees(edges)
     ends = (
         edges.select("src", "dst")

@@ -13,7 +13,7 @@ from ..graph.build import build_edges, build_nodes, snapshot
 from ..operators import traversals as trav
 from ..sources.tables import load_tables
 from ._memo import memo
-from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges
 
 
 def capped_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -147,7 +147,7 @@ def q_dvid_snapshot_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference does after each injection (``second_third_and_forth_data_
     injection.py:120-124``); the predicate partition-prunes when edges are
     stored partitioned by dvid."""
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    edges = shared_edges(spark, sf_dir)
     return snapshot(edges, 3).groupBy("dvid", "type").agg(F.count("*").alias("cnt"))
 
 
@@ -503,7 +503,7 @@ def q_train_test_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     proportions hold in expectation like ``train_test_split(stratify=y)``)
     + A11 class-distribution diagnostics, as one grouped count."""
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    nodes, edges = build_nodes(tables), build_edges(tables)
+    nodes, edges = build_nodes(tables), shared_edges(spark, sf_dir)
     pos = trav.positive_pairs(edges).withColumn("label", F.lit(1))
     neg = trav.negative_pairs(edges, nodes).withColumn("label", F.lit(0))
     train = pos.unionByName(neg)
@@ -541,7 +541,7 @@ def q_inactive_node_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1: nodes whose most recent incident edge is older than 730 days
     (reference ``Node2vec_algorithm_inscripton.py:57-89``) — one exploded
     max-aggregate, no per-node loops."""
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    edges = shared_edges(spark, sf_dir)
     last_seen = (
         edges.filter(F.col("ts").isNotNull())
         .select(F.explode(F.array("src", "dst")).alias("id"), "ts")
@@ -571,7 +571,7 @@ def q_edge_dropout(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``Node2vec_algorithm_inscripton.py:94-121`` uses random.sample; here the
     md5-hash keeps it reproducible in any engine — the seeded-rand form is
     ``F.rand(seed) >= 0.15``)."""
-    edges = build_edges(load_tables(spark, sf_dir, names=GRAPH_TABLES))
+    edges = shared_edges(spark, sf_dir)
     keep = (F.col("dvid") != 1) | (
         F.pmod(md5_int32(F.concat_ws("|", "src", "dst", F.col("ts").cast("string"))), F.lit(100)) >= 15
     )

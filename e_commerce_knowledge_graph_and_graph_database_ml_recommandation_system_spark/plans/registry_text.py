@@ -115,6 +115,24 @@ sigs AS (
 """
 
 
+def _clusters_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One near-dup cluster relation (simhash hamming<=3, exact-collapse
+    pre-pass, pointer-jumping CC) per (app, sf_dir): FOUR registry entries
+    (dedup_clusters, dedup_canonical_docs, corpus_curation,
+    corpus_curation_semantic) each re-ran the eager CC closure in one
+    verification pass (~4 s apiece at sf0.01 — r6 wall budget)."""
+    from ._memo import memo
+
+    return memo(
+        spark,
+        ("dedup_clusters_sh3", sf_dir),
+        lambda: cc.dedup_clusters_collapsed(
+            load_table(spark, "documents", sf_dir),
+            lambda d: dd.simhash_near_dup(d, max_hamming=3),
+        ),
+    )
+
+
 def _shingles_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One (doc_id, shingle) relation per (app, sf_dir) — the base of the
     Jaccard/MinHash family; shared for the same verify-wall reason as
@@ -487,10 +505,9 @@ SELECT doc_id, cluster_id, cluster_size FROM comp JOIN csize USING (cluster_id)
 """,
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, "documents", sf_dir)
     # exact-collapse first (provably identical output, enforced by the
     # uncollapsed oracle): pair volume scales with distinct content
-    return cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
+    return _clusters_shared(spark, sf_dir)
 
 
 _EN_SW_FWD = ", ".join(f"'{s}'" for s in ta.LANG_STOPWORDS["en"])
@@ -526,7 +543,7 @@ FROM ranked WHERE rn = 1
 )
 def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    clusters = cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
+    clusters = _clusters_shared(spark, sf_dir)
     return cc.canonical_docs(clusters, ta.quality_scores(docs))
 
 
@@ -948,7 +965,7 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal-exact mean quality). Every stage is the already-oracle-checked
     operator; this entry hash-checks their composition end to end."""
     docs = load_table(spark, "documents", sf_dir)
-    clusters = cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
+    clusters = _clusters_shared(spark, sf_dir)
     kept = cc.canonical_docs(clusters, ta.quality_scores(docs)).filter(
         F.col("quality_score") >= 0.7
     )
@@ -1553,7 +1570,7 @@ def q_corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs or driver-bound step is introduced by the composition."""
     docs = load_table(spark, "documents", sf_dir)
     emb = load_table(spark, "embeddings", sf_dir)
-    clusters = cc.dedup_clusters_collapsed(docs, lambda d: dd.simhash_near_dup(d, max_hamming=3))
+    clusters = _clusters_shared(spark, sf_dir)
     kept = cc.canonical_docs(clusters, ta.quality_scores(docs)).filter(
         F.col("quality_score") >= 0.7
     )
@@ -1979,7 +1996,7 @@ FROM ({union_all}) GROUP BY batch
 """
 
 
-@register("documents_stream_curation", _stream_curation_oracle_sql())
+@register("documents_stream_curation", _stream_curation_oracle_sql(n_batches=3))
 def q_documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming curation admission (readStream →
     foreachBatch near-dup screening → partitioned state appends), hash-
@@ -1994,7 +2011,7 @@ def q_documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="stream_curation_")
     try:
-        out = stream_curated_ingest(spark, sf_dir, f"{tmp}/state", f"{tmp}/ckpt", n_batches=4)
+        out = stream_curated_ingest(spark, sf_dir, f"{tmp}/state", f"{tmp}/ckpt", n_batches=3)
         # materialize the n_batches-row summary so the scratch dirs can go
         rows = out.select(F.col("batch_id").cast("int").alias("batch_id"), "admitted").collect()
     finally:
@@ -2498,7 +2515,7 @@ WHERE rank <= {k}
     )
 
 
-@register("ann_ivf_pq_topk", _ivf_pq_oracle_sql(k=5, n_cells=16, n_probe=2, m=8, n_codes=16, iters=2, rerank=20, dim=64))
+@register("ann_ivf_pq_topk", _ivf_pq_oracle_sql(k=5, n_cells=16, n_probe=10, m=16, n_codes=32, iters=2, rerank=60, dim=64))
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (memory-compressed vector search):
     coarse inverted-file candidate restriction + Lloyd-trained
@@ -2508,12 +2525,20 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     never reach the candidate join; only the ADC top-20 shortlist gets
     the exact cosine. The full pipeline (training iterates, codes, LUTs,
     ADC shortlist, refined top-k) is hash-checked against the unrolled
-    oracle; recall-vs-brute is a pytest invariant (0.275 on the test
-    corpus — 85% of the 0.32 IVF probe ceiling, vs 0.18 unrefined). Completes
-    the ANN family: brute / LSH / IVF-exact-rerank / IVF-PQ-refine."""
+    oracle; recall-vs-brute is a pytest invariant. The default is the
+    SERVABLE operating point picked from ivf_probe_recall_audit's sweep
+    (r5 verdict: the old n_probe=2/m=8/rerank=20 default sat at 0.275
+    recall@5): n_probe=10 of 16 cells + 16 subspaces x 32 codes +
+    rerank=60 measures recall@5 = 0.81 on this corpus. The synthetic
+    embeddings are near-isotropic (audited recall ~= 1.3x the probed
+    fraction at every quantizer granularity), so a 0.8 point costs a
+    10/16 probe fraction here; on a naturally clustered corpus the same
+    audit picks a far smaller fraction — the INSTRUMENT, not this
+    corpus's curve, is the production artifact. Completes the ANN
+    family: brute / LSH / IVF-exact-rerank / IVF-PQ-refine."""
     return sim.ivf_pq_topk(
         load_table(spark, "embeddings", sf_dir),
-        k=5, n_cells=16, n_probe=2, m=8, n_codes=16, iters=2, rerank=20,
+        k=5, n_cells=16, n_probe=10, m=16, n_codes=32, iters=2, rerank=60,
     )
 
 
@@ -2568,10 +2593,11 @@ def _ivf_probe_audit_oracle_sql(k: int = 5, n_cells: int = 16, probes=(1, 2, 4))
     return "WITH " + ",\n".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
 
 
-@register("ivf_probe_recall_audit", _ivf_probe_audit_oracle_sql(k=5, n_cells=16, probes=(1, 2, 4)))
+@register("ivf_probe_recall_audit", _ivf_probe_audit_oracle_sql(k=5, n_cells=16, probes=(2, 4, 10)))
 def q_ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN observability: recall@5 of the deterministic-centroid IVF
-    against exact brute force at probe depths 1 / 2 / 4 — the
+    against exact brute force at probe depths 2 / 4 / 10 (the last being
+    ann_ivf_pq_topk's servable default, recall@5 >= 0.8) — the
     probe-budget sweep a vector-search deployment runs on a sample
     before picking its latency/recall operating point (the ANN
     counterpart of lsh_recall_audit). Both pair sets are deterministic,
@@ -2590,7 +2616,7 @@ def q_ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_exact = brute.count()
     out = None
-    for np_ in (1, 2, 4):
+    for np_ in (2, 4, 10):
         ivf = (
             _ivf_hash_shared(spark, sf_dir)
             if np_ == 2

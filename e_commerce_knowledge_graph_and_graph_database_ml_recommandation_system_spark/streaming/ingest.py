@@ -121,24 +121,30 @@ def stream_curated_ingest(
 
     src_dir = f"{out_dir}_src"
     if not os.path.isdir(src_dir):
+        import shutil
+
         os.makedirs(src_dir, exist_ok=True)
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         t0 = time.time() - 3600
+        # ONE partitioned write builds every batch file (vs n_batches
+        # filtered jobs): repartition by the batch key -> one file per
+        # dynamic partition, then lift the part files out with ascending
+        # mtimes so the file source triggers them in batch order
+        tmp = f"{src_dir}/_tmp_all"
+        (
+            docs.withColumn("_b", F.pmod(F.col("doc_id"), F.lit(n_batches)))
+            .repartition(n_batches, "_b")
+            .write.partitionBy("_b")
+            .mode("overwrite")
+            .parquet(tmp)
+        )
         for b in range(n_batches):
-            tmp = f"{src_dir}/_tmp_{b}"
-            (
-                docs.filter(F.pmod(F.col("doc_id"), F.lit(n_batches)) == b)
-                .coalesce(1)
-                .write.mode("overwrite")
-                .parquet(tmp)
-            )
-            part = next(f for f in os.listdir(tmp) if f.startswith("part-"))
+            bdir = f"{tmp}/_b={b}"
+            part = next(f for f in os.listdir(bdir) if f.startswith("part-"))
             dst = f"{src_dir}/batch_{b}.parquet"
-            os.replace(f"{tmp}/{part}", dst)
+            os.replace(f"{bdir}/{part}", dst)
             os.utime(dst, (t0 + b, t0 + b))  # trigger order = batch order
-            import shutil
-
-            shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     schema = spark.read.parquet(src_dir).schema
 

@@ -1859,10 +1859,10 @@ def test_als_rank2_fit_improves(spark):
 
 
 def test_ivf_pq_refined_recall(spark):
-    """IVF-PQ with exact refine: recall@5 vs brute must sit near the IVF
-    probe ceiling (the refine stage recovers what the 32-bit code loses —
-    0.275 vs ceiling 0.3224 on this corpus), must beat the unrefined ADC
-    ranking's historical 0.18, and must be bit-stable across runs."""
+    """IVF-PQ with exact refine at the SERVABLE default operating point
+    (n_probe=10/16 cells, m=16 x 32 codes, rerank=60 — picked from the
+    ivf_probe_recall_audit sweep, r5 verdict #5): recall@5 vs brute must
+    hold the >=0.8 product floor and be bit-stable across runs."""
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
 
@@ -1870,7 +1870,7 @@ def test_ivf_pq_refined_recall(spark):
     brute = sim.brute_topk(emb, k=5).select("query_id", "neighbor_id")
     a = sim.ivf_pq_topk(emb, k=5)
     recall = brute.intersect(a.select("query_id", "neighbor_id")).count() / brute.count()
-    assert recall > 0.22, f"refined IVF-PQ recall@5 too low: {recall:.3f}"
+    assert recall >= 0.8, f"refined IVF-PQ recall@5 below the servable floor: {recall:.3f}"
     b = sim.ivf_pq_topk(emb, k=5)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
 
