@@ -71,7 +71,14 @@ def _init_factors(inter: DataFrame, key: str, salt: str) -> DataFrame:
     )
 
 
-def _solve_step(inter: DataFrame, factors: DataFrame, key_in: str, key_out: str, lam: float) -> DataFrame:
+def _solve_step(
+    inter: DataFrame,
+    factors: DataFrame,
+    key_in: str,
+    key_out: str,
+    lam: float,
+    checkpoint: bool = True,
+) -> DataFrame:
     """One ALS half-step: given the factor table keyed by ``key_in``,
     solve the regularized 2x2 normal equations per ``key_out`` entity.
 
@@ -97,11 +104,14 @@ def _solve_step(inter: DataFrame, factors: DataFrame, key_in: str, key_out: str,
     b1 = F.col("b1d").cast("double")
     b2 = F.col("b2d").cast("double")
     det = a11 * a22 - a12 * a12
-    return agg.select(
+    out = agg.select(
         key_out,
         F.round((a22 * b1 - a12 * b2) / det, 12).alias("f1"),
         F.round((a11 * b2 - a12 * b1) / det, 12).alias("f2"),
-    ).localCheckpoint(eager=True)
+    )
+    # checkpoint=False: the bucketed trainer materializes each half-step
+    # through its bucketed table write instead
+    return out.localCheckpoint(eager=True) if checkpoint else out
 
 
 def als_rank2(
@@ -125,6 +135,60 @@ def als_rank2(
         x = _solve_step(inter, y, "p", "c", lam)
         y = _solve_step(inter, x, "c", "p", lam)
     return inter, x, y
+
+
+def als_rank2_bucketed(
+    inter: DataFrame,
+    alternations: int = 2,
+    lam: float = 0.1,
+    n_buckets: int = 32,
+    table_prefix: str = "als_scale",
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """als_rank2 with the STORAGE-SIDE layout remedy for the alternating
+    shuffle (SCALE.md 30x probe: the plain path's half-step SMJ sorts
+    spill at ~17M interactions on local[32]; 2.1x over linear). The
+    interaction table is written ONCE bucketed by each half-step's join
+    key (c and p copies), and every solved factor table is written
+    bucketed by ITS key — so each half-step's join reads co-located
+    buckets with zero Exchange on the join; only the output-keyed
+    aggregate shuffles (the irreducible part). This is exactly the
+    co-partitioned layout a 1000-executor ALS job keeps in storage.
+
+    Factors are BIT-IDENTICAL to als_rank2's (decimal-exact sums are
+    order-free, so physical layout cannot change a single bit —
+    gate-tested end to end in tests/test_plans_and_sinks.py). Managed
+    tables persist under ``table_prefix``_* in the warehouse (overwrite
+    mode; callers may drop them after consuming the factors).
+    """
+    from ..sources.tables import read_bucketed, write_bucketed
+
+    spark = inter.sparkSession
+    inter = inter.select("c", "p", F.col("w").cast("double").alias("w"))
+
+    def as_bucketed(df: DataFrame, key: str, name: str) -> DataFrame:
+        # repartition on the bucket key first: the write then emits one
+        # file per bucket instead of one per (task, bucket)
+        write_bucketed(
+            df.repartition(n_buckets, key), name, key, n_buckets=n_buckets, sort_col=key
+        )
+        return read_bucketed(spark, name)
+
+    inter_p = as_bucketed(inter, "p", f"{table_prefix}_inter_p")
+    inter_c = as_bucketed(inter, "c", f"{table_prefix}_inter_c")
+    y = as_bucketed(_init_factors(inter_p, "p", "Y"), "p", f"{table_prefix}_y")
+    x = None
+    for i in range(alternations):
+        x = as_bucketed(
+            _solve_step(inter_p, y, "p", "c", lam, checkpoint=False),
+            "c",
+            f"{table_prefix}_x{i + 1}",
+        )
+        y = as_bucketed(
+            _solve_step(inter_c, x, "c", "p", lam, checkpoint=False),
+            "p",
+            f"{table_prefix}_y{i + 1}",
+        )
+    return inter_p, x, y
 
 
 def als_fit_report(inter: DataFrame, x: DataFrame, y: DataFrame) -> DataFrame:

@@ -1168,13 +1168,26 @@ def _als_interactions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# above this many interaction rows the plain trainer's alternating SMJ
+# starts sort-spilling on local[32] (SCALE.md 30x probe: 17.4M rows ran
+# 2.1x over linear; 10x/5.8M was still linear) — switch to the bucketed
+# co-partitioned layout there. The count() that dispatches is one columnar
+# scan, the same convention as sim.ann_topk's size dispatch.
+ALS_BUCKETED_MIN_ROWS = 8_000_000
+
+
 def _als_shared(spark: SparkSession, sf_dir: str) -> tuple:
     """One trained (inter, X, Y) rank-2 ALS per Spark app (2 alternations,
     lam=0.1, full interaction table) — consumed by als_factors and the
-    hybrid recommender."""
+    hybrid recommender. Size-dispatched: the bucketed zero-join-Exchange
+    layout (als_rank2_bucketed, bit-identical factors) is the DEFAULT
+    above ALS_BUCKETED_MIN_ROWS interactions (r5 verdict #4)."""
 
     def build():
-        return als_mod.als_rank2(_als_interactions(spark, sf_dir), alternations=2, lam=0.1)
+        inter = _als_interactions(spark, sf_dir)
+        if inter.count() > ALS_BUCKETED_MIN_ROWS:
+            return als_mod.als_rank2_bucketed(inter, alternations=2, lam=0.1)
+        return als_mod.als_rank2(inter, alternations=2, lam=0.1)
 
     return memo(spark, ("als_rank2_a2", sf_dir), build)
 

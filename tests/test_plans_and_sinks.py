@@ -561,3 +561,27 @@ def test_recsys_store_freshness_and_serve_identity(spark, sf_dir, tmp_path, monk
     _memo.clear()
     out_served = sorted(map(tuple, qs["hybrid_recommendations"](spark, sf_dir).collect()))
     assert out_train == out_served
+
+
+def test_als_rank2_bucketed_full_train_identity(spark, sf_dir):
+    """The full bucketed ALS trainer (the at-scale default above
+    ALS_BUCKETED_MIN_ROWS interactions) must produce factors BIT-IDENTICAL
+    to the plain trainer: decimal-exact sums are order-free, so the
+    co-partitioned physical layout cannot change a single bit. Extends the
+    single-half-step gate to all 2 alternations end to end."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import als
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans.registry_ml import (
+        _als_interactions,
+    )
+
+    inter = _als_interactions(spark, sf_dir)
+    try:
+        _, xb, yb = als.als_rank2_bucketed(
+            inter, alternations=2, lam=0.1, n_buckets=8, table_prefix="t_alsfull"
+        )
+        _, xp, yp = als.als_rank2(inter, alternations=2, lam=0.1)
+        for a, b in ((xb, xp), (yb, yp)):
+            assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    finally:
+        for t in ("inter_p", "inter_c", "y", "x1", "y1", "x2", "y2"):
+            spark.sql(f"DROP TABLE IF EXISTS t_alsfull_{t}")
