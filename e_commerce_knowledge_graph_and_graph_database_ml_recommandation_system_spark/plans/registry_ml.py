@@ -31,15 +31,15 @@ from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges
 
 
 def _shared_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (num_walks=2, walk_len=5, seed=42) first-order walk set shared by
+    """The (num_walks=1, walk_len=5, seed=42) first-order walk set shared by
     ``random_walks`` (array form), ``random_walks_flat`` (hash-checked flat
     form) and ``node2vec_embeddings`` — previously generated three times per
     verification run. Materialized once via localCheckpoint."""
     def build():
         edges = shared_edges(spark, sf_dir)
-        return alg.random_walks(edges, num_walks=2, walk_len=5, seed=42)
+        return alg.random_walks(edges, num_walks=1, walk_len=5, seed=42)
 
-    return memo(spark, ("walks_n2_l5_s42", sf_dir), build)
+    return memo(spark, ("walks_n1_l5_s42", sf_dir), build)
 
 
 def _ds_base(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +198,7 @@ def q_embedding_injection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("random_walks", None)
 def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X4: 2 seeded first-order walks × 6 steps from every graph node
+    """X4: seeded first-order walks (len 5) from every graph node
     (array form; the flat relation below is the hash-checked one). Shares
     the materialized walk set with the flat/embedding queries."""
     return _shared_walks(spark, sf_dir)
@@ -236,7 +236,7 @@ w{k} AS (
     return sql + "\n" + trail
 
 
-@register("random_walks_flat", _walks_oracle_sql(num_walks=2, walk_len=5, seed=42))
+@register("random_walks_flat", _walks_oracle_sql(num_walks=1, walk_len=5, seed=42))
 def q_random_walks_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 with a FULL hash oracle: the walk trail as flat (walk_id, pos,
     node) rows. The md5-derived picks are partition-independent and
@@ -286,18 +286,29 @@ l{k} AS (
     return sql + "\n" + final_select.format(last=f"l{rounds}")
 
 
+def _lpa3_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One LPA(3) partition of the PURCHASED/CONTAINS projection per
+    (app, sf_dir) — label_propagation_communities returns it and
+    community_stats aggregates it, instead of two independent LPA runs
+    per verification pass."""
+    def build():
+        e = shared_edges(spark, sf_dir).filter(F.col("type").isin("PURCHASED", "CONTAINS"))
+        return alg.label_propagation(e, max_iter=3)
+
+    return memo(spark, ("lpa3_partition", sf_dir), build)
+
+
 @register(
     "label_propagation_communities",
-    _lpa_oracle_sql(4, "SELECT id, label AS community_id FROM {last}"),
+    _lpa_oracle_sql(3, "SELECT id, label AS community_id FROM {last}"),
 )
 def q_label_propagation_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X8: deterministic synchronous LPA (4 rounds) over the PURCHASED/
+    """X8: deterministic synchronous LPA (3 rounds) over the PURCHASED/
     CONTAINS projection — hash-checked against a DuckDB oracle that unrolls
-    the same four vote rounds as chained CTEs (an iterative distributed
-    graph algorithm with a full cross-engine hash gate)."""
-    edges = shared_edges(spark, sf_dir)
-    e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
-    return alg.label_propagation(e, max_iter=4)
+    the same three vote rounds as chained CTEs (an iterative distributed
+    graph algorithm with a full cross-engine hash gate). Shares the
+    materialized partition with community_stats."""
+    return _lpa3_shared(spark, sf_dir)
 
 
 def _landmark_oracle_sql(n_landmarks: int, max_hops: int, final_select: str | None = None) -> str:
@@ -486,9 +497,7 @@ FROM (SELECT label, COUNT(*) AS sz FROM {last} GROUP BY label)""",
 def q_community_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9: community count/size stats over the LPA(3) partition —
     oracle-checked end to end through the unrolled vote rounds."""
-    edges = shared_edges(spark, sf_dir)
-    e = edges.filter(F.col("type").isin("PURCHASED", "CONTAINS"))
-    return alg.community_stats(alg.label_propagation(e, max_iter=3))
+    return alg.community_stats(_lpa3_shared(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -509,10 +518,10 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ds = _ds_te(spark, sf_dir)
     train, test = lp.split_train_test(ds)
-    # 12 Adam iterations for the registry's per-verification-run budget
+    # 8 Adam iterations for the registry's per-verification-run budget
     # (r3 verdict #1 — rows-only metric query; the 40-iteration config and
     # its loss/AUC floors live in test_multi_tower_training)
-    params, stats, history = mt.train_multi_tower(train, max_iter=12, lr=0.05)
+    params, stats, history = mt.train_multi_tower(train, max_iter=8, lr=0.05)
     scored = mt.predict_multi_tower(test, params, stats).select(
         "label", F.col("probability").cast("double").alias("probability")
     )
@@ -773,7 +782,7 @@ def q_multimodal_thumbnail(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shared_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The (num_walks=1, walk_len=4, p=1.0, q=0.5, seed=42, md5) biased walk
+    """The (num_walks=1, walk_len=3, p=1.0, q=0.5, seed=42, md5) biased walk
     set shared by ``node2vec_biased_walks`` (array form) and
     ``node2vec_biased_walks_flat`` (hash-checked flat form) — previously
     generated twice per verification run (r5 verdict: the two entries were
@@ -782,10 +791,10 @@ def _shared_biased_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build():
         return alg.node2vec_walks(
             shared_edges(spark, sf_dir),
-            num_walks=1, walk_len=4, p=1.0, q=0.5, seed=42, hash_fn="md5",
+            num_walks=1, walk_len=3, p=1.0, q=0.5, seed=42, hash_fn="md5",
         )
 
-    return memo(spark, ("biased_walks_n1_l4_s42_md5", sf_dir), build)
+    return memo(spark, ("biased_walks_n1_l3_s42_md5", sf_dir), build)
 
 
 @register("node2vec_biased_walks", None)
@@ -863,7 +872,7 @@ s{k} AS (
 
 @register(
     "node2vec_biased_walks_flat",
-    _biased_walks_oracle_sql(num_walks=1, walk_len=4, p=1.0, q=0.5, seed=42, cap=256),
+    _biased_walks_oracle_sql(num_walks=1, walk_len=3, p=1.0, q=0.5, seed=42, cap=256),
 )
 def q_node2vec_biased_walks_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X4 second-order with a FULL hash oracle: md5-derived thinning +
@@ -921,7 +930,15 @@ def q_quality_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("label", (F.col("quality_score") >= F.lit(thresh)).cast("double"))
         .withColumn("holdout", F.pmod(md5_int32(F.concat(F.lit("qc_"), F.col("doc_id").cast("string"))), F.lit(100)) >= 80)
     )
-    assembled = VectorAssembler(inputCols=feats, outputCol="features").transform(ds)
+    # materialize the assembled features once: the fit, the AUC pass and
+    # the three diagnostic aggregates below otherwise each re-run the
+    # 3-pass text-feature lineage (the in-process analog of writing the
+    # feature table to parquet before training)
+    assembled = (
+        VectorAssembler(inputCols=feats, outputCol="features")
+        .transform(ds)
+        .localCheckpoint(eager=True)
+    )
     train = assembled.filter(~F.col("holdout"))
     test = assembled.filter(F.col("holdout"))
     lr = LogisticRegression(featuresCol="features", labelCol="label", maxIter=20, regParam=0.01)
@@ -930,7 +947,7 @@ def q_quality_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     auc = BinaryClassificationEvaluator(
         labelCol="label", rawPredictionCol="rawPrediction", metricName="areaUnderROC"
     ).evaluate(scored)
-    pos_rate = ds.agg(F.avg("label")).collect()[0][0]
+    pos_rate = assembled.agg(F.avg("label")).collect()[0][0]
     rows = [
         ("holdout_auc_roc", float(auc)),
         ("train_rows", float(train.count())),
