@@ -114,21 +114,34 @@ def brute_topk_blas(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col:
     b_norms = spark.sparkContext.broadcast(norms)
 
     def batches(it):
+        idx_of = None
         for pdf in it:
             ids_l = b_ids.value
             m = b_mat.value
+            if idx_of is None:
+                idx_of = {int(i): j for j, i in enumerate(ids_l)}
             q = np.stack(pdf["v"].to_numpy())
             qn = np.linalg.norm(q, axis=1)
             qn = np.where(qn == 0, 1.0, qn)
             sims = np.round((q @ m.T) / np.outer(qn, b_norms.value), 6)
             qids = pdf[id_col].to_numpy()
+            # exclude self O(1)/row via the id->column map
+            for i, qid in enumerate(qids):
+                j = idx_of.get(int(qid))
+                if j is not None:
+                    sims[i, j] = -np.inf
+            # k-th largest per row in one vectorized partition; then each
+            # row only lexsorts its tied-or-above candidate set (the exact
+            # (-cosine, id asc) tiebreak the SQL oracle uses) instead of
+            # the whole index side — O(N) + O(c log c) per row, not
+            # O(N log N)
+            kth = min(k, sims.shape[1]) - 1
+            kv = -np.partition(-sims, kth, axis=1)[:, kth]
             out = []
-            for row, qid in zip(sims, qids):
-                row = row.copy()
-                row[ids_l == qid] = -np.inf  # exclude self
-                # lexsort: primary -cosine, secondary id asc — the exact
-                # deterministic tiebreak the SQL oracle uses
-                order = np.lexsort((ids_l, -row))[:k]
+            for i, qid in enumerate(qids):
+                row = sims[i]
+                cand = np.nonzero(row >= kv[i])[0]
+                order = cand[np.lexsort((ids_l[cand], -row[cand]))][:k]
                 for r, j in enumerate(order, 1):
                     out.append((int(qid), r, int(ids_l[j]), float(row[j])))
             yield pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id", "cosine"])
@@ -551,11 +564,18 @@ def ivf_hash_topk(
         S = np.round((Q / qn) @ (X / xn).T, 6)
         qids = qpdf["vid"].to_numpy()
         xids = xpdf["vid"].to_numpy()
+        # (k+1)-th largest per row, vectorized — the +1 cushions the
+        # possible self row, so the tied-or-above candidate set provably
+        # contains the top-k non-self neighbors; only candidates get the
+        # (-cosine, id asc) lexsort instead of the whole cell
+        kth = min(kk, S.shape[1] - 1)
+        kv = -np.partition(-S, kth, axis=1)[:, kth]
         out_q, out_n, out_c = [], [], []
         for i in range(S.shape[0]):
             sims = S[i]
+            cand = np.nonzero(sims >= kv[i])[0]
             # total order: cosine desc, neighbor_id asc; exclude self
-            order = np.lexsort((xids, -sims))
+            order = cand[np.lexsort((xids[cand], -sims[cand]))]
             taken = 0
             for j in order:
                 if xids[j] == qids[i]:

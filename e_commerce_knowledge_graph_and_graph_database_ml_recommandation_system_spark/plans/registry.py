@@ -49,56 +49,11 @@ def register(name: str, oracle: Optional[str] = None):
 # They are green under the local oracle suite, but the driver's sf0.01 run
 # is the hard signal, so they sort first until sampled.
 _DRIVER_UNSAMPLED = (
-    # knn_aggregates' only official row is the r1 FAIL (fixed since, green in
-    # the r4 bench + judge emulation) — it leads until the driver re-samples it.
-    "knn_aggregates",
-    # Never appeared in any CORRECTNESS_r*.json (r1/r2/r4 prefixes missed them).
-    "catalog_upsert",
-    "feature_writeback",
-    "graph_pagerank",
-    "serve_adam_mixture_topk",
-    "serve_softmax_noise_topk",
-    "serve_stochastic_softmax_topk",
-    # round-5 additions (never sampled yet)
-    "skew_cap_audit",
-    "multimodal_codec_roundtrip_ext",
-    "events_cusum_shifts",
-    "multimodal_thumbnail",
-    "events_stream_attribution",
-    "hll_vocab_sketch",
-    "item_item_neighbors",
-    "graph_ppr_nation",
-    "events_markov_transitions",
-    "containment_pairs",
-    "recency_weighted_popularity",
-    "graph_hits",
-    "adamic_adar_links",
-    "degree_assortativity",
-    "rec_eval_popularity",
-    "discount_elasticity",
-    "interpurchase_intervals",
-    "bm25_search",
-    "kmeans_codebook",
-    "embedding_top_component",
-    "als_factors",
-    "landmark_closeness",
-    "rfm_segments",
-    "degree_spend_spearman",
-    "events_ewma_daily",
-    "ann_ivf_pq_topk",
-    "frequent_triples",
-    "events_multitouch_attribution",
-    "als_fold_in",
-    "events_markov_holdout",
-    "hybrid_recommendations",
-    "ivf_probe_recall_audit",
-    "large_volume_customers",
-    "min_cost_supplier_region",
-    "nation_trade_flows",
-    "events_anomaly_consensus",
-    "nation_market_share",
-    "ltv_cohort_triangle",
-    "supplier_ship_latency",
+    # All round-5 backlog entries were sampled green in CORRECTNESS_r05.json
+    # (50/50), so the rotation list resets to the round-6 additions only;
+    # behind them the stable registration order puts the r1-era queries
+    # (whose official rows are oldest) back into the driver's 50-prefix.
+    "corpus_mixture_sample",
 )
 
 

@@ -2631,3 +2631,95 @@ def q_ivf_probe_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LLM-data mixing: temperature-weighted per-source sampling to a token budget
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "corpus_mixture_sample",
+    """
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(ceil(length(text) / 4.0) AS BIGINT) AS doc_tokens,
+           md5('mix_' || CAST(doc_id AS VARCHAR)) AS h
+    FROM documents
+),
+per_src AS (
+    SELECT source, CAST(SUM(doc_tokens) AS BIGINT) AS src_tokens
+    FROM d GROUP BY source
+),
+scal AS (
+    SELECT CAST(SUM(src_tokens) AS BIGINT) AS corpus_tokens,
+           SUM(sqrt(CAST(src_tokens AS DOUBLE))) AS z
+    FROM per_src
+),
+budgets AS (
+    -- alpha=0.5 temperature flattening; 25%-of-corpus token budget;
+    -- floor(round(.,9)) is the repo's cross-engine floor guard
+    SELECT source,
+           CAST(FLOOR(ROUND(sqrt(CAST(src_tokens AS DOUBLE)) / z
+                            * (CAST(corpus_tokens AS DOUBLE) * 0.25), 9)) AS BIGINT) AS src_budget
+    FROM per_src, scal
+),
+cum AS (
+    SELECT doc_id, source, doc_tokens,
+           CAST(SUM(doc_tokens) OVER (
+               PARTITION BY source ORDER BY h, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+    FROM d
+)
+SELECT cum.doc_id, cum.source, cum.doc_tokens, cum.cum_tokens, budgets.src_budget
+FROM cum JOIN budgets USING (source)
+WHERE cum.cum_tokens <= budgets.src_budget
+""",
+)
+def q_corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-data mixing: sample each source (domain) to a token budget set by
+    temperature-flattened weights w_s ∝ T_s^0.5 over per-source token totals
+    (the multinomial alpha-smoothing used to rebalance web-scale pretraining
+    mixes), with a 25%-of-corpus total budget. Selection inside a source is
+    the md5('mix_'||doc_id) prefix of the per-source cumulative token sum —
+    deterministic, partition-independent, and hash-checked cross-engine.
+
+    Scale: one map-combinable groupBy(source), one broadcast scalar/budget
+    join, and a per-source prefix-sum window. Sources are few and fat at
+    100 TB, so the production form of the window is the range-partitioned
+    prefix-sum of operators/ranking.py (local windows + broadcast per-shard
+    offsets) applied per source; the semantics here are shard-oblivious
+    (md5 order), so the rewrite is drop-in. The floor on w_s·B uses the
+    repo's round-9 guard (1-ulp sqrt/sum differences cannot flip it)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    d = docs.select(
+        "doc_id",
+        "source",
+        F.ceil(F.length("text") / 4).cast("long").alias("doc_tokens"),
+        F.md5(F.concat(F.lit("mix_"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    per_src = d.groupBy("source").agg(F.sum("doc_tokens").alias("src_tokens"))
+    scal = per_src.agg(
+        F.sum("src_tokens").alias("corpus_tokens"),
+        F.sum(F.sqrt(F.col("src_tokens").cast("double"))).alias("z"),
+    )
+    budgets = per_src.crossJoin(F.broadcast(scal)).select(
+        "source",
+        F.floor(
+            F.round(
+                F.sqrt(F.col("src_tokens").cast("double"))
+                / F.col("z")
+                * (F.col("corpus_tokens").cast("double") * F.lit(0.25)),
+                9,
+            )
+        ).cast("long").alias("src_budget"),
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    cum = d.withColumn("cum_tokens", F.sum("doc_tokens").over(w))
+    return (
+        cum.join(F.broadcast(budgets), "source")
+        .filter(F.col("cum_tokens") <= F.col("src_budget"))
+        .select("doc_id", "source", "doc_tokens", "cum_tokens", "src_budget")
+    )
