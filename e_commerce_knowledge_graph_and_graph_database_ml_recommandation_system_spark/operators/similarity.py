@@ -1023,15 +1023,32 @@ def ivf_pq_topk(
     candidates meet in the cell equi-join (never all-pairs); the ADC join
     carries only codes + LUT; the exact refine touches |Q| x rerank rows.
     """
-    dim = len(emb.select(_as_double(F.col(vec_col)).alias("v")).first()["v"])
-    sub_dim = dim // m
     e = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")).localCheckpoint(
         eager=True
     )
+    sb = _pq_subvectors(e, m)
+    pb = _pq_train_codebooks(sb, n_codes, iters)
+    pdist = _pq_pdist(sb, pb)
+    enc = _pq_encode(pdist)
+    lut = _pq_lut(pdist)
 
-    # subvector relation: (vid, s, sv) — subspace id as a COLUMN so every
-    # training step below is one job for all m subspaces
-    sb = (
+    ranked_cells = _hash_cell_ranked(e, n_cells, id_col="vid", vec_col="v")
+    indexed = ranked_cells.select("vid", F.element_at("cs", 1)["cell"].alias("cell"))
+    probed = ranked_cells.select(
+        "vid",
+        F.explode(F.transform(F.slice("cs", 1, n_probe), lambda s_: s_["cell"])).alias("cell"),
+    )
+    qside = probed.join(lut, "vid").select(F.col("vid").alias("query_id"), "cell", "lut")
+    xside = indexed.join(enc, "vid").select(F.col("vid").alias("neighbor_id"), "cell", "codes")
+    return _ivf_pq_shortlist_refine(qside, xside, e, e, k, rerank, m, _pq_lut_offsets(pb, m))
+
+
+def _pq_subvectors(e: DataFrame, m: int) -> DataFrame:
+    """(vid, s, sv) subvector relation — subspace id as a COLUMN so every
+    training/encode/LUT step is one job for all m subspaces."""
+    dim = len(e.select("v").first()["v"])
+    sub_dim = dim // m
+    return (
         e.select(
             "vid",
             F.explode(
@@ -1050,6 +1067,27 @@ def ivf_pq_topk(
         .localCheckpoint(eager=True)
     )
 
+
+def _pq_d9():
+    # built lazily — higher-order-function expressions need an active
+    # SparkContext, so this cannot be a module-level constant
+    return F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+        ),
+        9,
+    )
+
+
+def _pq_train_codebooks(sb: DataFrame, n_codes: int, iters: int) -> DataFrame:
+    """Lloyd-train the m sub-codebooks (md5-seeded, 9dp distances,
+    DECIMAL means re-rounded to 12dp — the kmeans_codebook engine-parity
+    convention) and append each code's dense LUT ``pos`` (dead cells
+    cannot desynchronize lookups). Returns (s, code, cv, pos)."""
     h2 = F.conv(
         F.substring(
             F.md5(
@@ -1069,22 +1107,11 @@ def ivf_pq_topk(
         .select("s", (F.col("rn") - 1).cast("long").alias("code"), F.col("sv").alias("cv"))
         .localCheckpoint(eager=True)
     )
-
-    d9 = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda acc, t: acc + t,
-            )
-        ),
-        9,
-    )
     for _i in range(iters):
         aw = Window.partitionBy("vid", "s").orderBy(F.asc("d"), F.asc("code"))
         assign = (
             sb.join(F.broadcast(cent), "s")
-            .withColumn("d", d9)
+            .withColumn("d", _pq_d9())
             .withColumn("r", F.row_number().over(aw))
             .filter(F.col("r") == 1)
             .select("vid", "s", "code")
@@ -1110,24 +1137,30 @@ def ivf_pq_topk(
             .select("s", "code", F.transform(F.col("pairs"), lambda pr: pr["mv"]).alias("cv"))
             .localCheckpoint(eager=True)
         )
-
     # dense positions per subspace (dead cells drop in both engines)
-    pb = cent.withColumn(
+    return cent.withColumn(
         "pos", F.row_number().over(Window.partitionBy("s").orderBy("code")) - 1
     ).localCheckpoint(eager=True)
-    sizes = {
-        r["s"]: r["n"] for r in pb.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    lut_offsets = [sum(sizes.get(t, 0) for t in range(s)) for s in range(m)]
 
-    # one distance table drives BOTH the encode argmin and the query LUT
-    dd2 = F.round(d9 * d9, 9)
-    pdist = (
+
+def _pq_lut_offsets(pb: DataFrame, m: int) -> list[int]:
+    sizes = {r["s"]: r["n"] for r in pb.groupBy("s").agg(F.count(F.lit(1)).alias("n")).collect()}
+    return [sum(sizes.get(t, 0) for t in range(s)) for s in range(m)]
+
+
+def _pq_pdist(sb: DataFrame, pb: DataFrame) -> DataFrame:
+    """One (vid, s, code, pos, d2) distance table — drives BOTH the encode
+    argmin (index side) and the query LUT (serve side)."""
+    dd2 = F.round(_pq_d9() * _pq_d9(), 9)
+    return (
         sb.join(F.broadcast(pb), "s")
         .select("vid", "s", "code", "pos", dd2.alias("d2"))
         .localCheckpoint(eager=True)
     )
-    enc = (
+
+
+def _pq_encode(pdist: DataFrame) -> DataFrame:
+    return (
         pdist.withColumn(
             "r",
             F.row_number().over(Window.partitionBy("vid", "s").orderBy(F.asc("d2"), F.asc("code"))),
@@ -1137,21 +1170,29 @@ def ivf_pq_topk(
         .agg(F.sort_array(F.collect_list(F.struct("s", "pos"))).alias("ps"))
         .select("vid", F.transform("ps", lambda x: x["pos"]).alias("codes"))
     )
-    lut = (
+
+
+def _pq_lut(pdist: DataFrame) -> DataFrame:
+    return (
         pdist.groupBy("vid")
         .agg(F.sort_array(F.collect_list(F.struct("s", "pos", "d2"))).alias("ds"))
         .select("vid", F.transform("ds", lambda x: x["d2"]).alias("lut"))
     )
 
-    ranked_cells = _hash_cell_ranked(e, n_cells, id_col="vid", vec_col="v")
-    indexed = ranked_cells.select("vid", F.element_at("cs", 1)["cell"].alias("cell"))
-    probed = ranked_cells.select(
-        "vid",
-        F.explode(F.transform(F.slice("cs", 1, n_probe), lambda s_: s_["cell"])).alias("cell"),
-    )
 
-    qside = probed.join(lut, "vid").select(F.col("vid").alias("query_id"), "cell", "lut")
-    xside = indexed.join(enc, "vid").select(F.col("vid").alias("neighbor_id"), "cell", "codes")
+def _ivf_pq_shortlist_refine(
+    qside: DataFrame,
+    xside: DataFrame,
+    eq: DataFrame,
+    ex: DataFrame,
+    k: int,
+    rerank: int,
+    m: int,
+    lut_offsets: list[int],
+) -> DataFrame:
+    """ADC-ranked shortlist + exact-cosine refine — the serve tail shared
+    by the inline operator and the store-backed search. ``eq``/``ex`` are
+    the raw (vid, v) query/index vectors for the refine join."""
     # decimal-exact ADC (order-free, matching the oracle's SUM over the
     # m lookup rows)
     adc = F.round(
@@ -1172,7 +1213,6 @@ def ivf_pq_topk(
         .filter(F.col("r") <= rerank)
         .select("query_id", "neighbor_id")
     )
-
     # exact refine of the PQ shortlist: |Q| x rerank rows, shared cosine
     cos = F.round(
         _dot(F.col("va"), F.col("vb"))
@@ -1180,8 +1220,8 @@ def ivf_pq_topk(
         6,
     )
     fin = (
-        short.join(e.select(F.col("vid").alias("query_id"), F.col("v").alias("va")), "query_id")
-        .join(e.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb")), "neighbor_id")
+        short.join(eq.select(F.col("vid").alias("query_id"), F.col("v").alias("va")), "query_id")
+        .join(ex.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb")), "neighbor_id")
         .select("query_id", "neighbor_id", cos.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -1190,3 +1230,92 @@ def ivf_pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def ivf_pq_train(
+    emb: DataFrame,
+    n_cells: int = 16,
+    m: int = 16,
+    n_codes: int = 32,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict[str, DataFrame]:
+    """Train the persistable IVF-PQ INDEX (the offline half of the
+    offline-train / online-serve split a FAISS-style deployment runs):
+
+    - ``pq_codebooks`` (s, code, pos, cv) — m × n_codes rows, 12dp means
+    - ``pq_codes`` (vid, codes) — each index vector as m dense positions
+    - ``ivf_assign`` (vid, cell) — the inverted file
+    - ``coarse_centroids`` (vid, v) — the n_cells md5-sampled source rows
+      the coarse quantizer is built from (raw doubles)
+
+    Every artifact is integer- or round-pinned, so it roundtrips parquet
+    bit-exactly: a search served from the store hash-matches the inline
+    ``ivf_pq_topk`` and its DuckDB oracle row for row."""
+    e = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")).localCheckpoint(
+        eager=True
+    )
+    sb = _pq_subvectors(e, m)
+    pb = _pq_train_codebooks(sb, n_codes, iters)
+    enc = _pq_encode(_pq_pdist(sb, pb))
+    ranked_cells = _hash_cell_ranked(e, n_cells, id_col="vid", vec_col="v")
+    indexed = ranked_cells.select("vid", F.element_at("cs", 1)["cell"].alias("cell"))
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("ivf_"), F.col("vid").cast("string"))), 1, 8), 16, 10
+    ).cast("long")
+    cent_src = e.withColumn("h", h).orderBy("h", "vid").limit(n_cells).select("vid", "v")
+    return {
+        "pq_codebooks": pb,
+        "pq_codes": enc,
+        "ivf_assign": indexed,
+        "coarse_centroids": cent_src,
+    }
+
+
+def ivf_pq_search(
+    queries: DataFrame,
+    index: dict[str, DataFrame],
+    k: int = 5,
+    n_probe: int = 10,
+    rerank: int = 60,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_vectors: DataFrame | None = None,
+) -> DataFrame:
+    """Serve top-k from a TRAINED IVF-PQ index (ivf_pq_train artifacts,
+    possibly parquet-roundtripped): the query side computes its probe
+    cells against the stored coarse centroids and its m × n_codes LUT
+    against the stored codebooks (one scan each — the per-batch cost a
+    query stream pays), the candidate join meets the stored inverted
+    file, and the ADC shortlist is exactly re-ranked against
+    ``index_vectors`` (default: the query table itself, the self-search
+    registry shape). No training job runs on this path."""
+    pb = index["pq_codebooks"].localCheckpoint(eager=True)
+    m = int(pb.agg(F.max("s")).first()[0]) + 1
+    n_cells = index["coarse_centroids"].count()
+    eq = queries.select(
+        F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+    ).localCheckpoint(eager=True)
+    lut = _pq_lut(_pq_pdist(_pq_subvectors(eq, m), pb))
+    ranked_cells = _hash_cell_ranked(
+        eq, n_cells, id_col="vid", vec_col="v", centroid_source=index["coarse_centroids"]
+    )
+    probed = ranked_cells.select(
+        "vid",
+        F.explode(F.transform(F.slice("cs", 1, n_probe), lambda s_: s_["cell"])).alias("cell"),
+    )
+    qside = probed.join(lut, "vid").select(F.col("vid").alias("query_id"), "cell", "lut")
+    xside = (
+        index["ivf_assign"]
+        .join(index["pq_codes"], "vid")
+        .select(F.col("vid").alias("neighbor_id"), "cell", "codes")
+    )
+    ex = (
+        eq
+        if index_vectors is None
+        else index_vectors.select(
+            F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
+        )
+    )
+    return _ivf_pq_shortlist_refine(qside, xside, eq, ex, k, rerank, m, _pq_lut_offsets(pb, m))

