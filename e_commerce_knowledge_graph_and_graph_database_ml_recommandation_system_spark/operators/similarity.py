@@ -118,32 +118,42 @@ def brute_topk_blas(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col:
         for pdf in it:
             ids_l = b_ids.value
             m = b_mat.value
+            n_idx = m.shape[0]
             if idx_of is None:
                 idx_of = {int(i): j for j, i in enumerate(ids_l)}
-            q = np.stack(pdf["v"].to_numpy())
-            qn = np.linalg.norm(q, axis=1)
-            qn = np.where(qn == 0, 1.0, qn)
-            sims = np.round((q @ m.T) / np.outer(qn, b_norms.value), 6)
-            qids = pdf[id_col].to_numpy()
-            # exclude self O(1)/row via the id->column map
-            for i, qid in enumerate(qids):
-                j = idx_of.get(int(qid))
-                if j is not None:
-                    sims[i, j] = -np.inf
-            # k-th largest per row in one vectorized partition; then each
-            # row only lexsorts its tied-or-above candidate set (the exact
-            # (-cosine, id asc) tiebreak the SQL oracle uses) instead of
-            # the whole index side — O(N) + O(c log c) per row, not
-            # O(N log N)
-            kth = min(k, sims.shape[1]) - 1
-            kv = -np.partition(-sims, kth, axis=1)[:, kth]
             out = []
-            for i, qid in enumerate(qids):
-                row = sims[i]
-                cand = np.nonzero(row >= kv[i])[0]
-                order = cand[np.lexsort((ids_l[cand], -row[cand]))][:k]
-                for r, j in enumerate(order, 1):
-                    out.append((int(qid), r, int(ids_l[j]), float(row[j])))
+            # chunk the Arrow batch so the (chunk × N) working set stays
+            # cache-sized — big fresh allocations are the kernel's real
+            # cost at scale (memory bandwidth, not FLOPs) — and do the
+            # divide/round in place: the VALUES are unchanged
+            # (dot/(qn_i·mn_j) then round, the DuckDB operation order)
+            for c0 in range(0, len(pdf), 2048):
+                cpdf = pdf.iloc[c0 : c0 + 2048]
+                q = np.stack(cpdf["v"].to_numpy())
+                qn = np.linalg.norm(q, axis=1)
+                qn = np.where(qn == 0, 1.0, qn)
+                sims = q @ m.T
+                np.divide(sims, qn[:, None] * b_norms.value[None, :], out=sims)
+                np.round(sims, 6, out=sims)
+                qids = cpdf[id_col].to_numpy()
+                # exclude self O(1)/row via the id->column map
+                for i, qid in enumerate(qids):
+                    j = idx_of.get(int(qid))
+                    if j is not None:
+                        sims[i, j] = -np.inf
+                # k-th largest per row in one vectorized partition (taken
+                # from the ascending end — no negated copies); then each
+                # row only lexsorts its tied-or-above candidate set (the
+                # exact (-cosine, id asc) tiebreak the SQL oracle uses)
+                # instead of the whole index side
+                kk = min(k, n_idx)
+                kv = np.partition(sims, n_idx - kk, axis=1)[:, n_idx - kk]
+                for i, qid in enumerate(qids):
+                    row = sims[i]
+                    cand = np.nonzero(row >= kv[i])[0]
+                    order = cand[np.lexsort((ids_l[cand], -row[cand]))][:k]
+                    for r, j in enumerate(order, 1):
+                        out.append((int(qid), r, int(ids_l[j]), float(row[j])))
             yield pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id", "cosine"])
 
     src = emb.select(id_col, _as_double(F.col(vec_col)).alias("v"))
@@ -329,7 +339,14 @@ def lsh_topk(
     all-pairs). Within-bucket similarities run as ONE numpy gemm per bucket
     via applyInPandas: a per-pair `aggregate(zip_with(...))` HOF is
     interpreted row-at-a-time and measured ~70x slower at sf0.1. Recall vs
-    brute_topk is a pytest invariant, not an oracle hash."""
+    brute_topk is a pytest invariant, not an oracle hash.
+
+    Sizing at scale: each table has 2**n_planes buckets, so expected
+    bucket size is N / 2**n_planes — pick n_planes ≈ log2(N / target)
+    (the registry's n_planes=4 suits the dim-table-sized test corpora;
+    at 10⁹ vectors you'd run ~20 planes). The kernel emits only each
+    query's within-bucket top-k (n·k rows, chunked gemm), so a hot
+    bucket costs compute, never an n² Arrow batch."""
     import numpy as np
     import pandas as pd
 
@@ -339,16 +356,38 @@ def lsh_topk(
     u = _lsh_buckets(emb, n_planes, n_tables, dim, id_col, vec_col)
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
+        # per-QUERY top-k inside the bucket, not all n² pairs: a hot
+        # bucket's pair output is n² rows in ONE Arrow batch (the 60×
+        # probe crashed workers on a single 1.7 GB direct buffer before
+        # this). Result-identical: within any bucket the candidate order
+        # is the same (-cosine, id asc) total order the final window
+        # uses, and bucket candidates ⊆ global candidates, so every
+        # global-top-k neighbor ranks ≤ k in each shared bucket. Chunked
+        # gemm keeps the sims working set cache-sized (never n×n).
+        n = len(pdf)
+        if n < 2:
             return pd.DataFrame(columns=["query_id", "neighbor_id", "cosine"])
         ids = pdf["vid"].to_numpy()
         mat = np.stack(pdf["v"].to_numpy())
         norms = pdf["norm"].to_numpy()
-        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
-        qi, ni = np.where(~np.eye(len(ids), dtype=bool))
-        return pd.DataFrame(
-            {"query_id": ids[qi], "neighbor_id": ids[ni], "cosine": sims[qi, ni]}
-        )
+        kk = min(k, n - 1)
+        out_q, out_n, out_c = [], [], []
+        for c0 in range(0, n, 1024):
+            q = mat[c0 : c0 + 1024]
+            sims = q @ mat.T
+            np.divide(sims, norms[c0 : c0 + 1024, None] * norms[None, :], out=sims)
+            np.round(sims, 6, out=sims)
+            for i in range(sims.shape[0]):
+                sims[i, c0 + i] = -np.inf  # exclude self (vid unique per bucket)
+            kv = np.partition(sims, n - kk, axis=1)[:, n - kk]
+            for i in range(sims.shape[0]):
+                row = sims[i]
+                cand = np.nonzero(row >= kv[i])[0]
+                order = cand[np.lexsort((ids[cand], -row[cand]))][:kk]
+                out_q.extend([ids[c0 + i]] * len(order))
+                out_n.extend(ids[order])
+                out_c.extend(row[order])
+        return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
     pairs = (
         u.groupBy("bucket")
@@ -389,9 +428,17 @@ def similarity_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col
     (reference ``knn_similarity.py:79-91``: undirected edges, weight =
     similarity). Union both directions + distinct = symmetrize.
     Size-dispatched via ann_topk (brute-BLAS at dim-table scale, LSH
-    bucket join above)."""
-    topk = ann_topk(emb, k, id_col, vec_col).select(
-        F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), F.col("cosine").alias("similarity")
+    bucket join above). The top-k relation is materialized before the
+    symmetrize union: the two union branches are the same subtree and
+    Spark has no cross-branch common-subexpression reuse, so without the
+    checkpoint the ANN kernel evaluates TWICE per graph build (measured
+    2x the whole chain's cost at the 10x probe)."""
+    topk = (
+        ann_topk(emb, k, id_col, vec_col)
+        .select(
+            F.col("query_id").alias("src"), F.col("neighbor_id").alias("dst"), F.col("cosine").alias("similarity")
+        )
+        .localCheckpoint(eager=True)
     )
     sym = topk.unionByName(
         topk.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "similarity")
@@ -568,8 +615,9 @@ def ivf_hash_topk(
         # possible self row, so the tied-or-above candidate set provably
         # contains the top-k non-self neighbors; only candidates get the
         # (-cosine, id asc) lexsort instead of the whole cell
-        kth = min(kk, S.shape[1] - 1)
-        kv = -np.partition(-S, kth, axis=1)[:, kth]
+        n_x = S.shape[1]
+        kth = min(kk, n_x - 1)
+        kv = np.partition(S, n_x - 1 - kth, axis=1)[:, n_x - 1 - kth]
         out_q, out_n, out_c = [], [], []
         for i in range(S.shape[0]):
             sims = S[i]
