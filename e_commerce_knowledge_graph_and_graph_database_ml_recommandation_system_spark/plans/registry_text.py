@@ -2550,10 +2550,10 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN with exact refine (memory-compressed vector search):
     coarse inverted-file candidate restriction + Lloyd-trained
     product-quantized asymmetric distance — each index vector travels to
-    the pair stage as 8 small codes, each query as a 128-double lookup
-    table, so per-pair cost is 8 table lookups and the raw 64-dim vectors
-    never reach the candidate join; only the ADC top-20 shortlist gets
-    the exact cosine. The full pipeline (training iterates, codes, LUTs,
+    the pair stage as m=16 small codes, each query as a 16×32-entry
+    lookup table, so per-pair cost is 16 table lookups and the raw
+    64-dim vectors never reach the candidate join; only the ADC
+    top-``rerank`` shortlist gets the exact cosine. The full pipeline (training iterates, codes, LUTs,
     ADC shortlist, refined top-k) is hash-checked against the unrolled
     oracle; recall-vs-brute is a pytest invariant. The default is the
     SERVABLE operating point picked from ivf_probe_recall_audit's sweep
