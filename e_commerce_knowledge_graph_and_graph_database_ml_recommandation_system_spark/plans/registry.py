@@ -54,6 +54,7 @@ _DRIVER_UNSAMPLED = (
     # behind them the stable registration order puts the r1-era queries
     # (whose official rows are oldest) back into the driver's 50-prefix.
     "corpus_mixture_sample",
+    "embedding_prefix_recall_audit",
 )
 
 
