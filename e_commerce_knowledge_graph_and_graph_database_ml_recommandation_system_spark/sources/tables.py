@@ -141,7 +141,22 @@ def write_bucketed(
     for ad-hoc keys). ``sort_col`` additionally sorts within buckets,
     letting sort-merge joins skip their sort. Spark only persists bucket
     metadata through the catalog, so this is a saveAsTable, not a path
-    write."""
+    write.
+
+    Overwrite only drops tables the CURRENT session's catalog knows; a
+    managed location left by a previous process (the in-memory derby
+    catalog dies with it) makes saveAsTable fail with
+    LOCATION_ALREADY_EXISTS — so stale locations are dropped explicitly
+    before the write."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+    loc = os.path.join(wh, table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)
