@@ -142,7 +142,7 @@ def als_rank2_bucketed(
     alternations: int = 2,
     lam: float = 0.1,
     n_buckets: int = 32,
-    table_prefix: str = "als_scale",
+    table_prefix: str | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """als_rank2 with the STORAGE-SIDE layout remedy for the alternating
     shuffle (SCALE.md 30x probe: the plain path's half-step SMJ sorts
@@ -163,6 +163,14 @@ def als_rank2_bucketed(
     from ..sources.tables import read_bucketed, write_bucketed
 
     spark = inter.sparkSession
+    if table_prefix is None:
+        # scope the default table names per Spark app: two apps sharing the
+        # repo warehouse (parallel test runs) must not DROP each other's
+        # in-flight half-step tables mid-train
+        app = "".join(
+            ch if ch.isalnum() else "_" for ch in spark.sparkContext.applicationId
+        ).lower()
+        table_prefix = f"als_scale_{app}"
     inter = inter.select("c", "p", F.col("w").cast("double").alias("w"))
 
     def as_bucketed(df: DataFrame, key: str, name: str) -> DataFrame:

@@ -75,8 +75,13 @@ def load_artifacts(
     meta = os.path.join(path, "_META.json")
     if not os.path.isfile(meta):
         return None
-    with open(meta, encoding="utf-8") as fh:
-        saved = json.load(fh)
+    try:
+        with open(meta, encoding="utf-8") as fh:
+            saved = json.load(fh)
+    except (ValueError, OSError):
+        # a truncated/corrupt marker is a MISS, not a permanent error —
+        # the caller retrains and the next save overwrites it atomically
+        return None
     if set(saved.get("tables", [])) < set(names):
         return None
     return {n: spark.read.parquet(os.path.join(path, n)) for n in names}
@@ -91,6 +96,10 @@ def save_artifacts(
     os.makedirs(path, exist_ok=True)
     for n, df in dfs.items():
         df.write.mode("overwrite").parquet(os.path.join(path, n))
-    with open(os.path.join(path, "_META.json"), "w", encoding="utf-8") as fh:
+    # temp-then-rename so a crash mid-write can never leave a truncated
+    # marker that poisons every later load (os.replace is atomic on POSIX)
+    tmp = os.path.join(path, "_META.json.tmp")
+    with open(tmp, "w", encoding="utf-8") as fh:
         json.dump({"tables": sorted(dfs)}, fh)
+    os.replace(tmp, os.path.join(path, "_META.json"))
     return {n: spark.read.parquet(os.path.join(path, n)) for n in dfs}

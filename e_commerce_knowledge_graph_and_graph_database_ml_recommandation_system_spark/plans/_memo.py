@@ -48,6 +48,44 @@ def disabled():
         _DISABLED = prev
 
 
+@contextlib.contextmanager
+def capturing_checkpoints():
+    """Record the formatted PHYSICAL plan of every DataFrame at the moment
+    it is localCheckpoint'ed, yielding the list the plans land in. The
+    eager iterative builders (pagerank/PPR/HITS power steps, k-core peel,
+    landmark BFS, pointer-jumping CC, ...) execute their join/exchange
+    dataflow inside the builder and return a checkpoint SCAN — so plan
+    instruments that only look at the returned DataFrame see "joins: none,
+    exchanges: 0" (r6 verdict #2: checkpoint vacuity). Under this context
+    the per-iteration plans are visible to tools/plan_report.py and the
+    cartesian gates in tests/test_plan_quality.py. Not thread-safe — plan
+    capture is a single-threaded instrument."""
+    # patch the CLASSIC implementation class: pyspark.sql.DataFrame is the
+    # dispatch base in Spark 4 and instances resolve localCheckpoint on the
+    # classic subclass, so patching the base would never intercept
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    plans: list[str] = []
+    orig = DataFrame.localCheckpoint
+
+    def wrapper(self, eager: bool = True):
+        try:
+            plans.append(
+                self.sparkSession._jvm.org.apache.spark.sql.api.python.PythonSQLUtils.explainString(
+                    self._jdf.queryExecution(), "formatted"
+                )
+            )
+        except Exception:  # noqa: BLE001 — capture must never fail the job
+            pass
+        return orig(self, eager=eager)
+
+    DataFrame.localCheckpoint = wrapper
+    try:
+        yield plans
+    finally:
+        DataFrame.localCheckpoint = orig
+
+
 def memo(spark: SparkSession, tag: tuple, build: Callable[[], Any]) -> Any:
     """Return the cached artifact for ``tag`` (scoped to this Spark app),
     building it once via ``build()``. DataFrame results are eagerly

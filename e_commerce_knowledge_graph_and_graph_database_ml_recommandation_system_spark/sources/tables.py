@@ -152,11 +152,17 @@ def write_bucketed(
     from urllib.parse import urlparse
 
     spark = df.sparkSession
+    known = spark.catalog.tableExists(table)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
-    loc = os.path.join(wh, table.lower())
-    if os.path.isdir(loc):
-        shutil.rmtree(loc, ignore_errors=True)
+    # only clear a location the CURRENT catalog did NOT own: a known
+    # managed table's files were just removed by the DROP above, and an
+    # unconditional rmtree would delete a sibling app's in-flight table
+    # (callers avoid cross-app name collisions via per-app prefixes)
+    if not known:
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")).path
+        loc = os.path.join(wh, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
     if sort_col is not None:
         w = w.sortBy(sort_col)

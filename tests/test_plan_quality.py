@@ -319,3 +319,40 @@ def test_filter_pushdown_reaches_scan(spark, queries):
     df = load_table(spark, "part", SF_DIR).filter(F.col("p_size") > 40).select("p_partkey", "p_size")
     plan = _plan(spark, df)
     assert re.search(r"PushedFilters: \[[^\]]*GreaterThan\(p_size,40\)", plan), plan[-2000:]
+
+
+# Eager iterative builders: the join/exchange dataflow runs INSIDE the
+# builder and the returned DataFrame is a checkpoint scan, so the gates
+# above inspect a bare scan and pass vacuously (r6 verdict #2). These run
+# under capturing_checkpoints() and assert over every PER-ITERATION plan.
+# True = pure equi-join iterations (BNLJ also forbidden); False = the
+# designed 1-row scalar broadcasts exist (PPR dangling mass, HITS L1
+# norms, rec_eval's 10-row popularity fan-out) so only CartesianProduct
+# is forbidden.
+ITERATIVE_EQUIJOIN_ONLY = {
+    "graph_ppr_nation": False,
+    "graph_hits": False,
+    "rec_eval_popularity": False,
+    "adamic_adar_links": True,
+    "kcore_members": True,
+    "landmark_distances": True,
+    "knn_triangle_counts": True,
+}
+
+
+@pytest.mark.parametrize("name", sorted(ITERATIVE_EQUIJOIN_ONLY))
+def test_iterative_builder_iteration_plans(spark, queries, name):
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import _memo
+
+    with _memo.disabled(), _memo.capturing_checkpoints() as plans:
+        df = queries[name](spark, SF_DIR)
+        n_iter = len(plans)
+        plans.append(_plan(spark, df))
+    assert n_iter > 0, f"{name}: no checkpointed iteration plans captured"
+    for p in plans:
+        joins = _joins(p)
+        assert "CartesianProduct" not in joins, f"{name}: cartesian product in iteration plan"
+        if ITERATIVE_EQUIJOIN_ONLY[name]:
+            assert "BroadcastNestedLoopJoin" not in joins, (
+                f"{name}: nested-loop join in iteration plan"
+            )

@@ -556,9 +556,20 @@ def test_recsys_store_freshness_and_serve_identity(spark, sf_dir, tmp_path, monk
     stores = os.listdir(tmp_path)
     assert len(stores) == 1 and os.path.isfile(tmp_path / stores[0] / "_META.json")
     # second run in a fresh memo state must READ the store, not retrain —
-    # prove it by corrupting nothing and checking identity, then prove the
-    # read path is actually taken by deleting the ALS memo dependency
+    # make retraining IMPOSSIBLE (trainers raise), so identity can only be
+    # reached via the store read path
     _memo.clear()
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import als as als_mod
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import (
+        registry_relational as rel_mod,
+    )
+
+    def _boom(*a, **k):
+        raise AssertionError("store miss: serving path retrained instead of reading artifacts")
+
+    monkeypatch.setattr(als_mod, "als_rank2", _boom)
+    monkeypatch.setattr(als_mod, "als_rank2_bucketed", _boom)
+    monkeypatch.setattr(rel_mod, "item_item_topk", _boom)
     out_served = sorted(map(tuple, qs["hybrid_recommendations"](spark, sf_dir).collect()))
     assert out_train == out_served
 
