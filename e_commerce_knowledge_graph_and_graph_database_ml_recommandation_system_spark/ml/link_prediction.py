@@ -277,6 +277,7 @@ def fit_artifacts(
     max_iter: int = 20,
     materialize: bool = False,
     ds: DataFrame | None = None,
+    model=None,
 ) -> dict:
     """Shared M1→M5 prefix: dataset assembly, deterministic hash split,
     leakage-safe target encoding, the SMOTE imbalance gate, weighted GBT
@@ -309,7 +310,18 @@ def fit_artifacts(
         # checkpoint when synthetic rows actually exist
         test = test.localCheckpoint(eager=True)
         train_enc = train if smote_noop else train_enc.localCheckpoint(eager=True)
-    model, assembler = train_gbt(train, max_iter=max_iter)
+    # ``model``: a pre-fitted GBTClassificationModel (e.g. loaded from the
+    # artifact store) — skips the boosting fit, the one expensive stage;
+    # dataset assembly/splits/encoding above are cheap and rebuilt per
+    # process so every consumer DataFrame stays live
+    if model is not None:
+        from pyspark.ml.feature import VectorAssembler
+
+        assembler = VectorAssembler(
+            inputCols=FEATURE_COLS, outputCol="features", handleInvalid="keep"
+        )
+    else:
+        model, assembler = train_gbt(train, max_iter=max_iter)
     # train_pre_smote: serving-feature derivation must come from REAL rows
     # only — synthetic SMOTE rows duplicate (customer, product) keys with
     # interpolated features, and a dropDuplicates over the union would pick

@@ -117,6 +117,8 @@ def train_multi_tower(
     seed: int = 42,
     label_col: str = "label",
     tol: float = 1e-5,
+    grad_clip: float | None = None,
+    plateau_lr_decay: float | None = None,
 ):
     """Fit the tower network; returns (params, scaler_stats, history).
 
@@ -124,7 +126,18 @@ def train_multi_tower(
     (loss, gradient, count) partial sums → driver reduces and takes an Adam
     step with L2 decay. Stops early when the relative loss improvement
     drops below ``tol``. Class imbalance handled with n_neg/n_pos weights
-    on positives (M5, same as train_gbt)."""
+    on positives (M5, same as train_gbt).
+
+    Regularization knobs mirroring the reference trainer's overfit
+    controls (``Neural_network_multi_towered_training.py:62-147,703-807``):
+    ``l2`` weight decay (always on), ``grad_clip`` caps the GLOBAL
+    gradient L2 norm before the Adam step (clip_grad_norm_), and
+    ``plateau_lr_decay`` multiplies the learning rate by that factor on a
+    loss plateau instead of exiting (ReduceLROnPlateau; None keeps the
+    early-exit behavior). BatchNorm and Dropout remain documented
+    non-goals: both make the loss a function of batch composition /
+    engine-private RNG, which would break this trainer's deterministic
+    partition-invariant gradients (COVERAGE.md §2.11)."""
     import numpy as np
     import pandas as pd
 
@@ -179,6 +192,11 @@ def train_multi_tower(
         loss = sum(r["loss"] for r in parts) / n + 0.5 * l2 * float(flat @ flat)
         grad = np.sum([np.asarray(r["grad"]) for r in parts], axis=0) / n + l2 * flat
 
+        if grad_clip is not None:
+            gnorm = float(np.linalg.norm(grad))
+            if gnorm > grad_clip:
+                grad = grad * (grad_clip / gnorm)
+
         # Adam (driver-side; parameters are tiny)
         m = 0.9 * m + 0.1 * grad
         v = 0.999 * v + 0.001 * grad * grad
@@ -187,7 +205,9 @@ def train_multi_tower(
         flat = flat - lr * mhat / (np.sqrt(vhat) + 1e-8)
         history.append(float(loss))
         if prev_loss is not None and abs(prev_loss - loss) / max(prev_loss, 1e-12) < tol:
-            break
+            if plateau_lr_decay is None:
+                break
+            lr *= plateau_lr_decay
         prev_loss = loss
 
     return _unpack(flat, shapes), stats, history

@@ -53,8 +53,9 @@ _DRIVER_UNSAMPLED = (
     # (50/50), so the rotation list resets to the round-6 additions only;
     # behind them the stable registration order puts the r1-era queries
     # (whose official rows are oldest) back into the driver's 50-prefix.
-    "corpus_mixture_sample",
-    "embedding_prefix_recall_audit",
+    # round-6 additions were sampled green in CORRECTNESS_r06.json; the
+    # rotation list resets to the round-7 additions
+    "multimodal_codec_roundtrip_png",
 )
 
 

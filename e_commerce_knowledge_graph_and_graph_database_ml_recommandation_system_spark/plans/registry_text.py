@@ -2020,7 +2020,7 @@ FROM ({union_all}) GROUP BY batch
 """
 
 
-@register("documents_stream_curation", _stream_curation_oracle_sql(n_batches=3))
+@register("documents_stream_curation", _stream_curation_oracle_sql(n_batches=2))
 def q_documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL Structured Streaming curation admission (readStream →
     foreachBatch near-dup screening → partitioned state appends), hash-
@@ -2035,7 +2035,11 @@ def q_documents_stream_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="stream_curation_")
     try:
-        out = stream_curated_ingest(spark, sf_dir, f"{tmp}/state", f"{tmp}/ckpt", n_batches=3)
+        # 2 drained micro-batches for the per-verification-run budget (r6
+        # verdict #1) — still exercises within-batch screening AND the
+        # cross-batch admission join; the 4-batch multi-prior config and the
+        # restart-idempotence property stay under pytest's streaming gates
+        out = stream_curated_ingest(spark, sf_dir, f"{tmp}/state", f"{tmp}/ckpt", n_batches=2)
         # materialize the n_batches-row summary so the scratch dirs can go
         rows = out.select(F.col("batch_id").cast("int").alias("batch_id"), "admitted").collect()
     finally:

@@ -553,8 +553,11 @@ def test_recsys_store_freshness_and_serve_identity(spark, sf_dir, tmp_path, monk
     out_train = sorted(map(tuple, qs["hybrid_recommendations"](spark, sf_dir).collect()))
     import os
 
+    # two entries: the hybrid artifact set plus the ALS factor store the
+    # shared trainer persists (r7: _als_shared went store-backed)
     stores = os.listdir(tmp_path)
-    assert len(stores) == 1 and os.path.isfile(tmp_path / stores[0] / "_META.json")
+    assert any(s.startswith("hyb_v1") for s in stores), stores
+    assert all(os.path.isfile(tmp_path / s / "_META.json") for s in stores)
     # second run in a fresh memo state must READ the store, not retrain —
     # make retraining IMPOSSIBLE (trainers raise), so identity can only be
     # reached via the store read path
