@@ -4,17 +4,19 @@ Images/audio/video ride as opaque BINARY columns + typed metadata; the
 Spark-side machinery (schema, partition sizing, Arrow batch shape, UDF
 signatures) is real and tested. Two decode tiers:
 
-- REAL decode for stdlib-parseable formats: ``synthesize_media`` /
-  ``synthesize_media_ext`` / ``synthesize_media_png`` / ``decode_media``
-  write and blind-parse genuine 24-bit BMP, 16-bit PCM WAV, LZW-coded
-  GIF87a, big-endian AIFF and zlib-deflated grayscale PNG files with
-  stdlib ``struct``/``zlib`` (headers, row padding, RIFF/FORM chunk
-  walks, full LZW, inflate + all five PNG scanline filters) — actual
-  bytes→features work, oracle-checked end to end;
-- JPEG (entropy-coded DCT — genuinely needs a codec library) routes to
-  ``_real_decode``, which raises NotImplementedError behind an import-try
-  because the container ships no image libs; ``decode_frames`` keeps
-  the deterministic chunk-hash stub for opaque payloads.
+- REAL decode for every image/audio container in the family:
+  ``synthesize_media`` / ``synthesize_media_ext`` / ``synthesize_media_png``
+  / ``synthesize_media_jpeg`` / ``decode_media`` write and blind-parse
+  genuine 24-bit BMP, 16-bit PCM WAV, LZW-coded GIF87a, big-endian AIFF,
+  zlib-deflated PNG (all five scanline filters) and baseline JPEG
+  (standard Huffman tables, zigzag, DC prediction, 8x8 DCT) with stdlib
+  ``struct``/``zlib`` + numpy — actual bytes→features work,
+  oracle-checked end to end. Progressive JPEG raises ValueError
+  (documented scope);
+- ``_real_decode`` remains the honest NotImplementedError path for
+  formats that genuinely need a codec library (video codecs);
+  ``decode_frames`` keeps the deterministic chunk-hash stub for opaque
+  payloads.
 
 Scale notes: binary payloads blow past the usual row-size assumptions —
 ``spark.sql.files.maxPartitionBytes`` should shrink so a partition of blobs
@@ -623,6 +625,372 @@ def _decode_png_bytes(raw: bytes) -> tuple[int, int, int, float]:
     return w, h, n_px, tot / (ch * n_px)
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81), pure numpy + stdlib — closes the last codec
+# stub. The entropy/transform machinery is the real thing: standard Annex-K
+# Huffman tables, zigzag scan, DC prediction, byte stuffing, 8x8 DCT-II via
+# a precomputed orthonormal basis matrix. JPEG is lossy in general, so the
+# HASH-ORACLED fixtures are block-constant images with a DC quantizer of 8:
+# a constant 8x8 block is DC-only, its DC (= 8*(v-128)) quantizes exactly,
+# and the IDCT returns v bit-for-bit after rounding — the codec is lossless
+# BY CONSTRUCTION on that subspace, so decoded features recompute in SQL.
+# Generality on arbitrary images is pytest-gated by a DCT roundtrip error
+# bound instead (the property a lossy codec can honestly promise).
+# Progressive JPEG (SOF2) and multi-component scans raise ValueError.
+# ---------------------------------------------------------------------------
+
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+# standard luminance Huffman tables (T.81 Annex K.3.3)
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+# quant table (zigzag order irrelevant for a flat table except DC): DC=8 is
+# the losslessness-on-constant-blocks pin; AC=16 is arbitrary
+_JPEG_QUANT = [8] + [16] * 63
+
+
+def _jpeg_dct_matrix():
+    import numpy as np
+
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = (1.0 / np.sqrt(2.0)) if u == 0 else 1.0
+        for x in range(8):
+            m[u, x] = 0.5 * cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+def _huffman_codes(bits: list, vals: list) -> dict:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+        return bytes(self.out)
+
+
+def _jpeg_category(v: int) -> int:
+    return v.bit_length() if v >= 0 else (-v).bit_length()
+
+
+def _encode_jpeg_bytes(seed: int, width: int, height: int) -> bytes:
+    """A real baseline grayscale JFIF/JPEG fixture. The image is
+    BLOCK-CONSTANT — 8x8 block bi's grey value is (seed*31 + bi) % 256 —
+    which the DC=8 quantizer reproduces exactly (see module comment), so
+    the decode side carries a full hash oracle. width/height must be
+    multiples of 8."""
+    import numpy as np
+
+    if width % 8 or height % 8:
+        raise ValueError("fixture dimensions must be multiples of 8")
+    nbx = width // 8
+    img = np.zeros((height, width))
+    for by in range(height // 8):
+        for bx in range(nbx):
+            img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                seed * 31 + (by * nbx + bx)
+            ) % 256
+    return _encode_jpeg_from_array(img)
+
+
+def _encode_jpeg_from_array(img) -> bytes:
+    """General baseline grayscale JPEG encoder over an (h, w) uint8-valued
+    array (h, w multiples of 8): DQT, SOF0, the two standard Annex-K
+    Huffman tables as DHT, SOS, entropy-coded 8x8 MCUs with DC prediction
+    and byte stuffing."""
+    import struct
+
+    import numpy as np
+
+    height, width = img.shape
+    if width % 8 or height % 8:
+        raise ValueError("dimensions must be multiples of 8")
+    m = _jpeg_dct_matrix()
+    q = np.empty(64)
+    for zz, nat in enumerate(_JPEG_ZIGZAG):
+        q[nat] = _JPEG_QUANT[zz]
+    q = q.reshape(8, 8)
+    dc_codes = _huffman_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+
+    bw = _BitWriter()
+    pred = 0
+    nbx, nby = width // 8, height // 8
+    for by in range(nby):
+        for bx in range(nbx):
+            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128.0
+            coef = m @ block @ m.T
+            qc = np.rint(coef / q).astype(np.int64)
+            zz = [int(qc.flat[nat]) for nat in _JPEG_ZIGZAG]
+            # DC
+            diff = zz[0] - pred
+            pred = zz[0]
+            cat = _jpeg_category(diff)
+            code, ln = dc_codes[cat]
+            bw.write(code, ln)
+            if cat:
+                amp = diff if diff >= 0 else diff + (1 << cat) - 1
+                bw.write(amp, cat)
+            # AC with run-length + ZRL + EOB
+            run = 0
+            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+            for i in range(1, last_nz + 1):
+                if zz[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                cat = _jpeg_category(zz[i])
+                code, ln = ac_codes[(run << 4) | cat]
+                bw.write(code, ln)
+                amp = zz[i] if zz[i] >= 0 else zz[i] + (1 << cat) - 1
+                bw.write(amp, cat)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[0x00]  # EOB
+                bw.write(code, ln)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    dqt = seg(0xFFDB, bytes([0]) + bytes(_JPEG_QUANT))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    dht = seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
+        0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
+    )
+    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        while self.n < 25 and self.pos < len(self.data):
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
+                if nxt == 0x00:  # stuffed byte
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:  # RST marker: byte-align + skip
+                    self.pos += 2
+                    self.acc, self.n = 0, 0
+                    continue
+                else:  # EOI or next segment — pad with 1s
+                    self.acc = (self.acc << 8) | 0xFF
+                    self.n += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+
+    def bits(self, k: int) -> int:
+        if k == 0:
+            return 0
+        self._fill()
+        v = (self.acc >> (self.n - k)) & ((1 << k) - 1)
+        self.n -= k
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huffman(self, table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | self.bits(1)
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
+    """Blind baseline-JPEG decode, pure numpy/stdlib: marker walk, DQT/DHT
+    table parsing (canonical Huffman reconstruction), entropy decode with
+    DC prediction, byte-destuffing and RST handling, dequantize, dezigzag,
+    8x8 IDCT, level shift + clamp, crop to the SOF dimensions. Grayscale
+    baseline only — progressive (SOF2) and multi-component images raise
+    ValueError (honest scope, stated in the module comment). Returns
+    (width, height, n_pixels, mean_luma)."""
+    import struct
+
+    import numpy as np
+
+    if raw[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    quants: dict[int, "np.ndarray"] = {}
+    dc_tables: dict[int, dict] = {}
+    ac_tables: dict[int, dict] = {}
+    width = height = None
+    comp_q = comp_dc = comp_ac = 0
+    scan_at = None
+    while pos + 4 <= len(raw):
+        if raw[pos] != 0xFF:
+            raise ValueError("JPEG marker desync")
+        marker = raw[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack_from(">H", raw, pos + 2)
+        body = raw[pos + 4 : pos + 2 + ln]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                quants[tq] = np.frombuffer(body[b + 1 : b + 65], dtype=np.uint8).astype(float)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                table = {
+                    (code, lnn): sym for sym, (code, lnn) in _huffman_codes(bits, vals).items()
+                }
+                (dc_tables if tc == 0 else ac_tables)[th] = table
+                b += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit grayscale baseline JPEG supported")
+            comp_q = body[8]
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            scan_at = pos + 2 + ln
+            break
+        pos += 2 + ln
+    if scan_at is None or width is None:
+        raise ValueError("JPEG missing SOF/SOS")
+
+    m = _jpeg_dct_matrix()
+    q = quants[comp_q]
+    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
+    br = _BitReader(raw[scan_at:])
+    nbx, nby = (width + 7) // 8, (height + 7) // 8
+    canvas = np.zeros((nby * 8, nbx * 8))
+
+    def extend(v: int, cat: int) -> int:
+        return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+    pred = 0
+    for by in range(nby):
+        for bx in range(nbx):
+            zz = np.zeros(64)
+            cat = br.huffman(dct)
+            diff = extend(br.bits(cat), cat) if cat else 0
+            pred += diff
+            zz[0] = pred * q[0]
+            i = 1
+            while i < 64:
+                sym = br.huffman(act)
+                if sym == 0x00:  # EOB
+                    break
+                run, cat = sym >> 4, sym & 0x0F
+                if cat == 0:
+                    if run != 15:
+                        raise ValueError("bad AC run symbol")
+                    i += 16  # ZRL
+                    continue
+                i += run
+                if i > 63:
+                    raise ValueError("AC index overflow")
+                zz[i] = extend(br.bits(cat), cat) * q[i]
+                i += 1
+            coef = np.zeros((8, 8))
+            for z, nat in enumerate(_JPEG_ZIGZAG):
+                coef[nat // 8, nat % 8] = zz[z]
+            block = m.T @ coef @ m + 128.0
+            canvas[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
+    img = np.clip(np.rint(canvas[:height, :width]), 0, 255)
+    n_px = width * height
+    return width, height, n_px, float(img.sum()) / n_px
+
+
+def synthesize_media_jpeg(docs: DataFrame) -> DataFrame:
+    """Fourth codec family: a real baseline grayscale JPEG per document
+    (standard Annex-K Huffman tables, DC-predicted entropy coding, byte
+    stuffing). Block-constant fixtures (8x8 block bi = (doc_id*31+bi)%256)
+    make the lossy codec exact by construction, so the decoded features
+    hash-match SQL over the generator arithmetic. Dims: (8..24) x (8..24)
+    in 8-pixel steps."""
+    src = docs.select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                out.append((d, _encode_jpeg_bytes(d, 8 * (1 + d % 3), 8 * (1 + (d // 3) % 3))))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return src.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
 def synthesize_media_png(docs: DataFrame) -> DataFrame:
     """Third struct-built codec family (r6 verdict #5 — close the codec
     surface with pure stdlib): a genuine 8-bit grayscale PNG per document
@@ -668,9 +1036,8 @@ def synthesize_media_ext(docs: DataFrame) -> DataFrame:
 
 
 def decode_media(media: DataFrame) -> DataFrame:
-    """Real decode dispatch over binary payloads: BMP and WAV parse with
-    the stdlib struct decoders above; PNG/JPEG magic routes to
-    ``_real_decode`` (honest NotImplementedError until codecs exist);
+    """Real decode dispatch over binary payloads: BMP/WAV/GIF/AIFF/PNG/
+    baseline-JPEG all parse with the pure stdlib+numpy decoders above;
     anything else is rejected. Arrow-batched, one batch of blobs per
     iteration — shrink spark.sql.files.maxPartitionBytes at scale so a
     partition of blobs fits executor memory."""
@@ -702,9 +1069,8 @@ def decode_media(media: DataFrame) -> DataFrame:
                     w, h, n_px, luma = _decode_png_bytes(raw)
                     rows.append((int(doc_id), "png", w, h, None, n_px, float(np.round(luma, 6))))
                 elif raw[:2] == b"\xff\xd8":
-                    # JPEG: entropy-coded DCT genuinely needs a codec
-                    # library — the documented honest stub
-                    _real_decode(raw)
+                    w, h, n_px, luma = _decode_jpeg_bytes(raw)
+                    rows.append((int(doc_id), "jpeg", w, h, None, n_px, float(np.round(luma, 6))))
                 else:
                     raise ValueError("unknown media container")
             pdf_out = pd.DataFrame(

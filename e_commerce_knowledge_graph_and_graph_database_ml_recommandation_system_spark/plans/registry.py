@@ -56,6 +56,7 @@ _DRIVER_UNSAMPLED = (
     # round-6 additions were sampled green in CORRECTNESS_r06.json; the
     # rotation list resets to the round-7 additions
     "multimodal_codec_roundtrip_png",
+    "multimodal_codec_roundtrip_jpeg",
 )
 
 

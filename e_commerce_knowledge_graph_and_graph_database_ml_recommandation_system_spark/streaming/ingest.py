@@ -91,6 +91,7 @@ def stream_curated_ingest(
     ckpt_dir: str,
     n_batches: int = 4,
     max_hamming: int = 3,
+    progress_out: list | None = None,
 ) -> DataFrame:
     """Streaming corpus curation: documents arrive in micro-batches and each
     batch is ADMITTED against the already-admitted state — within-batch
@@ -224,6 +225,8 @@ def stream_curated_ingest(
     )
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         q.stop()
 

@@ -160,7 +160,13 @@ def stream_enriched_counts(spark, sf_dir: str, width: str = "15 minutes") -> Dat
     return spark.table(name)
 
 
-def stream_stream_attribution(spark, sf_dir: str, lookback_minutes: int = 30) -> DataFrame:
+def stream_stream_attribution(
+    spark,
+    sf_dir: str,
+    lookback_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+    progress_out: list | None = None,
+) -> DataFrame:
     """REAL stream-stream join (the §2.13 shape stream-static can't cover):
     purchase events joined to the SAME user's view events within the
     preceding ``lookback_minutes`` — attribution candidates. Both sides are
@@ -173,13 +179,24 @@ def stream_stream_attribution(spark, sf_dir: str, lookback_minutes: int = 30) ->
     Drained append-mode result equals the batch interval join row-for-row
     (unified semantics), so it carries a full DuckDB hash oracle. lag_us
     is an exact integer microsecond difference — no float time math."""
-    static = spark.read.parquet(f"{sf_dir}/events.parquet")
+    import os
+
+    ev_path = f"{sf_dir}/events.parquet"
+    static = spark.read.parquet(ev_path)
 
     def src():
+        # single-file testdata layout streams via the glob filter; a
+        # directory layout (scale-probe scratch, any production landing
+        # zone) streams the directory itself. max_files_per_trigger splits
+        # the drain into multiple micro-batches so watermark advancement /
+        # state eviction is observable (the scale-probe instrumentation).
+        reader = spark.readStream.schema(static.schema)
+        if max_files_per_trigger is not None:
+            reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        if os.path.isdir(ev_path):
+            return normalize_event_ts(reader.parquet(ev_path))
         return normalize_event_ts(
-            spark.readStream.schema(static.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
+            reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
         )
 
     views = (
@@ -225,6 +242,8 @@ def stream_stream_attribution(spark, sf_dir: str, lookback_minutes: int = 30) ->
     q = joined.writeStream.format("memory").queryName(name).outputMode("append").start()
     try:
         q.processAllAvailable()
+        if progress_out is not None:
+            progress_out.extend(q.recentProgress)
     finally:
         q.stop()
     return spark.table(name)

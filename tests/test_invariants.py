@@ -591,6 +591,56 @@ def test_multimodal_png_codec_roundtrip(spark):
     assert out.filter(F.col("width").isNull() | F.col("height").isNull()).count() == 0
 
 
+def test_multimodal_jpeg_codec_roundtrip(spark):
+    """Fourth codec family: baseline JPEG, pure numpy/stdlib. Exactness on
+    the block-constant oracle subspace (DC-only blocks, DC quantizer 8),
+    a BOUNDED-ERROR general roundtrip on arbitrary pixels (the honest
+    property for a lossy codec: per-pixel error limited by the AC
+    quantizer), and honest scope (progressive SOF2 raises)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import multimodal as mm
+
+    # exact on block-constant fixtures (several dims, DC-diff signs both ways)
+    for seed, w, h in [(0, 8, 8), (3, 24, 16), (254, 16, 24), (999, 8, 24)]:
+        dw, dh, n_px, luma = mm._decode_jpeg_bytes(mm._encode_jpeg_bytes(seed, w, h))
+        nb = (w // 8) * (h // 8)
+        expect = sum((seed * 31 + bi) % 256 for bi in range(nb)) / nb
+        assert (dw, dh, n_px) == (w, h, w * h)
+        assert abs(luma - expect) < 1e-9
+
+    # general lossy roundtrip: random pixels; the decoded MEAN must sit
+    # within the quantization error budget (AC quant 16 -> block means are
+    # carried by DC, quantized at 8 -> mean error << 1 grey level per px)
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(24, 32)).astype(float)
+    _, _, _, luma = mm._decode_jpeg_bytes(mm._encode_jpeg_from_array(img))
+    assert abs(luma - img.mean()) < 3.0
+    # a smooth gradient survives almost exactly
+    grad = np.tile(np.arange(32), (24, 1)).astype(float) * 4 % 256
+    _, _, _, luma2 = mm._decode_jpeg_bytes(mm._encode_jpeg_from_array(grad))
+    assert abs(luma2 - grad.mean()) < 0.2
+
+    # honest scope: a progressive SOF2 marker raises, it does not decode
+    good = bytearray(mm._encode_jpeg_bytes(5, 8, 8))
+    at = bytes(good).index(b"\xff\xc0")
+    good[at + 1] = 0xC2
+    with pytest.raises(ValueError, match="progressive"):
+        mm._decode_jpeg_bytes(bytes(good))
+
+    # Spark level: one jpeg row per doc, dims from the generator
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", SF).select("doc_id")
+    out = mm.decode_media(mm.synthesize_media_jpeg(docs)).cache()
+    assert out.count() == docs.count()
+    assert out.filter(F.col("kind") != "jpeg").count() == 0
+    assert out.filter((F.col("width") % 8 != 0) | (F.col("height") % 8 != 0)).count() == 0
+
+
 def test_discount_range(spark):
     """Reference invariant: discount ∈ [0.05, 0.50] by month branch
     (took_recommandations_softmaxsampling_discount.py:85-92)."""
