@@ -640,3 +640,31 @@ def test_ivf_pq_store_serve_identity(spark, sf_dir, tmp_path, monkeypatch):
     _memo.clear()
     out_served = sorted(map(tuple, qs["ann_ivf_pq_topk"](spark, sf_dir).collect()))
     assert out_train == out_served, "serving from the persisted index changed the output"
+
+
+def test_gbt_store_serve(spark, sf_dir, tmp_path, monkeypatch):
+    """The fitted-GBT artifact store (r7: _lp_shared persists the boosted
+    trees via the MLlib writer): a second process-state (cleared memo,
+    populated store) must LOAD the model — proven by making the fit
+    impossible (train_gbt raises) — and the loaded model must produce the
+    same ranked feature importances as the fit that trained it."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import (
+        link_prediction as lp,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import (
+        _memo,
+        registry,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path))
+    qs = registry.queries()
+    fit_rows = sorted(map(tuple, qs["feature_importances"](spark, sf_dir).collect()))
+
+    _memo.clear()
+
+    def _boom(*a, **k):
+        raise AssertionError("store miss: GBT refit instead of loading the persisted model")
+
+    monkeypatch.setattr(lp, "train_gbt", _boom)
+    served_rows = sorted(map(tuple, qs["feature_importances"](spark, sf_dir).collect()))
+    assert fit_rows == served_rows, "loaded GBT diverged from the fit that trained it"
