@@ -668,3 +668,31 @@ def test_gbt_store_serve(spark, sf_dir, tmp_path, monkeypatch):
     monkeypatch.setattr(lp, "train_gbt", _boom)
     served_rows = sorted(map(tuple, qs["feature_importances"](spark, sf_dir).collect()))
     assert fit_rows == served_rows, "loaded GBT diverged from the fit that trained it"
+
+
+def test_multitower_store_serve(spark, sf_dir, tmp_path, monkeypatch):
+    """The tower-net artifact store (r7): parameters/scaler-stats/history
+    persist in the fingerprint-keyed store; a second process-state must
+    LOAD them (training made impossible) and report byte-identical
+    metrics — doubles roundtrip parquet bit-exactly, so the val-AUC
+    forward pass over loaded params cannot move."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import (
+        multitower as mt,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import (
+        _memo,
+        registry,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_STORE_DIR", str(tmp_path))
+    qs = registry.queries()
+    fit_rows = sorted(map(tuple, qs["ml_multitower_metrics"](spark, sf_dir).collect()))
+
+    _memo.clear()
+
+    def _boom(*a, **k):
+        raise AssertionError("store miss: tower net retrained instead of loading params")
+
+    monkeypatch.setattr(mt, "train_multi_tower", _boom)
+    served_rows = sorted(map(tuple, qs["ml_multitower_metrics"](spark, sf_dir).collect()))
+    assert fit_rows == served_rows, "loaded tower net diverged from the training run"
