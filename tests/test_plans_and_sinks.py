@@ -400,6 +400,62 @@ def test_stream_curated_ingest_idempotent(spark, sf_dir, tmp_path):
     ]
 
 
+def test_stream_attribution_directory_source_multi_batch(spark, sf_dir, tmp_path):
+    """The r7 directory-layout branch of stream_stream_attribution (any
+    production landing zone delivers a DIRECTORY of part files, not one
+    file): range-partitioned-by-ts files with ascending mtimes streamed at
+    maxFilesPerTrigger=1 must equal the batch interval join row-for-row —
+    unified semantics while the watermark advances and evicts between
+    micro-batches (the streaming_scale_probe dataflow, CI-sized)."""
+    import os
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.streaming.windows import (
+        stream_stream_attribution,
+    )
+
+    root = str(tmp_path / "attr_src")
+    ev_dir = f"{root}/events.parquet"
+    ev = load_table(spark, "events", sf_dir)
+    ev.repartitionByRange(6, "ts").write.mode("overwrite").parquet(ev_dir)
+    base = 1_000_000_000
+    parts = sorted(f for f in os.listdir(ev_dir) if f.startswith("part-"))
+    for i, f in enumerate(parts):
+        os.utime(os.path.join(ev_dir, f), (base + i, base + i))
+
+    prog: list = []
+    out = stream_stream_attribution(
+        spark, root, lookback_minutes=240, max_files_per_trigger=1, progress_out=prog
+    )
+    stream_rows = sorted(map(tuple, out.collect()))
+
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("vu"), F.col("ts").alias("vts")
+    )
+    batch = (
+        p.join(
+            v,
+            (F.col("vu") == F.col("user_id"))
+            & (F.col("vts") <= F.col("pts"))
+            & (F.col("vts") >= F.col("pts") - F.expr("INTERVAL 240 MINUTES")),
+        )
+        .select(
+            "purchase_id",
+            "view_id",
+            "user_id",
+            F.date_format("pts", "yyyy-MM-dd HH:mm:ss").alias("purchase_ts"),
+            F.date_format("vts", "yyyy-MM-dd HH:mm:ss").alias("view_ts"),
+            (F.unix_micros(F.col("pts")) - F.unix_micros(F.col("vts"))).cast("long").alias("lag_us"),
+        )
+    )
+    batch_rows = sorted(map(tuple, batch.collect()))
+    assert len(prog) > 1, "directory source did not split into micro-batches"
+    assert stream_rows == batch_rows, "multi-batch streamed join diverged from the batch join"
+
+
 def test_bucketed_join_skips_shuffle(spark, sf_dir):
     """Bucketed tables co-locate their join keys at WRITE time: a
     self-contained two-table equi-join on the bucket column must carry no
