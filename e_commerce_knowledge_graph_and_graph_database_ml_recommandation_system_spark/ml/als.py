@@ -156,9 +156,14 @@ def als_rank2_bucketed(
 
     Factors are BIT-IDENTICAL to als_rank2's (decimal-exact sums are
     order-free, so physical layout cannot change a single bit —
-    gate-tested end to end in tests/test_plans_and_sinks.py). Managed
-    tables persist under ``table_prefix``_* in the warehouse (overwrite
-    mode; callers may drop them after consuming the factors).
+    gate-tested end to end in tests/test_plans_and_sinks.py). The
+    ``table_prefix``_* managed tables are TRANSIENT scratch: the final
+    factors are eager-localCheckpointed (dimension-table-sized — 2 doubles
+    per entity) and every half-step table is dropped in a finally, so
+    repeated bench/test runs leave zero warehouse residue (r7 ADVICE #3).
+    The returned ``inter`` is the projected input, NOT re-materialized —
+    consumers needing a pinned interaction table checkpoint it themselves
+    (both current callers already hold their own).
     """
     from ..sources.tables import read_bucketed, write_bucketed
 
@@ -172,6 +177,7 @@ def als_rank2_bucketed(
         ).lower()
         table_prefix = f"als_scale_{app}"
     inter = inter.select("c", "p", F.col("w").cast("double").alias("w"))
+    created: list[str] = []
 
     def as_bucketed(df: DataFrame, key: str, name: str) -> DataFrame:
         # repartition on the bucket key first: the write then emits one
@@ -179,24 +185,34 @@ def als_rank2_bucketed(
         write_bucketed(
             df.repartition(n_buckets, key), name, key, n_buckets=n_buckets, sort_col=key
         )
+        created.append(name)
         return read_bucketed(spark, name)
 
-    inter_p = as_bucketed(inter, "p", f"{table_prefix}_inter_p")
-    inter_c = as_bucketed(inter, "c", f"{table_prefix}_inter_c")
-    y = as_bucketed(_init_factors(inter_p, "p", "Y"), "p", f"{table_prefix}_y")
-    x = None
-    for i in range(alternations):
-        x = as_bucketed(
-            _solve_step(inter_p, y, "p", "c", lam, checkpoint=False),
-            "c",
-            f"{table_prefix}_x{i + 1}",
-        )
-        y = as_bucketed(
-            _solve_step(inter_c, x, "c", "p", lam, checkpoint=False),
-            "p",
-            f"{table_prefix}_y{i + 1}",
-        )
-    return inter_p, x, y
+    try:
+        inter_p = as_bucketed(inter, "p", f"{table_prefix}_inter_p")
+        inter_c = as_bucketed(inter, "c", f"{table_prefix}_inter_c")
+        y = as_bucketed(_init_factors(inter_p, "p", "Y"), "p", f"{table_prefix}_y")
+        x = None
+        for i in range(alternations):
+            x = as_bucketed(
+                _solve_step(inter_p, y, "p", "c", lam, checkpoint=False),
+                "c",
+                f"{table_prefix}_x{i + 1}",
+            )
+            y = as_bucketed(
+                _solve_step(inter_c, x, "c", "p", lam, checkpoint=False),
+                "p",
+                f"{table_prefix}_y{i + 1}",
+            )
+        # pin the factors OFF the managed tables before the finally drops
+        # them (localCheckpoint copies the rows; drop then only reclaims
+        # the transient bucketed layout)
+        x = x.localCheckpoint(eager=True)
+        y = y.localCheckpoint(eager=True)
+        return inter, x, y
+    finally:
+        for name in created:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
 def als_fit_report(inter: DataFrame, x: DataFrame, y: DataFrame) -> DataFrame:

@@ -63,6 +63,43 @@ def fingerprint(orders: DataFrame, lineitem: DataFrame, tag: str) -> str:
     return f"{tag}_o{o['n']}_l{n_li}_{mx}"
 
 
+def fingerprint_sources(tables: dict[str, DataFrame], tag: str) -> str:
+    """Fingerprint for artifacts whose training dataset reads MORE than the
+    append-only interaction log. ``fingerprint()``'s count/max contract is
+    only valid for orders+lineitem; a dataset that also joins dimension
+    tables (customer/part/nation/region — e.g. the GBT / multi-tower
+    feature assembly) can see a value remap (same row count, same max) that
+    count/max never detects, silently serving a stale model.
+
+    Here ``orders``/``lineitem`` (when present) keep the cheap count/max
+    contract, and every OTHER table folds in a full content hash —
+    ``sum(xxhash64(*columns))`` cast to decimal(38,0), one columnar scan
+    per dimension table, order-insensitive and overflow-safe. Dimension
+    tables are small by construction, so the scan is noise next to a
+    train. The combined key is md5-compressed to keep store directory
+    names bounded."""
+    import hashlib
+
+    parts: list[str] = [tag]
+    for name in sorted(tables):
+        t = tables[name]
+        if name in ("orders", "lineitem"):
+            date_col = "o_orderdate" if name == "orders" else "l_shipdate"
+            row = t.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(date_col).alias("mx") if date_col in t.columns else F.lit(None).alias("mx"),
+            ).collect()[0]
+            parts.append(f"{name}:{row['n']}:{row['mx']}")
+        else:
+            row = t.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(*t.columns).cast("decimal(38,0)")).alias("h"),
+            ).collect()[0]
+            parts.append(f"{name}:{row['n']}:{row['h']}")
+    digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
+    return f"{tag}_src{digest}"
+
+
 def store_path(fp: str, base_dir: str | None = None) -> str:
     return os.path.join(base_dir or _default_base(), fp)
 

@@ -637,6 +637,10 @@ def _decode_png_bytes(raw: bytes) -> tuple[int, int, int, float]:
 # Generality on arbitrary images is pytest-gated by a DCT roundtrip error
 # bound instead (the property a lossy codec can honestly promise).
 # Progressive JPEG (SOF2) and multi-component scans raise ValueError.
+# DRI/RSTn restart intervals are fully supported (byte-align at the
+# segment boundary, RSTn sequence verification, DC predictor reset —
+# T.81 E.2.4), as are non-8-multiple SOF dimensions (partial edge MCUs
+# cropped after IDCT).
 # ---------------------------------------------------------------------------
 
 _JPEG_ZIGZAG = [
@@ -715,6 +719,13 @@ class _BitWriter:
             self.write(0x7F, 8 - self.n)  # pad with 1s
         return bytes(self.out)
 
+    def restart_marker(self, idx: int) -> None:
+        """Byte-align with 1-padding, then emit RST(idx mod 8) RAW —
+        restart markers are segment delimiters, never byte-stuffed."""
+        if self.n:
+            self.write(0x7F, 8 - self.n)
+        self.out += bytes([0xFF, 0xD0 + (idx % 8)])
+
 
 def _jpeg_category(v: int) -> int:
     return v.bit_length() if v >= 0 else (-v).bit_length()
@@ -740,11 +751,16 @@ def _encode_jpeg_bytes(seed: int, width: int, height: int) -> bytes:
     return _encode_jpeg_from_array(img)
 
 
-def _encode_jpeg_from_array(img) -> bytes:
+def _encode_jpeg_from_array(img, restart_interval: int = 0, crop=None) -> bytes:
     """General baseline grayscale JPEG encoder over an (h, w) uint8-valued
     array (h, w multiples of 8): DQT, SOF0, the two standard Annex-K
     Huffman tables as DHT, SOS, entropy-coded 8x8 MCUs with DC prediction
-    and byte stuffing."""
+    and byte stuffing. ``restart_interval`` > 0 additionally writes a DRI
+    segment and RST0..7 markers every that-many MCUs (byte-aligned, DC
+    predictor reset — the decoder-side contract of T.81 E.2.4).
+    ``crop=(true_h, true_w)`` writes non-8-multiple TRUE dimensions into
+    the SOF while coding the padded array — the standard way real JPEGs
+    carry e.g. a 10x13 image (decoders crop the partial edge MCUs)."""
     import struct
 
     import numpy as np
@@ -752,6 +768,9 @@ def _encode_jpeg_from_array(img) -> bytes:
     height, width = img.shape
     if width % 8 or height % 8:
         raise ValueError("dimensions must be multiples of 8")
+    sof_h, sof_w = crop if crop is not None else (height, width)
+    if not (height - 8 < sof_h <= height and width - 8 < sof_w <= width):
+        raise ValueError("crop dims must land in the final MCU row/column")
     m = _jpeg_dct_matrix()
     q = np.empty(64)
     for zz, nat in enumerate(_JPEG_ZIGZAG):
@@ -762,9 +781,16 @@ def _encode_jpeg_from_array(img) -> bytes:
 
     bw = _BitWriter()
     pred = 0
+    mcu = 0
+    rst_idx = 0
     nbx, nby = width // 8, height // 8
     for by in range(nby):
         for bx in range(nbx):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart_marker(rst_idx)
+                rst_idx += 1
+                pred = 0
+            mcu += 1
             block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128.0
             coef = m @ block @ m.T
             qc = np.rint(coef / q).astype(np.int64)
@@ -803,13 +829,14 @@ def _encode_jpeg_from_array(img) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     dqt = seg(0xFFDB, bytes([0]) + bytes(_JPEG_QUANT))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, sof_h, sof_w, 1) + bytes([1, 0x11, 0]))
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bw.flush() + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
     )
 
 
@@ -827,11 +854,11 @@ class _BitReader:
                 nxt = self.data[self.pos + 1] if self.pos + 1 < len(self.data) else 0xD9
                 if nxt == 0x00:  # stuffed byte
                     self.pos += 2
-                elif 0xD0 <= nxt <= 0xD7:  # RST marker: byte-align + skip
-                    self.pos += 2
-                    self.acc, self.n = 0, 0
-                    continue
-                else:  # EOI or next segment — pad with 1s
+                else:  # ANY marker (RSTn/EOI/next segment): stop consuming,
+                    # pad with 1s; pos stays ON the marker so restart() can
+                    # byte-align at the true segment boundary (T.81 E.2.4 —
+                    # the pre-r8 inline-RST skip discarded buffered bits at
+                    # fill time, not at the segment boundary: r7 ADVICE #2)
                     self.acc = (self.acc << 8) | 0xFF
                     self.n += 8
                     continue
@@ -839,6 +866,22 @@ class _BitReader:
                 self.pos += 1
             self.acc = (self.acc << 8) | b
             self.n += 8
+
+    def restart(self) -> int:
+        """Byte-align at a restart boundary (T.81 E.2.4): discard the
+        interval's 1-padding bits (never real data — _fill stops at
+        markers, so the buffer holds only pre-marker bits), consume the
+        RSTn marker, return its sequence number n."""
+        self.acc, self.n = 0, 0
+        if (
+            self.pos + 1 < len(self.data)
+            and self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            n = self.data[self.pos + 1] & 0x07
+            self.pos += 2
+            return n
+        raise ValueError("JPEG expected restart marker")
 
     def bits(self, k: int) -> int:
         if k == 0:
@@ -880,6 +923,7 @@ def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
     ac_tables: dict[int, dict] = {}
     width = height = None
     comp_q = comp_dc = comp_ac = 0
+    restart_interval = 0
     scan_at = None
     while pos + 4 <= len(raw):
         if raw[pos] != 0xFF:
@@ -916,6 +960,8 @@ def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
             comp_q = body[8]
         elif marker == 0xC2:
             raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xDD:  # DRI — restart interval in MCUs (T.81 B.2.4.4)
+            (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
             if ns != 1:
@@ -938,8 +984,18 @@ def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
     pred = 0
+    mcu = 0
     for by in range(nby):
         for bx in range(nbx):
+            # restart boundary: byte-align, verify the RSTn sequence
+            # number, reset the DC predictor (T.81 E.2.4). Grayscale
+            # non-subsampled => one MCU per 8x8 block.
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                got = br.restart()
+                if got != (mcu // restart_interval - 1) % 8:
+                    raise ValueError("JPEG restart marker out of sequence")
+                pred = 0
+            mcu += 1
             zz = np.zeros(64)
             cat = br.huffman(dct)
             diff = extend(br.bits(cat), cat) if cat else 0

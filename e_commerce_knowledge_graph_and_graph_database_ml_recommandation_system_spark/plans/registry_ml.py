@@ -79,8 +79,12 @@ def _lp_shared(spark: SparkSession, sf_dir: str) -> dict:
 
         from ..ml import recsys_store as rs
 
-        t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-        fp = rs.fingerprint(t["orders"], t["lineitem"], tag="lp_gbt_i7_v1")
+        # the GBT's dataset (_ds_base -> lp.build_dataset) joins the full
+        # GRAPH_TABLES — a remap in a dimension table (e.g. part category,
+        # which feeds the encoding) must invalidate the key even when
+        # orders/lineitem are unchanged (r7 ADVICE #1)
+        t = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+        fp = rs.fingerprint_sources(t, tag="lp_gbt_i7_v1")
         mdir = os.path.join(rs.store_path(fp), "gbt_model")
         marker = os.path.join(mdir, "_SAVED_OK")
         model = None
@@ -569,8 +573,10 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged sources LOADS the tower net — doubles roundtrip parquet
     # bit-exactly, so served metrics equal the training run's
     # (gate-tested) — and only re-runs the val-AUC forward pass.
-    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-    fp = rs.fingerprint(t["orders"], t["lineitem"], tag="mt_v1_i6lr005")
+    # _ds_te derives from the full GRAPH_TABLES assembly — fingerprint every
+    # source table, not just the interaction log (r7 ADVICE #1)
+    t = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    fp = rs.fingerprint_sources(t, tag="mt_v1_i6lr005")
     path = rs.store_path(fp)
     names = ("mt_params", "mt_stats", "mt_history")
     loaded = rs.load_artifacts(spark, path, names)

@@ -641,6 +641,64 @@ def test_multimodal_jpeg_codec_roundtrip(spark):
     assert out.filter((F.col("width") % 8 != 0) | (F.col("height") % 8 != 0)).count() == 0
 
 
+def test_multimodal_jpeg_restart_markers_and_crop():
+    """r7 ADVICE #2 + verdict #4 depth pass. (a) DRI/RSTn restart
+    intervals decode CORRECTLY — byte-aligned at the segment boundary, DC
+    predictor reset per T.81 E.2.4 — bit-identically to the same image
+    coded without restarts, across intervals that land mid-byte and on
+    byte boundaries and past the RST7->RST0 wraparound. (b) A corrupted
+    restart sequence raises instead of silently mis-decoding. (c)
+    Non-8-multiple SOF dimensions (partial edge MCUs) crop correctly.
+    (d) SOF with >1 component raises loudly."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=(32, 40)).astype(float)  # 4x5 = 20 MCUs
+    base = mm._decode_jpeg_bytes(mm._encode_jpeg_from_array(img))
+    # interval 1 exercises 19 restarts (wraps RST7->RST0 twice); 3 and 8
+    # land mid-byte and on byte-ish boundaries
+    for ri in (1, 2, 3, 8):
+        got = mm._decode_jpeg_bytes(mm._encode_jpeg_from_array(img, restart_interval=ri))
+        assert got == base, f"restart_interval={ri} diverged"
+
+    # out-of-sequence RSTn must raise, not silently desync: swap the first
+    # restart marker RST0 -> RST5
+    payload = bytearray(mm._encode_jpeg_from_array(img, restart_interval=4))
+    at = bytes(payload).index(b"\xff\xd0")
+    payload[at + 1] = 0xD5
+    with pytest.raises(ValueError, match="restart"):
+        mm._decode_jpeg_bytes(bytes(payload))
+
+    # non-8-multiple dims: pad by edge replication, code with true dims in
+    # the SOF; decode must report the TRUE dims and the cropped mean
+    true_h, true_w = 13, 27
+    small = rng.integers(0, 256, size=(true_h, true_w)).astype(float)
+    padded = np.pad(small, ((0, 16 - true_h), (0, 32 - true_w)), mode="edge")
+    w, h, n_px, luma = mm._decode_jpeg_bytes(
+        mm._encode_jpeg_from_array(padded, crop=(true_h, true_w))
+    )
+    assert (w, h, n_px) == (true_w, true_h, true_w * true_h)
+    assert abs(luma - small.mean()) < 3.0
+    # ...and composes with restart intervals
+    w2, h2, _, luma2 = mm._decode_jpeg_bytes(
+        mm._encode_jpeg_from_array(padded, restart_interval=3, crop=(true_h, true_w))
+    )
+    assert (w2, h2) == (true_w, true_h) and abs(luma2 - luma) < 1e-9
+
+    # multi-component SOF raises loudly (grayscale-only documented scope)
+    good = bytearray(mm._encode_jpeg_from_array(img))
+    at = bytes(good).index(b"\xff\xc0")
+    # SOF body: len(2) prec(1) h(2) w(2) ncomp(1) — bump ncomp
+    good[at + 9] = 3
+    with pytest.raises(ValueError, match="grayscale"):
+        mm._decode_jpeg_bytes(bytes(good))
+
+
 def test_discount_range(spark):
     """Reference invariant: discount ∈ [0.05, 0.50] by month branch
     (took_recommandations_softmaxsampling_discount.py:85-92)."""

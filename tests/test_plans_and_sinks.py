@@ -604,6 +604,28 @@ def test_recsys_store_freshness_and_serve_identity(spark, sf_dir, tmp_path, monk
     assert fp_full != fp_less, "append-only source change must move the fingerprint"
     assert fp_full != fp_other_cfg, "training-config change must move the fingerprint"
 
+    # fingerprint_sources (r7 ADVICE #1): datasets that read DIMENSION
+    # tables must see a same-count/same-max value remap — count/max alone
+    # cannot. A part-category remap must move the key; determinism and tag
+    # sensitivity must hold.
+    from pyspark.sql import functions as F
+
+    td = load_tables(spark, sf_dir, names=("orders", "lineitem", "part"))
+    fps_a = rs.fingerprint_sources(td, tag="z")
+    fps_b = rs.fingerprint_sources(td, tag="z")
+    assert fps_a == fps_b, "fingerprint_sources must be deterministic"
+    assert fps_a != rs.fingerprint_sources(td, tag="z2")
+    remapped = dict(td)
+    remapped["part"] = td["part"].withColumn(
+        "p_type",
+        F.when(F.col("p_type").startswith("STANDARD"), F.lit("REMAPPED")).otherwise(
+            F.col("p_type")
+        ),
+    )
+    assert rs.fingerprint_sources(remapped, tag="z") != fps_a, (
+        "a dimension-table value remap (unchanged row count) must move the key"
+    )
+
     qs = registry.queries()
     # first run trains and persists (store dir is empty)
     out_train = sorted(map(tuple, qs["hybrid_recommendations"](spark, sf_dir).collect()))
