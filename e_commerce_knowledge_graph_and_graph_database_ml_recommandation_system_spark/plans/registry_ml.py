@@ -20,7 +20,7 @@ from ..operators import similarity as sim
 from ..operators.aggregates import knn_aggregates
 from ..sources.tables import load_table, load_tables
 from ._memo import memo
-from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges, shared_sim_graph
 
 # ---------------------------------------------------------------------------
 # Shared heavyweight artifacts (one computation per process — VERDICT r3 #1/#2:
@@ -173,7 +173,7 @@ def q_knn_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A7: per-node aggregates over the symmetrized KNN similarity graph
     (reference ``xgboost_training_for_big_data.py:298-318``) — the full X7
     (knn graph) → A7 (neighborhood stats) chain, hash-checked end to end."""
-    g = sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
+    g = shared_sim_graph(spark, sf_dir)
     out = knn_aggregates(g)
     return out.select(
         "id",
@@ -503,7 +503,7 @@ def q_louvain_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``Louvain_community_algorithm.py:56-86``, weight='similarity').
     Deterministic (no RNG); quality gated by weighted modularity vs the
     LPA partition in tests (SURVEY §5: quality invariants, not id hashes)."""
-    g = sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
+    g = shared_sim_graph(spark, sf_dir)
     return alg.louvain(g, weight_col="similarity", undirected=False)
 
 
@@ -518,7 +518,7 @@ def q_louvain_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = shared_edges(spark, sf_dir)
     deg = node_degrees(edges)
     comm = alg.louvain(
-        sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5),
+        shared_sim_graph(spark, sf_dir),
         weight_col="similarity",
         undirected=False,
     ).select(F.concat_ws("_", F.lit("cust"), F.col("id")).alias("id"), "community_id")

@@ -19,7 +19,7 @@ from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..operators.dedup import MINHASH_PRIME, _A, _B
 from ..sources.tables import load_table
-from .registry import register
+from .registry import register, shared_sim_graph
 
 # ---------------------------------------------------------------------------
 # dedup: exact
@@ -831,7 +831,7 @@ SELECT src, dst, MAX(similarity) AS similarity FROM sym GROUP BY src, dst
 """,
 )
 def q_knn_similarity_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
+    return shared_sim_graph(spark, sf_dir)
 
 
 @register(
@@ -2095,7 +2095,7 @@ def q_knn_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-oracle-checked."""
     from ..graph.algorithms import triangle_counts
 
-    g = sim.similarity_graph(load_table(spark, "embeddings", sf_dir), k=5)
+    g = shared_sim_graph(spark, sf_dir)
     return triangle_counts(g)
 
 

@@ -66,7 +66,11 @@ DEFAULT_QUERIES = (
 )
 
 
-def build(spark, replicas: int) -> None:
+def build(spark, replicas: int, tables: tuple[str, ...] | None = None) -> None:
+    """Replicate into SCRATCH. ``tables`` (optional) limits the replicated
+    fact tables to the ones a probe actually reads — a 100x replication of
+    every table is disk it doesn't need (dimension COPY_TABLES are always
+    carried; they're tiny)."""
     from pyspark.sql import functions as F
 
     for table in COPY_TABLES:
@@ -76,6 +80,8 @@ def build(spark, replicas: int) -> None:
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
 
     for table, units in KEY_UNITS.items():
+        if tables is not None and table not in tables:
+            continue
         base = (
             load_table(spark, table, SRC)
             if table == "events"
