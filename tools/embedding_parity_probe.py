@@ -160,6 +160,15 @@ def main() -> None:
         # anchor projects the full wall when 10 epochs exceed the probe
         # budget (MLlib W2V per-epoch cost over a 111M-token corpus)
         run_config(spark, sf_dir, f"reference_robust_e{epochs}", 200, 30, 64, 10, epochs, par)
+    if mode == "matched":
+        # density-matched cross-SF quality probe (r7 verdict #6): run the
+        # SAME per-node corpus density (num_walks x walk_len) at two SFs
+        # and compare margin/AUC — if quality tracks density rather than
+        # graph size, the sf0.01 robust-config result extrapolates to the
+        # 10x graph. args: [sf_dir] matched [num_walks] [walk_len]
+        nw = int(sys.argv[3]) if len(sys.argv) > 3 else 40
+        wl = int(sys.argv[4]) if len(sys.argv) > 4 else 20
+        run_config(spark, sf_dir, f"matched_{nw}x{wl}", nw, wl, 64, 10, 1, par)
 
 
 if __name__ == "__main__":
