@@ -8,11 +8,13 @@ signatures) is real and tested. Two decode tiers:
   ``synthesize_media`` / ``synthesize_media_ext`` / ``synthesize_media_png``
   / ``synthesize_media_jpeg`` / ``decode_media`` write and blind-parse
   genuine 24-bit BMP, 16-bit PCM WAV, LZW-coded GIF87a, big-endian AIFF,
-  zlib-deflated PNG (all five scanline filters) and baseline JPEG
-  (standard Huffman tables, zigzag, DC prediction, 8x8 DCT) with stdlib
-  ``struct``/``zlib`` + numpy — actual bytes→features work,
-  oracle-checked end to end. Progressive JPEG raises ValueError
-  (documented scope);
+  zlib-deflated PNG (all five scanline filters) and baseline JPEG —
+  grayscale AND 3-component YCbCr at 4:4:4/4:2:2/4:2:0, with DRI/RSTn
+  restart intervals and non-MCU-multiple SOF dims (standard Huffman
+  tables, zigzag, per-component DC prediction, 8x8 DCT, chroma box
+  upsample) — with stdlib ``struct``/``zlib`` + numpy: actual
+  bytes→features work, oracle-checked end to end. Progressive JPEG
+  (SOF2) raises ValueError (documented scope);
 - ``_real_decode`` remains the honest NotImplementedError path for
   formats that genuinely need a codec library (video codecs);
   ``decode_frames`` keeps the deterministic chunk-hash stub for opaque
@@ -636,11 +638,12 @@ def _decode_png_bytes(raw: bytes) -> tuple[int, int, int, float]:
 # BY CONSTRUCTION on that subspace, so decoded features recompute in SQL.
 # Generality on arbitrary images is pytest-gated by a DCT roundtrip error
 # bound instead (the property a lossy codec can honestly promise).
-# Progressive JPEG (SOF2) and multi-component scans raise ValueError.
-# DRI/RSTn restart intervals are fully supported (byte-align at the
-# segment boundary, RSTn sequence verification, DC predictor reset —
-# T.81 E.2.4), as are non-8-multiple SOF dimensions (partial edge MCUs
-# cropped after IDCT).
+# Progressive JPEG (SOF2) raises ValueError. Supported: 1-component
+# grayscale and 3-component YCbCr with per-axis sampling factors 1 or 2
+# (4:4:4 / 4:2:2 / 4:2:0, interleaved MCUs, chroma box-upsampled after
+# IDCT); DRI/RSTn restart intervals (byte-align at the segment boundary,
+# RSTn sequence verification, per-component DC predictor reset — T.81
+# E.2.4); non-MCU-multiple SOF dimensions (partial edge MCUs cropped).
 # ---------------------------------------------------------------------------
 
 _JPEG_ZIGZAG = [
@@ -752,24 +755,50 @@ def _encode_jpeg_bytes(seed: int, width: int, height: int) -> bytes:
 
 
 def _encode_jpeg_from_array(img, restart_interval: int = 0, crop=None) -> bytes:
-    """General baseline grayscale JPEG encoder over an (h, w) uint8-valued
-    array (h, w multiples of 8): DQT, SOF0, the two standard Annex-K
-    Huffman tables as DHT, SOS, entropy-coded 8x8 MCUs with DC prediction
-    and byte stuffing. ``restart_interval`` > 0 additionally writes a DRI
-    segment and RST0..7 markers every that-many MCUs (byte-aligned, DC
-    predictor reset — the decoder-side contract of T.81 E.2.4).
-    ``crop=(true_h, true_w)`` writes non-8-multiple TRUE dimensions into
-    the SOF while coding the padded array — the standard way real JPEGs
-    carry e.g. a 10x13 image (decoders crop the partial edge MCUs)."""
+    """Baseline grayscale JPEG encoder — single-plane wrapper over
+    ``_encode_jpeg_from_planes`` (see there for the contract)."""
+    return _encode_jpeg_from_planes([img], restart_interval=restart_interval, crop=crop)
+
+
+def _encode_jpeg_from_planes(planes, restart_interval: int = 0, crop=None) -> bytes:
+    """General baseline JPEG encoder over component pixel planes:
+
+    - ``[Y]`` — grayscale, SOF0 with 1 component;
+    - ``[Y, Cb, Cr]`` all the same shape — 4:4:4 color (sampling 1x1 each);
+    - ``[Y, Cb, Cr]`` with chroma exactly half of Y in both dims — 4:2:0
+      (Y coded 2x2, chroma 1x1, interleaved 4Y+Cb+Cr MCUs over 16x16 px).
+
+    Emits DQT, SOF0, the two standard Annex-K luminance Huffman tables as
+    DHT, optional DRI, SOS, and the interleaved entropy-coded scan with
+    per-component DC prediction, byte stuffing, and RST0..7 markers every
+    ``restart_interval`` MCUs. All components share Huffman/quant table 0
+    (conformant — table ids are free; keeps the fixture self-contained
+    without transcribing the chroma tables). ``crop=(true_h, true_w)``
+    writes non-MCU-multiple TRUE dimensions into the SOF while coding the
+    padded planes (decoders crop the partial edge MCUs). Y dims must be
+    multiples of the MCU size (8 for grayscale/4:4:4, 16 for 4:2:0)."""
     import struct
 
     import numpy as np
 
-    height, width = img.shape
-    if width % 8 or height % 8:
-        raise ValueError("dimensions must be multiples of 8")
+    height, width = planes[0].shape
+    if len(planes) == 1:
+        samps = [(1, 1)]
+    elif len(planes) == 3:
+        if all(p.shape == planes[0].shape for p in planes):
+            samps = [(1, 1)] * 3
+        elif all(p.shape == (height // 2, width // 2) for p in planes[1:]):
+            samps = [(2, 2), (1, 1), (1, 1)]
+        else:
+            raise ValueError("chroma planes must be full (4:4:4) or half (4:2:0) resolution")
+    else:
+        raise ValueError("1 (grayscale) or 3 (YCbCr) planes supported")
+    hmax = max(h for h, _ in samps)
+    vmax = max(v for _, v in samps)
+    if width % (8 * hmax) or height % (8 * vmax):
+        raise ValueError("dimensions must be multiples of the MCU size")
     sof_h, sof_w = crop if crop is not None else (height, width)
-    if not (height - 8 < sof_h <= height and width - 8 < sof_w <= width):
+    if not (height - 8 * vmax < sof_h <= height and width - 8 * hmax < sof_w <= width):
         raise ValueError("crop dims must land in the final MCU row/column")
     m = _jpeg_dct_matrix()
     q = np.empty(64)
@@ -780,61 +809,70 @@ def _encode_jpeg_from_array(img, restart_interval: int = 0, crop=None) -> bytes:
     ac_codes = _huffman_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
 
     bw = _BitWriter()
-    pred = 0
+    preds = [0] * len(planes)
+
+    def write_block(plane, ci: int, y0: int, x0: int) -> None:
+        block = plane[y0 : y0 + 8, x0 : x0 + 8].astype(float) - 128.0
+        coef = m @ block @ m.T
+        qc = np.rint(coef / q).astype(np.int64)
+        zz = [int(qc.flat[nat]) for nat in _JPEG_ZIGZAG]
+        diff = zz[0] - preds[ci]
+        preds[ci] = zz[0]
+        cat = _jpeg_category(diff)
+        code, ln = dc_codes[cat]
+        bw.write(code, ln)
+        if cat:
+            amp = diff if diff >= 0 else diff + (1 << cat) - 1
+            bw.write(amp, cat)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for i in range(1, last_nz + 1):
+            if zz[i] == 0:
+                run += 1
+                continue
+            while run > 15:
+                code, ln = ac_codes[0xF0]
+                bw.write(code, ln)
+                run -= 16
+            cat = _jpeg_category(zz[i])
+            code, ln = ac_codes[(run << 4) | cat]
+            bw.write(code, ln)
+            amp = zz[i] if zz[i] >= 0 else zz[i] + (1 << cat) - 1
+            bw.write(amp, cat)
+            run = 0
+        if last_nz < 63:
+            code, ln = ac_codes[0x00]  # EOB
+            bw.write(code, ln)
+
     mcu = 0
     rst_idx = 0
-    nbx, nby = width // 8, height // 8
-    for by in range(nby):
-        for bx in range(nbx):
+    mcux, mcuy = width // (8 * hmax), height // (8 * vmax)
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw.restart_marker(rst_idx)
                 rst_idx += 1
-                pred = 0
+                preds[:] = [0] * len(planes)
             mcu += 1
-            block = img[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8].astype(float) - 128.0
-            coef = m @ block @ m.T
-            qc = np.rint(coef / q).astype(np.int64)
-            zz = [int(qc.flat[nat]) for nat in _JPEG_ZIGZAG]
-            # DC
-            diff = zz[0] - pred
-            pred = zz[0]
-            cat = _jpeg_category(diff)
-            code, ln = dc_codes[cat]
-            bw.write(code, ln)
-            if cat:
-                amp = diff if diff >= 0 else diff + (1 << cat) - 1
-                bw.write(amp, cat)
-            # AC with run-length + ZRL + EOB
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_codes[0xF0]
-                    bw.write(code, ln)
-                    run -= 16
-                cat = _jpeg_category(zz[i])
-                code, ln = ac_codes[(run << 4) | cat]
-                bw.write(code, ln)
-                amp = zz[i] if zz[i] >= 0 else zz[i] + (1 << cat) - 1
-                bw.write(amp, cat)
-                run = 0
-            if last_nz < 63:
-                code, ln = ac_codes[0x00]  # EOB
-                bw.write(code, ln)
+            for ci, ((h_i, v_i), plane) in enumerate(zip(samps, planes)):
+                for v in range(v_i):
+                    for hh in range(h_i):
+                        write_block(plane, ci, (my * v_i + v) * 8, (mx * h_i + hh) * 8)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
     dqt = seg(0xFFDB, bytes([0]) + bytes(_JPEG_QUANT))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, sof_h, sof_w, 1) + bytes([1, 0x11, 0]))
+    sof_comps = b"".join(
+        bytes([ci + 1, (h_i << 4) | v_i, 0]) for ci, (h_i, v_i) in enumerate(samps)
+    )
+    sof = seg(0xFFC0, struct.pack(">BHHB", 8, sof_h, sof_w, len(planes)) + sof_comps)
     dht = seg(0xFFC4, bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)) + seg(
         0xFFC4, bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS)
     )
     dri = seg(0xFFDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(len(planes)))
+    sos = seg(0xFFDA, bytes([len(planes)]) + sos_comps + bytes([0, 63, 0]))
     return (
         b"\xff\xd8" + dqt + sof + dht + dri + sos + bw.flush() + b"\xff\xd9"
     )
@@ -903,14 +941,22 @@ class _BitReader:
         raise ValueError("invalid JPEG Huffman code")
 
 
-def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
-    """Blind baseline-JPEG decode, pure numpy/stdlib: marker walk, DQT/DHT
-    table parsing (canonical Huffman reconstruction), entropy decode with
-    DC prediction, byte-destuffing and RST handling, dequantize, dezigzag,
-    8x8 IDCT, level shift + clamp, crop to the SOF dimensions. Grayscale
-    baseline only — progressive (SOF2) and multi-component images raise
-    ValueError (honest scope, stated in the module comment). Returns
-    (width, height, n_pixels, mean_luma)."""
+def _decode_jpeg_planes(raw: bytes) -> tuple[int, int, list]:
+    """Blind baseline-JPEG decode to per-component pixel planes, pure
+    numpy/stdlib: marker walk, DQT/DHT parsing (canonical Huffman
+    reconstruction), interleaved-MCU entropy decode with per-component DC
+    prediction, byte-destuffing, DRI/RSTn restart intervals (byte-aligned
+    at the segment boundary, sequence-verified, predictors reset — T.81
+    E.2.4), dequantize, dezigzag, 8x8 IDCT, chroma box upsample to full
+    resolution, level shift + clamp, crop to the SOF dimensions.
+
+    Scope: 8-bit baseline-sequential (SOF0), 1 component (grayscale) or 3
+    components (YCbCr) with sampling factors 1 or 2 per axis — covering
+    4:4:4, 4:2:2 and 4:2:0. Progressive (SOF2) raises ValueError. Returns
+    (width, height, [plane, ...]) — planes are float arrays in component
+    order (Y first), each already upsampled and cropped to (height,
+    width). No RGB conversion: the engine's media features are plane
+    statistics, and tests verify the chroma planes directly."""
     import struct
 
     import numpy as np
@@ -922,7 +968,7 @@ def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
     dc_tables: dict[int, dict] = {}
     ac_tables: dict[int, dict] = {}
     width = height = None
-    comp_q = comp_dc = comp_ac = 0
+    comps: list[dict] = []
     restart_interval = 0
     scan_at = None
     while pos + 4 <= len(raw):
@@ -955,18 +1001,31 @@ def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
                 b += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             prec, height, width, ncomp = struct.unpack_from(">BHHB", body, 0)
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit grayscale baseline JPEG supported")
-            comp_q = body[8]
+            if prec != 8:
+                raise ValueError("only 8-bit baseline JPEG supported")
+            if ncomp not in (1, 3):
+                raise ValueError("only 1- (grayscale) or 3-component (YCbCr) JPEG supported")
+            if len(body) < 6 + 3 * ncomp:
+                raise ValueError("SOF component spec truncated")
+            for k in range(ncomp):
+                cid, samp, tq = body[6 + 3 * k], body[7 + 3 * k], body[8 + 3 * k]
+                h_i, v_i = samp >> 4, samp & 0x0F
+                if h_i not in (1, 2) or v_i not in (1, 2):
+                    raise ValueError("sampling factors beyond 2x2 unsupported")
+                comps.append({"id": cid, "h": h_i, "v": v_i, "tq": tq})
         elif marker == 0xC2:
             raise ValueError("progressive JPEG unsupported")
         elif marker == 0xDD:  # DRI — restart interval in MCUs (T.81 B.2.4.4)
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS
             ns = body[0]
-            if ns != 1:
-                raise ValueError("multi-component scan unsupported")
-            comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+            if ns != len(comps):
+                raise ValueError("SOS component count must match SOF (single full scan)")
+            sel = {body[1 + 2 * k]: body[2 + 2 * k] for k in range(ns)}
+            for c in comps:
+                if c["id"] not in sel:
+                    raise ValueError("SOS references unknown component")
+                c["td"], c["ta"] = sel[c["id"]] >> 4, sel[c["id"]] & 0x0F
             scan_at = pos + 2 + ln
             break
         pos += 2 + ln
@@ -974,57 +1033,81 @@ def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
         raise ValueError("JPEG missing SOF/SOS")
 
     m = _jpeg_dct_matrix()
-    q = quants[comp_q]
-    dct, act = dc_tables[comp_dc], ac_tables[comp_ac]
     br = _BitReader(raw[scan_at:])
-    nbx, nby = (width + 7) // 8, (height + 7) // 8
-    canvas = np.zeros((nby * 8, nbx * 8))
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps]
+    preds = [0] * len(comps)
 
     def extend(v: int, cat: int) -> int:
         return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
 
-    pred = 0
+    def decode_block(ci: int) -> "np.ndarray":
+        c = comps[ci]
+        q = quants[c["tq"]]
+        zz = np.zeros(64)
+        cat = br.huffman(dc_tables[c["td"]])
+        diff = extend(br.bits(cat), cat) if cat else 0
+        preds[ci] += diff
+        zz[0] = preds[ci] * q[0]
+        i = 1
+        while i < 64:
+            sym = br.huffman(ac_tables[c["ta"]])
+            if sym == 0x00:  # EOB
+                break
+            run, cat = sym >> 4, sym & 0x0F
+            if cat == 0:
+                if run != 15:
+                    raise ValueError("bad AC run symbol")
+                i += 16  # ZRL
+                continue
+            i += run
+            if i > 63:
+                raise ValueError("AC index overflow")
+            zz[i] = extend(br.bits(cat), cat) * q[i]
+            i += 1
+        coef = np.zeros((8, 8))
+        for z, nat in enumerate(_JPEG_ZIGZAG):
+            coef[nat // 8, nat % 8] = zz[z]
+        return m.T @ coef @ m + 128.0
+
     mcu = 0
-    for by in range(nby):
-        for bx in range(nbx):
+    for my in range(mcuy):
+        for mx in range(mcux):
             # restart boundary: byte-align, verify the RSTn sequence
-            # number, reset the DC predictor (T.81 E.2.4). Grayscale
-            # non-subsampled => one MCU per 8x8 block.
+            # number, reset EVERY component's DC predictor (T.81 E.2.4)
             if restart_interval and mcu and mcu % restart_interval == 0:
                 got = br.restart()
                 if got != (mcu // restart_interval - 1) % 8:
                     raise ValueError("JPEG restart marker out of sequence")
-                pred = 0
+                preds[:] = [0] * len(comps)
             mcu += 1
-            zz = np.zeros(64)
-            cat = br.huffman(dct)
-            diff = extend(br.bits(cat), cat) if cat else 0
-            pred += diff
-            zz[0] = pred * q[0]
-            i = 1
-            while i < 64:
-                sym = br.huffman(act)
-                if sym == 0x00:  # EOB
-                    break
-                run, cat = sym >> 4, sym & 0x0F
-                if cat == 0:
-                    if run != 15:
-                        raise ValueError("bad AC run symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i > 63:
-                    raise ValueError("AC index overflow")
-                zz[i] = extend(br.bits(cat), cat) * q[i]
-                i += 1
-            coef = np.zeros((8, 8))
-            for z, nat in enumerate(_JPEG_ZIGZAG):
-                coef[nat // 8, nat % 8] = zz[z]
-            block = m.T @ coef @ m + 128.0
-            canvas[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = block
-    img = np.clip(np.rint(canvas[:height, :width]), 0, 255)
+            for ci, c in enumerate(comps):
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        y0 = (my * c["v"] + v) * 8
+                        x0 = (mx * c["h"] + hh) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = decode_block(ci)
+
+    out = []
+    for c, plane in zip(comps, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:  # chroma box upsample to full resolution
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out.append(np.clip(np.rint(plane[:height, :width]), 0, 255))
+    return width, height, out
+
+
+def _decode_jpeg_bytes(raw: bytes) -> tuple[int, int, int, float]:
+    """Feature wrapper over ``_decode_jpeg_planes``: returns (width,
+    height, n_pixels, mean_luma) — mean over the first (Y / grayscale)
+    plane, the stat the media feature pipeline and its DuckDB oracle
+    recompute from the generator arithmetic."""
+    width, height, planes = _decode_jpeg_planes(raw)
     n_px = width * height
-    return width, height, n_px, float(img.sum()) / n_px
+    return width, height, n_px, float(planes[0].sum()) / n_px
 
 
 def synthesize_media_jpeg(docs: DataFrame) -> DataFrame:
