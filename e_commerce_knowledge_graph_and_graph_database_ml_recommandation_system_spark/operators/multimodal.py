@@ -1130,6 +1130,68 @@ def synthesize_media_jpeg(docs: DataFrame) -> DataFrame:
     return src.mapInPandas(synth, schema="doc_id long, payload binary")
 
 
+def synthesize_media_jpeg_color(docs: DataFrame) -> DataFrame:
+    """4:2:0 YCbCr baseline JPEG per document — the COLOR fixture family.
+    Y is block-constant per 8x8 block (bi = (doc_id*31+bi)%256, same
+    generator as the grayscale family); Cb/Cr are block-constant per
+    half-resolution 8x8 chroma block ((doc_id*17+bj)%256 and
+    (doc_id*23+bj)%256), so the 2x2 subsample + box upsample is lossless
+    and the DC=8 quantizer reproduces all three planes exactly — the
+    decoded per-plane means recompute in SQL over the generator
+    arithmetic. Dims: Y (16|32) x (16|32) (4:2:0 MCU multiples)."""
+    import numpy as np
+
+    src = docs.select("doc_id")
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w, h = 16 * (1 + d % 2), 16 * (1 + (d // 2) % 2)
+                nbx = w // 8
+                y = np.zeros((h, w))
+                for bi in range(nbx * (h // 8)):
+                    by, bx = divmod(bi, nbx)
+                    y[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (d * 31 + bi) % 256
+                ncx = w // 16
+                cb = np.zeros((h // 2, w // 2))
+                cr = np.zeros((h // 2, w // 2))
+                for bj in range(ncx * (h // 16)):
+                    by, bx = divmod(bj, ncx)
+                    cb[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (d * 17 + bj) % 256
+                    cr[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (d * 23 + bj) % 256
+                out.append((d, _encode_jpeg_from_planes([y, cb, cr])))
+            yield pd.DataFrame(out, columns=["doc_id", "payload"])
+
+    return src.mapInPandas(synth, schema="doc_id long, payload binary")
+
+
+def decode_media_jpeg_color(media: DataFrame) -> DataFrame:
+    """Blind color-JPEG decode to per-plane statistics: (doc_id, width,
+    height, mean_y, mean_cb, mean_cr), chroma means taken over the
+    box-upsampled full-resolution planes (equal to the half-res means by
+    construction of the upsample). Arrow-batched like decode_media."""
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, planes = _decode_jpeg_planes(bytes(payload))
+                n = w * h
+                rows.append(
+                    (int(doc_id), w, h)
+                    + tuple(round(float(p.sum()) / n, 6) for p in planes)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "mean_y", "mean_cb", "mean_cr"]
+            )
+
+    return media.mapInPandas(
+        dec,
+        schema="doc_id long, width int, height int, mean_y double, mean_cb double, mean_cr double",
+    )
+
+
 def synthesize_media_png(docs: DataFrame) -> DataFrame:
     """Third struct-built codec family (r6 verdict #5 — close the codec
     surface with pure stdlib): a genuine 8-bit grayscale PNG per document

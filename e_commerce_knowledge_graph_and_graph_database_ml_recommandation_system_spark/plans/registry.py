@@ -53,10 +53,10 @@ _DRIVER_UNSAMPLED = (
     # (50/50), so the rotation list resets to the round-6 additions only;
     # behind them the stable registration order puts the r1-era queries
     # (whose official rows are oldest) back into the driver's 50-prefix.
-    # round-6 additions were sampled green in CORRECTNESS_r06.json; the
-    # rotation list resets to the round-7 additions
-    "multimodal_codec_roundtrip_png",
-    "multimodal_codec_roundtrip_jpeg",
+    # round-7 additions (png/jpeg) were sampled green in
+    # CORRECTNESS_r07.json; the rotation list resets to the round-8
+    # addition so it leads the driver's 50-query prefix
+    "multimodal_codec_roundtrip_jpeg_color",
 )
 
 
