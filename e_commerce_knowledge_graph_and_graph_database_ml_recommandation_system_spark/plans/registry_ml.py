@@ -621,7 +621,11 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("first_loss", float(history[0])),
         ("last_loss", float(history[-1])),
         ("iterations", float(len(history))),
-        ("val_auc_roc", float(auc)),
+        # The evaluator's float accumulation order follows the upstream
+        # partitioning, which differs between the training-job plan and the
+        # store-load plan — 12dp rounding (repo convention for recomputed
+        # float metrics) absorbs the 1-ulp jitter so served == fit exactly.
+        ("val_auc_roc", round(float(auc), 12)),
     ]
     return spark.createDataFrame(rows, ["metric", "value"])
 
