@@ -100,8 +100,17 @@ def build(spark, replicas: int, tables: tuple[str, ...] | None = None) -> None:
 
 
 def main() -> None:
-    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    names = tuple(sys.argv[2:]) or DEFAULT_QUERIES
+    # optional --tables=a,b,c limits the replicated fact tables (a probe
+    # over two tables shouldn't pay a 100x build of every fact table)
+    tables: tuple[str, ...] | None = None
+    argv = []
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            tables = tuple(t for t in a.split("=", 1)[1].split(",") if t)
+        else:
+            argv.append(a)
+    replicas = int(argv[0]) if argv else 10
+    names = tuple(argv[1:]) or DEFAULT_QUERIES
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.session import get_spark
 
@@ -109,7 +118,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     t0 = time.perf_counter()
-    build(spark, replicas)
+    build(spark, replicas, tables=tables)
     build_s = round(time.perf_counter() - t0, 1)
 
     qs = registry.queries()
