@@ -1034,7 +1034,7 @@ def power_iteration_pc1(
 def ivf_pq_topk(
     emb: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     n_probe: int = 10,
     m: int = 16,
     n_codes: int = 32,
@@ -1070,10 +1070,22 @@ def ivf_pq_topk(
     collect); encode/LUT is one linear scan emitting fixed-width arrays;
     candidates meet in the cell equi-join (never all-pairs); the ADC join
     carries only codes + LUT; the exact refine touches |Q| x rerank rows.
+
+    ``n_cells=None`` (the default) applies the √n rule — max(16, ⌈√n⌉)
+    cells. A FIXED cell count makes total candidate volume QUADRATIC in
+    the corpus (the probed fraction never shrinks): the 100× probe at the
+    sf0.01-audited n_cells=16 ran >25 min before being killed, while the
+    √n-scaled index completed cell-join-shaped (SCALE.md r8). Callers that
+    pin an audited operating point (the registry query, the recall audit)
+    pass n_cells explicitly and are unaffected.
     """
     e = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")).localCheckpoint(
         eager=True
     )
+    if n_cells is None:
+        import math
+
+        n_cells = max(16, math.isqrt(max(e.count() - 1, 0)) + 1)
     sb = _pq_subvectors(e, m)
     pb = _pq_train_codebooks(sb, n_codes, iters)
     pdist = _pq_pdist(sb, pb)
@@ -1282,7 +1294,7 @@ def _ivf_pq_shortlist_refine(
 
 def ivf_pq_train(
     emb: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     m: int = 16,
     n_codes: int = 32,
     iters: int = 2,
@@ -1300,10 +1312,17 @@ def ivf_pq_train(
 
     Every artifact is integer- or round-pinned, so it roundtrips parquet
     bit-exactly: a search served from the store hash-matches the inline
-    ``ivf_pq_topk`` and its DuckDB oracle row for row."""
+    ``ivf_pq_topk`` and its DuckDB oracle row for row.
+
+    ``n_cells=None`` applies the same √n rule as ``ivf_pq_topk`` — a
+    fixed cell count makes search cost quadratic in the corpus."""
     e = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")).localCheckpoint(
         eager=True
     )
+    if n_cells is None:
+        import math
+
+        n_cells = max(16, math.isqrt(max(e.count() - 1, 0)) + 1)
     sb = _pq_subvectors(e, m)
     pb = _pq_train_codebooks(sb, n_codes, iters)
     enc = _pq_encode(_pq_pdist(sb, pb))

@@ -2095,20 +2095,41 @@ def test_als_rank2_fit_improves(spark):
 
 
 def test_ivf_pq_refined_recall(spark):
-    """IVF-PQ with exact refine at the SERVABLE default operating point
+    """IVF-PQ with exact refine at the AUDITED servable operating point
     (n_probe=10/16 cells, m=16 x 32 codes, rerank=60 — picked from the
-    ivf_probe_recall_audit sweep, r5 verdict #5): recall@5 vs brute must
-    hold the >=0.8 product floor and be bit-stable across runs."""
+    ivf_probe_recall_audit sweep, r5 verdict #5; pinned explicitly, same
+    as the registry query): recall@5 vs brute must hold the >=0.8 product
+    floor and be bit-stable across runs."""
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
 
     emb = load_table(spark, "embeddings", SF)
     brute = sim.brute_topk(emb, k=5).select("query_id", "neighbor_id")
-    a = sim.ivf_pq_topk(emb, k=5)
+    a = sim.ivf_pq_topk(emb, k=5, n_cells=16)
     recall = brute.intersect(a.select("query_id", "neighbor_id")).count() / brute.count()
     assert recall >= 0.8, f"refined IVF-PQ recall@5 below the servable floor: {recall:.3f}"
-    b = sim.ivf_pq_topk(emb, k=5)
+    b = sim.ivf_pq_topk(emb, k=5, n_cells=16)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_ivf_pq_sqrt_n_default_cells(spark):
+    """The r8 scale-safe default: n_cells=None applies max(16, ceil(sqrt(n)))
+    — a FIXED cell count keeps the probed fraction constant, so total
+    candidate volume grows quadratically with the corpus (the 100x probe
+    at the fixed sf0.01 point had to be killed; SCALE.md r8). The default
+    run must equal an explicit ceil(sqrt(n))-cell run row for row."""
+    import math
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    emb = load_table(spark, "embeddings", SF)
+    n = emb.count()
+    cells = max(16, math.isqrt(max(n - 1, 0)) + 1)
+    assert cells > 16, "fixture too small to distinguish the rule from the floor"
+    auto = sim.ivf_pq_topk(emb, k=5)
+    pinned = sim.ivf_pq_topk(emb, k=5, n_cells=cells)
+    assert auto.exceptAll(pinned).count() == 0 and pinned.exceptAll(auto).count() == 0
 
 
 def test_als_fold_in_cold_start_quality(spark):
