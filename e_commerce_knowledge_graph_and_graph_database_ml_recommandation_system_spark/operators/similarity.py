@@ -325,10 +325,24 @@ def hyperplane_signs(
     return emb.select(id_col, vec_col, F.explode(F.array(*buckets)).alias("bucket"))
 
 
+LSH_TARGET_BUCKET_ROWS = 4096
+
+
+def _auto_planes(n: int, target_bucket: int = LSH_TARGET_BUCKET_ROWS) -> int:
+    """Scale-safe hyperplane count: ~ceil(log2(n / target_bucket)), floored
+    at 4. A FIXED plane count keeps the bucket count constant, so expected
+    bucket size — and with it each within-bucket gemm — grows linearly and
+    the total candidate volume quadratically with the corpus (the same
+    scale law the r8 IVF probe demonstrated for fixed n_cells). Holding the
+    TARGET BUCKET SIZE fixed instead keeps per-bucket work bounded at any
+    corpus size: 200k vectors → 6 planes, 10⁹ → 18."""
+    return max(4, (max(n - 1, 0) // target_bucket).bit_length())
+
+
 def lsh_topk(
     emb: DataFrame,
     k: int = 5,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -342,13 +356,18 @@ def lsh_topk(
     brute_topk is a pytest invariant, not an oracle hash.
 
     Sizing at scale: each table has 2**n_planes buckets, so expected
-    bucket size is N / 2**n_planes — pick n_planes ≈ log2(N / target)
-    (the registry's n_planes=4 suits the dim-table-sized test corpora;
-    at 10⁹ vectors you'd run ~20 planes). The kernel emits only each
-    query's within-bucket top-k (n·k rows, chunked gemm), so a hot
-    bucket costs compute, never an n² Arrow batch."""
+    bucket size is N / 2**n_planes. ``n_planes=None`` (the default, r8)
+    applies ``_auto_planes`` — ~log2(N / 4096) planes, holding the target
+    bucket size fixed so per-bucket work is bounded at any corpus size
+    (the registry's pinned n_planes=4 equals the auto pick on the
+    dim-table-sized test corpora; at 10⁹ vectors the rule runs 18). The
+    kernel emits only each query's within-bucket top-k (n·k rows, chunked
+    gemm), so a hot bucket costs compute, never an n² Arrow batch."""
     import numpy as np
     import pandas as pd
+
+    if n_planes is None:
+        n_planes = _auto_planes(emb.count())
 
     # shared bucketizer (one plane derivation, one gemm per Arrow batch —
     # the HOF-expression variant re-evaluated 32 interpreted fold

@@ -2132,6 +2132,27 @@ def test_ivf_pq_sqrt_n_default_cells(spark):
     assert auto.exceptAll(pinned).count() == 0 and pinned.exceptAll(auto).count() == 0
 
 
+def test_lsh_auto_planes_rule(spark):
+    """The LSH twin of the sqrt-n IVF default (r8): n_planes=None holds
+    the TARGET BUCKET SIZE fixed (~log2(n/4096) planes, floor 4) instead
+    of the bucket COUNT — a fixed plane count makes within-bucket gemm
+    volume quadratic in the corpus. Rule pinned at the sizes that matter,
+    and the auto default must reproduce the pinned-4 run bit-for-bit on
+    the test corpus (where the rule lands on the floor)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import similarity as sim
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import load_table
+
+    assert sim._auto_planes(500) == 4  # test corpus: floor
+    assert sim._auto_planes(4096) == 4  # exactly one target bucket: floor
+    assert sim._auto_planes(200_000) == 6  # the r7/r8 100x probe scale
+    assert sim._auto_planes(10**9) == 18  # the docstring's 1B anchor
+    emb = load_table(spark, "embeddings", SF)
+    assert sim._auto_planes(emb.count()) == 4
+    auto = sim.lsh_topk(emb, k=5, n_tables=8, dim=64)
+    pinned = sim.lsh_topk(emb, k=5, n_planes=4, n_tables=8, dim=64)
+    assert auto.exceptAll(pinned).count() == 0 and pinned.exceptAll(auto).count() == 0
+
+
 def test_als_fold_in_cold_start_quality(spark):
     """Fold-in invariants: every cohort customer with covered items gets
     finite factors, and the average personal RMSE beats the zero-factor
