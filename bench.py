@@ -122,6 +122,103 @@ def _count_other_java() -> int:
     return n
 
 
+def _warm(spark) -> None:
+    """Warm the JVM, parquet footers, page cache AND the Python/Arrow
+    worker pool so per-query numbers measure the plans, not first-touch
+    I/O (the first mapInPandas/applyInPandas query otherwise pays ~1-2s
+    of per-core worker cold-start — engine infrastructure, not query
+    work; workers are reused afterwards, mirroring a long-running
+    cluster)."""
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    par = spark.sparkContext.defaultParallelism
+    spark.range(par * 4).repartition(par).mapInPandas(lambda it: it, "id long").count()
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import TABLES, load_table
+
+    for t in TABLES:
+        load_table(spark, t, SF_DIR).count()
+
+
+def _merge_local(update: dict) -> None:
+    """Merge ``update`` into BENCH_LOCAL.json atomically (the durable
+    bench record — r7 verdict #2)."""
+    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
+    rec: dict = {}
+    try:
+        with open(local, encoding="utf-8") as fh:
+            rec = json.load(fh)
+    except (OSError, ValueError):
+        pass
+    rec.update(update)
+    tmp = local + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
+        fh.write(json.dumps(rec) + "\n")
+    os.replace(tmp, local)
+
+
+def isolate_child(name: str, out_path: str, reps: int) -> None:
+    """Internal: run ONE named query ``reps`` times in THIS fresh process
+    (its own JVM) after the standard warmup, and write the timings as
+    JSON to ``out_path`` (a file, because Spark progress bars mangle
+    piped stdout — the reason BENCH_LOCAL.json exists)."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.session import get_spark
+
+    spark = get_spark("bench-isolate")
+    spark.sparkContext.setLogLevel("ERROR")
+    _warm(spark)
+    fn = registry.queries()[name]
+    runs = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).count()
+        runs.append(round(time.perf_counter() - t0, 3))
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump({"reps": runs, "min": min(runs)}, fh)
+
+
+def isolate_main(names: list[str], reps: int = 4) -> None:
+    """`--isolate q1,q2` (r8 verdict #7): re-measure named queries
+    MIN-OF-N, each in a FRESH subprocess/JVM — the by-hand protocol that
+    root-caused the r7/r8 phantom regressions (knn_aggregates read 2.66 s
+    in a contended suite and 0.22 s isolated), now a bench.py flag so the
+    next investigation starts from a recorded number instead of a manual
+    session. Results merge into BENCH_LOCAL.json under "isolated"
+    (suite records are left intact)."""
+    import subprocess
+    import tempfile
+
+    results: dict[str, dict] = {}
+    for name in names:
+        with tempfile.NamedTemporaryFile(suffix=".json", delete=False) as tf:
+            out_path = tf.name
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--isolate-child", name, out_path,
+                 str(reps)],
+                capture_output=True,
+                text=True,
+                check=False,
+            )
+            if proc.returncode != 0:
+                results[name] = {"error": (proc.stderr or "")[-500:]}
+                continue
+            with open(out_path, encoding="utf-8") as fh:
+                results[name] = json.load(fh)
+        finally:
+            try:
+                os.unlink(out_path)
+            except OSError:
+                pass
+    out = {
+        "isolated": results,
+        "isolated_protocol": f"min-of-{reps}, fresh JVM per query, standard warmup",
+        "isolated_load_1m": round(os.getloadavg()[0], 2),
+        "isolated_sf_dir": SF_DIR,
+    }
+    _merge_local(out)
+    print(json.dumps(out))
+
+
 def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
@@ -132,19 +229,7 @@ def main() -> None:
     spark = get_spark("bench")
     qs = registry.queries()
 
-    # warm the JVM, parquet footers and page cache so per-query numbers
-    # measure the plans, not first-touch I/O
-    spark.range(1_000_000).selectExpr("sum(id)").collect()
-    # ...and the Python/Arrow worker pool: the first mapInPandas/
-    # applyInPandas query otherwise pays ~1-2s of per-core worker
-    # cold-start — engine infrastructure, not query work (workers are
-    # reused afterwards, mirroring a long-running cluster)
-    par = spark.sparkContext.defaultParallelism
-    spark.range(par * 4).repartition(par).mapInPandas(lambda it: it, "id long").count()
-    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import TABLES, load_table
-
-    for t in TABLES:
-        load_table(spark, t, SF_DIR).count()
+    _warm(spark)
 
     REPS = 2
     times: dict[str, float] = {}
@@ -209,14 +294,18 @@ def main() -> None:
     # the driver captures stdout through a pipe that Spark progress bars
     # mangle (carriage returns glue lines; every BENCH_r*.json through r7
     # recorded "parsed": null with a truncated tail) — persist the same
-    # JSON to a file atomically so the record survives stdout (r7 verdict #2)
-    local = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")
-    tmp = local + ".tmp"
-    with open(tmp, "w", encoding="utf-8") as fh:
-        fh.write(line + "\n")
-    os.replace(tmp, local)
+    # JSON to a file so the record survives stdout (r7 verdict #2).
+    # Merged, not replaced, so an --isolate record from the same round
+    # rides along.
+    _merge_local(out)
     print(line)
 
 
 if __name__ == "__main__":
-    main()
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if len(sys.argv) >= 2 and sys.argv[1] == "--isolate-child":
+        isolate_child(sys.argv[2], sys.argv[3], int(sys.argv[4]))
+    elif len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
+        isolate_main([n.strip() for n in sys.argv[2].split(",") if n.strip()])
+    else:
+        main()

@@ -51,19 +51,64 @@ def _default_base() -> str:
     )
 
 
-def fingerprint(orders: DataFrame, lineitem: DataFrame, tag: str) -> str:
-    """Cheap source+config fingerprint: three count/max aggregates (one
-    columnar scan each — noise next to a train) plus the training-config
-    tag. Append-only interaction logs change all three components."""
-    o = orders.agg(
-        F.count(F.lit(1)).alias("n"), F.max("o_orderdate").alias("mx")
+def _cm_component(t: DataFrame, name: str, cache: dict | None) -> tuple:
+    """(row_count, max_date) for the append-only interaction tables —
+    the cheap count/max freshness contract. ``cache`` (optional, keyed
+    ``("cm", name)``) lets callers that fingerprint the same source
+    tables under several training-config tags pay the aggregate scan
+    once per process (r8 verdict #2: every store key re-scanned its
+    sources per call)."""
+    key = ("cm", name)
+    if cache is not None and key in cache:
+        return cache[key]
+    date_col = "o_orderdate" if name == "orders" else "l_shipdate"
+    row = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max(date_col).alias("mx") if date_col in t.columns else F.lit(None).alias("mx"),
     ).collect()[0]
-    n_li = lineitem.count()
-    mx = str(o["mx"]).replace(" ", "T").replace(":", "-")
-    return f"{tag}_o{o['n']}_l{n_li}_{mx}"
+    out = (int(row["n"]), row["mx"])
+    if cache is not None:
+        cache[key] = out
+    return out
 
 
-def fingerprint_sources(tables: dict[str, DataFrame], tag: str) -> str:
+def _xx_component(t: DataFrame, name: str, cache: dict | None) -> tuple:
+    """(row_count, decimal xxhash64 content sum) for dimension tables —
+    the full content-sensitive contract. Same optional cache as
+    ``_cm_component``, keyed ``("xx", name)``."""
+    key = ("xx", name)
+    if cache is not None and key in cache:
+        return cache[key]
+    row = t.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*t.columns).cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    out = (int(row["n"]), row["h"])
+    if cache is not None:
+        cache[key] = out
+    return out
+
+
+def fingerprint(
+    orders: DataFrame, lineitem: DataFrame, tag: str, component_cache: dict | None = None
+) -> str:
+    """Cheap source+config fingerprint: count/max aggregates (one columnar
+    scan each — noise next to a train) plus the training-config tag.
+    Append-only interaction logs change the components. Passing the same
+    ``component_cache`` dict across calls (the registry shares one per
+    (app, sf_dir) via the plan memo) elides repeat scans when several
+    training tags fingerprint the same sources; the cache holds raw
+    aggregate tuples, so the emitted fingerprint string — and with it
+    every existing store path — is byte-identical to the uncached form."""
+    n_o, mx_o = _cm_component(orders, "orders", component_cache)
+    n_li, _ = _cm_component(lineitem, "lineitem", component_cache)
+    mx = str(mx_o).replace(" ", "T").replace(":", "-")
+    return f"{tag}_o{n_o}_l{n_li}_{mx}"
+
+
+def fingerprint_sources(
+    tables: dict[str, DataFrame], tag: str, component_cache: dict | None = None
+) -> str:
     """Fingerprint for artifacts whose training dataset reads MORE than the
     append-only interaction log. ``fingerprint()``'s count/max contract is
     only valid for orders+lineitem; a dataset that also joins dimension
@@ -77,25 +122,26 @@ def fingerprint_sources(tables: dict[str, DataFrame], tag: str) -> str:
     per dimension table, order-insensitive and overflow-safe. Dimension
     tables are small by construction, so the scan is noise next to a
     train. The combined key is md5-compressed to keep store directory
-    names bounded."""
+    names bounded.
+
+    ``component_cache`` (optional): same contract as ``fingerprint`` —
+    per-table aggregate tuples are reused across calls that share the
+    dict, so two training tags over the same source tables pay one scan
+    per table instead of two, and the emitted key is byte-identical to
+    the uncached form. Cache lifetime is the caller's concern: the
+    registry scopes it per (app, sf_dir) via the plan memo, the same
+    within-process staleness trade every shared artifact memo makes."""
     import hashlib
 
     parts: list[str] = [tag]
     for name in sorted(tables):
         t = tables[name]
         if name in ("orders", "lineitem"):
-            date_col = "o_orderdate" if name == "orders" else "l_shipdate"
-            row = t.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.max(date_col).alias("mx") if date_col in t.columns else F.lit(None).alias("mx"),
-            ).collect()[0]
-            parts.append(f"{name}:{row['n']}:{row['mx']}")
+            n, mx = _cm_component(t, name, component_cache)
+            parts.append(f"{name}:{n}:{mx}")
         else:
-            row = t.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.xxhash64(*t.columns).cast("decimal(38,0)")).alias("h"),
-            ).collect()[0]
-            parts.append(f"{name}:{row['n']}:{row['h']}")
+            n, h = _xx_component(t, name, component_cache)
+            parts.append(f"{name}:{n}:{h}")
     digest = hashlib.md5("|".join(parts).encode()).hexdigest()[:16]
     return f"{tag}_src{digest}"
 

@@ -176,7 +176,7 @@ def embedding_near_dup(
     n = emb.count()
     if n <= max_broadcast_rows:
         return _near_dup_blas(emb, threshold, id_col, vec_col)
-    return near_dup_lsh(emb, threshold, id_col=id_col, vec_col=vec_col)
+    return near_dup_lsh(emb, threshold, n_planes=_auto_planes(n), id_col=id_col, vec_col=vec_col)
 
 
 def _near_dup_blas(emb: DataFrame, threshold: float, id_col: str, vec_col: str) -> DataFrame:
@@ -216,7 +216,7 @@ def _near_dup_blas(emb: DataFrame, threshold: float, id_col: str, vec_col: str) 
 def near_dup_lsh(
     emb: DataFrame,
     threshold: float = 0.95,
-    n_planes: int = 4,
+    n_planes: int | None = None,
     n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
@@ -227,7 +227,15 @@ def near_dup_lsh(
     never all-pairs), within-bucket cosines as one gemm per bucket, pairs
     deduped across tables by max. For a pair at angle θ the miss
     probability is (1−(1−θ/π)^planes)^tables — e.g. cos=0.95 → ~0.4% at
-    4×8; recall vs the exact path is a pytest invariant."""
+    4×8; recall vs the exact path is a pytest invariant.
+
+    ``n_planes=None`` (r9 audit) applies ``_auto_planes`` — the lsh_topk
+    bucket-size rule (~log2(n/4096) planes, floor 4, equal to the old
+    fixed 4 on dim-table corpora): a fixed plane count makes within-
+    bucket gemm volume quadratic in the corpus. embedding_near_dup's
+    size dispatch passes its already-computed count through."""
+    if n_planes is None:
+        n_planes = _auto_planes(emb.count())
     u = _lsh_buckets(emb, n_planes, n_tables, dim, id_col, vec_col)
 
     import numpy as np
@@ -326,6 +334,76 @@ def hyperplane_signs(
 
 
 LSH_TARGET_BUCKET_ROWS = 4096
+
+#: the sf0.01-audited IVF operating point (ivf_probe_recall_audit sweep, r5):
+#: 10 probes of 16 cells. _auto_probes keeps this exact point at the cell
+#: floor and holds the probed fraction >= 1/IVF_AUTO_PROBE_CELL_DIVISOR as
+#: the cell count grows.
+IVF_DEFAULT_PROBES = 10
+IVF_AUTO_PROBE_CELL_DIVISOR = 16
+
+
+def _auto_cells(n: int) -> int:
+    """Scale-safe IVF cell count: max(16, ⌈√n⌉) — the r8 rule shared by
+    every coarse-quantizer consumer (ivf_pq_topk/train, ivf_hash_topk,
+    semdedup, semdedup_incremental). A FIXED cell count keeps the probed
+    fraction — and per-cell population — constant, so candidate volume
+    (and within-cell gemm size) grows quadratically with the corpus; the
+    r8 100× probe at a fixed 16 cells had to be killed >25 min in while
+    the √n-scaled run completed cell-join-shaped (SCALE.md r8)."""
+    import math
+
+    return max(16, math.isqrt(max(n - 1, 0)) + 1)
+
+
+def _auto_probes(
+    n_cells: int,
+    floor: int = IVF_DEFAULT_PROBES,
+    divisor: int = IVF_AUTO_PROBE_CELL_DIVISOR,
+) -> int:
+    """Probe count paired with a cell count: max(10, ceil(n_cells/16)).
+
+    Rationale (r8 ADVICE): the sqrt-n cell rule alone, with a FIXED
+    n_probe, shrinks the probed fraction as 10/sqrt(n) — a default-config
+    search would see recall silently decay toward ~0 at scale (the r8
+    100x probe measured ~2% at 200k vectors on a near-isotropic corpus,
+    where recall ~= 1.3x the probed fraction). Co-scaling the probe count
+    with the cell count holds the probed fraction at >= 1/16 (6.25%), so
+    the default's recall floor is corpus-shaped, not corpus-SIZE-shaped.
+    The price is stated honestly: candidates/query = n_probe * n/n_cells
+    ~= n/16, so total candidate volume is quadratic with a 1/16 constant
+    — recall costs candidates on isotropic data, and no probe rule can
+    buy both. Clustered production corpora reach high recall at far
+    smaller fractions (the mixture-of-Gaussians recall gates measure
+    this); scale-critical callers pick their own operating point via
+    ivf_probe_recall_audit and pin BOTH n_cells and n_probe.
+
+    ``floor``/``divisor`` default to the PQ path's audited pairing
+    (10 probes at the 16-cell floor, fraction held ≥ 1/16); the exact
+    IVF path (ivf_hash_topk) passes floor=2, divisor=8 — its audited
+    2-of-16 floor point and that point's own 1/8 fraction."""
+    return max(floor, -(-n_cells // divisor))
+
+
+def _auto_rerank(n: int, n_cells: int, n_probe: int, floor: int = 60) -> int:
+    """Exact-refine shortlist size paired with a probe configuration:
+    max(60, ⌈3/8 · n_probe · n/n_cells⌉) — 3/8 of the expected per-query
+    candidate count, floored at the audited rerank=60 point.
+
+    Why co-scale (r9 clustered-corpus gate finding): on a TIGHT cluster,
+    PQ codes of the cluster's members are near-identical, so the ADC
+    ranking is close to arbitrary among them and the exact refine only
+    recovers true neighbors that fit in the shortlist — recall ≈
+    rerank/cluster-population once ADC saturates. Measured on the
+    mixture-of-Gaussians fixture at 4096 vectors / 64 cells / 10 probes
+    (640 candidates/query): rerank 60 → recall@5 0.654, 120 → 0.889,
+    160 → 0.952, 240 (= 3/8) → 1.000, with probe coverage itself perfect
+    (full-candidate rerank → 1.0). The refine cost stays proportional to
+    the ADC join it follows (3/8 · candidates · dim multiplies vs
+    candidates · m lookups), so this changes the constant, not the
+    complexity class; pinned callers (the registry query, the audits)
+    keep their explicit operating points."""
+    return max(floor, -(-3 * n_probe * max(1, n // max(n_cells, 1)) // 8))
 
 
 def _auto_planes(n: int, target_bucket: int = LSH_TARGET_BUCKET_ROWS) -> int:
@@ -439,7 +517,11 @@ def ann_topk(
     n = emb.count()
     if n <= max_broadcast_rows:
         return brute_topk_blas(emb, k, id_col, vec_col)
-    return lsh_topk(emb, k=k, id_col=id_col, vec_col=vec_col)
+    # pass the already-computed count through as the resolved plane count:
+    # lsh_topk(n_planes=None) would re-run the same full-plan count()
+    # action on exactly the large-corpus path this dispatch targets
+    # (r8 ADVICE)
+    return lsh_topk(emb, k=k, n_planes=_auto_planes(n), id_col=id_col, vec_col=vec_col)
 
 
 def similarity_graph(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -517,7 +599,7 @@ def _hash_cell_ranked(
 def semdedup(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -534,7 +616,12 @@ def semdedup(
     FULL DuckDB hash oracle. 100-TB posture: pairwise work is per-cell
     (one gemm per cell via applyInPandas); n_cells scales with corpus
     size so cell populations stay bounded, mirroring ivf_hash_topk's
-    posture; no all-pairs join anywhere.
+    posture; no all-pairs join anywhere. ``n_cells=None`` (r9 audit)
+    applies the √n rule (``_auto_cells``) — a fixed cell count makes the
+    within-cell S matrix (and its memory) grow as (n/cells)², exactly the
+    failure mode the r8 IVF probe measured; the registry query and the
+    semantic-curation pipeline pin their audited 16-cell sf-scale points
+    explicitly.
 
     Columns: vec_id, cell, n_lower_dups, max_lower_cos (6dp; -1.0 sentinel
     for the cell's lowest id, which has no lower member), pruned (int).
@@ -542,6 +629,8 @@ def semdedup(
     import numpy as np
     import pandas as pd
 
+    if n_cells is None:
+        n_cells = _auto_cells(emb.count())
     ranked = _hash_cell_ranked(emb, n_cells, id_col, vec_col)
     indexed = ranked.select("vid", "v", F.element_at("cs", 1)["cell"].alias("cell"))
     id_type = emb.schema[id_col].dataType.simpleString()
@@ -578,8 +667,8 @@ def semdedup(
 def ivf_hash_topk(
     emb: DataFrame,
     k: int = 5,
-    n_cells: int = 16,
-    n_probe: int = 2,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -597,7 +686,18 @@ def ivf_hash_topk(
     construction, the only collect. Cosines for the discrete cell
     decisions use the one shared formula dot/(|a|·|b|) rounded to 9dp so
     the numpy-free column path and DuckDB can never drift at a boundary;
-    ties break by cell asc, mirrored in the oracle's ROW_NUMBER order."""
+    ties break by cell asc, mirrored in the oracle's ROW_NUMBER order.
+
+    ``n_cells=None`` applies the √n rule (``_auto_cells``) and
+    ``n_probe=None`` co-scales as max(2, ⌈n_cells/8⌉) — the audited
+    2-of-16 floor point with its own 1/8 probe fraction held as the cell
+    count grows (r9 audit: this operator carried the fixed-granularity
+    default the r8 probes proved quadratic). The registry query and the
+    recall/probe audits pin their operating points explicitly."""
+    if n_cells is None:
+        n_cells = _auto_cells(emb.count())
+    if n_probe is None:
+        n_probe = _auto_probes(n_cells, floor=2, divisor=8)
     ranked_cells = _hash_cell_ranked(emb, n_cells, id_col, vec_col)
     indexed = ranked_cells.select("vid", "v", F.element_at("cs", 1)["cell"].alias("cell"))
     probed = ranked_cells.select(
@@ -741,7 +841,7 @@ def ivf_topk(
 def semdedup_incremental(
     emb: DataFrame,
     threshold: float = 0.4,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -761,7 +861,14 @@ def semdedup_incremental(
     Columns: vec_id (new batch), is_dup (cos6 ≥ threshold vs any existing
     member of its cell), dup_of, cosine (best match: cos desc, id asc;
     NULLs when no existing vector reaches the threshold).
+
+    ``n_cells=None`` (r9 audit) applies the √n rule against the FULL
+    corpus count — per-cell populations stay bounded as the existing
+    corpus grows, so the new×existing gemm per cell holds its size; the
+    registry query pins its audited 16-cell sf-scale point explicitly.
     """
+    if n_cells is None:
+        n_cells = _auto_cells(emb.count())
     batch = F.pmod(
         F.conv(F.substring(F.md5(F.concat(F.lit("b_"), F.col(id_col).cast("string"))), 1, 8), 16, 10).cast(
             "long"
@@ -1054,11 +1161,11 @@ def ivf_pq_topk(
     emb: DataFrame,
     k: int = 5,
     n_cells: int | None = None,
-    n_probe: int = 10,
+    n_probe: int | None = None,
     m: int = 16,
     n_codes: int = 32,
     iters: int = 2,
-    rerank: int = 60,
+    rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -1097,14 +1204,39 @@ def ivf_pq_topk(
     √n-scaled index completed cell-join-shaped (SCALE.md r8). Callers that
     pin an audited operating point (the registry query, the recall audit)
     pass n_cells explicitly and are unaffected.
+
+    ``n_probe=None`` (the default) co-scales with the cell count via
+    ``_auto_probes`` — max(10, ⌈n_cells/16⌉), which resolves to exactly
+    the audited n_probe=10 at the 16-cell floor and otherwise holds the
+    probed fraction ≥ 1/16. Without this, the √n cell rule alone shrinks
+    the default's probed fraction as 10/√n and recall silently decays
+    toward ~0 at scale (r8 ADVICE; the 100× probe measured ~2% recall at
+    a fixed n_probe=10). The cost consequence is in _auto_probes'
+    docstring: holding the fraction makes default-path candidate volume
+    ~n²/16 — recall-vs-cost is a real trade and the default buys recall;
+    scale-critical deployments pick a per-corpus operating point with
+    ivf_probe_recall_audit and pin both knobs.
+
+    ``rerank=None`` (the default) co-scales the exact-refine shortlist to
+    3/8 of the expected per-query candidate count (``_auto_rerank``,
+    floor 60 — the audited point): on tight clusters the ADC ranking
+    saturates (near-identical codes) and a FIXED shortlist caps recall at
+    ~rerank/cluster-population regardless of probe coverage — the r9
+    clustered-corpus gate measured 0.654 at rerank=60 vs 1.000 at the
+    co-scaled 240 with identical probing.
     """
     e = emb.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")).localCheckpoint(
         eager=True
     )
+    n_rows: int | None = None  # counted at most once, only if a knob is auto
     if n_cells is None:
-        import math
-
-        n_cells = max(16, math.isqrt(max(e.count() - 1, 0)) + 1)
+        n_rows = e.count()
+        n_cells = _auto_cells(n_rows)
+    if n_probe is None:
+        n_probe = _auto_probes(n_cells)
+    if rerank is None:
+        n_rows = e.count() if n_rows is None else n_rows
+        rerank = _auto_rerank(n_rows, n_cells, n_probe)
     sb = _pq_subvectors(e, m)
     pb = _pq_train_codebooks(sb, n_codes, iters)
     pdist = _pq_pdist(sb, pb)
@@ -1339,9 +1471,7 @@ def ivf_pq_train(
         eager=True
     )
     if n_cells is None:
-        import math
-
-        n_cells = max(16, math.isqrt(max(e.count() - 1, 0)) + 1)
+        n_cells = _auto_cells(e.count())
     sb = _pq_subvectors(e, m)
     pb = _pq_train_codebooks(sb, n_codes, iters)
     enc = _pq_encode(_pq_pdist(sb, pb))
@@ -1363,8 +1493,8 @@ def ivf_pq_search(
     queries: DataFrame,
     index: dict[str, DataFrame],
     k: int = 5,
-    n_probe: int = 10,
-    rerank: int = 60,
+    n_probe: int | None = None,
+    rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_vectors: DataFrame | None = None,
@@ -1376,10 +1506,22 @@ def ivf_pq_search(
     query stream pays), the candidate join meets the stored inverted
     file, and the ADC shortlist is exactly re-ranked against
     ``index_vectors`` (default: the query table itself, the self-search
-    registry shape). No training job runs on this path."""
+    registry shape). No training job runs on this path.
+
+    ``n_probe=None`` applies the same ``_auto_probes`` pairing as
+    ivf_pq_topk — max(10, ceil(n_cells/16)) against the STORED index's
+    cell count, so an index trained with sqrt-n-scaled cells is served at
+    a held probe fraction instead of a silently decaying one (r8 ADVICE);
+    ``rerank=None`` likewise co-scales the exact-refine shortlist via
+    ``_auto_rerank`` against the stored inverted file's row count. The
+    registry query pins its audited (10, 60) point explicitly."""
     pb = index["pq_codebooks"].localCheckpoint(eager=True)
     m = int(pb.agg(F.max("s")).first()[0]) + 1
     n_cells = index["coarse_centroids"].count()
+    if n_probe is None:
+        n_probe = _auto_probes(n_cells)
+    if rerank is None:
+        rerank = _auto_rerank(index["ivf_assign"].count(), n_cells, n_probe)
     eq = queries.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).localCheckpoint(eager=True)

@@ -181,6 +181,56 @@ def negative_pair_keys(
     return pairs.join(positive_pair_keys(orders, lineitem), ["ckey", "pkey"], "left_anti")
 
 
+def negative_pair_keys_linear(
+    orders: DataFrame, lineitem: DataFrame, part: DataFrame, ratio: int = 1
+) -> DataFrame:
+    """J4, production shape: negatives drawn as a FIXED MULTIPLE of the
+    positives — the reference's own sampler (random pairs, reject hits,
+    ~1:1 target; ``xgboost_training_for_big_data.py:258-278``) made
+    distributed and deterministic, and LINEAR in |positives| by
+    construction.
+
+    The modular-bucket sampler above (`negative_pair_keys`) selects a
+    fixed 1/modulus FRACTION of the |C|x|P| cross space — the right shape
+    for an oracle-checkable fixed relation, but its candidate count grows
+    with the PAIR SPACE, which is quadratic under uniform scale-up (the
+    r8 100x probe excluded it for exactly that reason; SCALE.md r8).
+    Here each positive row draws ``ratio`` pseudo-random part keys
+    (md5 of (ckey, pkey, draw) mapped into the contiguous 1..|P| key
+    range — engine-agnostic, reproducible), the draws are deduped, and
+    ONE left-anti join rejects collisions with positives. Candidate
+    volume is ratio·|positives| at any scale; every shuffle keys on the
+    uniform (ckey, pkey), never on a bucket key. The realized count is
+    slightly under ratio·|positives| (birthday collisions within a
+    customer's draws + anti-join rejections — the same shortfall the
+    reference's rejection loop absorbs by construction); a pytest gate
+    pins it within 10% of target and the disjointness invariant."""
+    pos = positive_pair_keys(orders, lineitem)
+    n_parts = part.count()  # dim-sized action, mirrors the sampler's |P| knowledge
+    draws = pos.select(
+        "ckey",
+        F.col("pkey").alias("seed_pkey"),
+        F.explode(F.array(*[F.lit(r) for r in range(ratio)])).alias("draw"),
+    )
+    drawn_pkey = (
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit("neg"), F.col("ckey"), F.col("seed_pkey"), F.col("draw"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(n_parts)),
+        )
+        + 1
+    )
+    cand = draws.select("ckey", drawn_pkey.alias("pkey")).distinct()
+    return cand.join(pos, ["ckey", "pkey"], "left_anti")
+
+
 def pair_ids(pairs: DataFrame) -> DataFrame:
     """Materialize the graph string ids from (ckey, pkey) — call AFTER the
     reducing operation, never before."""

@@ -30,6 +30,22 @@ from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges, sha
 # ---------------------------------------------------------------------------
 
 
+def _fp_cache(spark: SparkSession, sf_dir: str) -> dict:
+    """The shared fingerprint component cache, one dict per (app, sf_dir)
+    (r8 verdict #2): four store-backed pipelines (GBT, multitower, ALS,
+    hybrid) fingerprint overlapping source-table sets under different
+    training tags, and without sharing, every store key re-runs the same
+    count/max + sum(xxhash64) aggregate scans per call. The cache holds
+    raw per-table aggregate tuples (see recsys_store._cm_component /
+    _xx_component), so fingerprint strings — and store paths — are
+    byte-identical to the uncached form. Same within-process staleness
+    trade as every (app, sf_dir) memo: a table that changes on disk
+    mid-process is picked up at the next process (the driver, bench and
+    verify all run one process per round); the freshness GATES construct
+    changed DataFrames and call the uncached functions directly."""
+    return memo(spark, ("fp_components", sf_dir), dict)
+
+
 def _shared_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The (num_walks=1, walk_len=5, seed=42) first-order walk set shared by
     ``random_walks`` (array form), ``random_walks_flat`` (hash-checked flat
@@ -84,7 +100,9 @@ def _lp_shared(spark: SparkSession, sf_dir: str) -> dict:
         # which feeds the encoding) must invalidate the key even when
         # orders/lineitem are unchanged (r7 ADVICE #1)
         t = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-        fp = rs.fingerprint_sources(t, tag="lp_gbt_i7_v1")
+        fp = rs.fingerprint_sources(
+            t, tag="lp_gbt_i7_v1", component_cache=_fp_cache(spark, sf_dir)
+        )
         mdir = os.path.join(rs.store_path(fp), "gbt_model")
         marker = os.path.join(mdir, "_SAVED_OK")
         model = None
@@ -554,43 +572,51 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed full-batch Adam. Returns (metric, value) rows: first/last
     loss, iterations, val AUC. Deterministic (seeded init, no minibatch
     RNG) but float-iterative — rows-only by design."""
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
-
-    from ..ml import multitower as mt
-
-    import numpy as np
-
     from ..ml import recsys_store as rs
 
-    ds = _ds_te(spark, sf_dir)
-    train, test = lp.split_train_test(ds)
     # 6 Adam iterations for the registry's per-verification-run budget
     # (r3 verdict #1 — rows-only metric query; the 40-iteration config and
     # its loss/AUC floors live in test_multi_tower_training). The trained
-    # parameters + scaler stats + loss history persist in the
-    # fingerprint-keyed artifact store (same offline-train / online-serve
-    # split as the ALS/GBT/IVF-PQ artifacts): a fresh process with
-    # unchanged sources LOADS the tower net — doubles roundtrip parquet
-    # bit-exactly, so served metrics equal the training run's
-    # (gate-tested) — and only re-runs the val-AUC forward pass.
+    # parameters + scaler stats + loss history + FITTED METRICS persist in
+    # the fingerprint-keyed artifact store (same offline-train /
+    # online-serve split as the ALS/GBT/IVF-PQ artifacts): a fresh process
+    # with unchanged sources serves the STORED val-AUC (doubles roundtrip
+    # parquet bit-exactly), so served == fit is identity by construction —
+    # the r8 12dp-rounding absorb of partition-order 1-ulp evaluator
+    # jitter is retired with the recomputation itself (r8 ADVICE: two
+    # values one ulp apart straddling a rounding boundary still rounded
+    # differently, so equality was probabilistic). A store hit no longer
+    # runs the val forward pass at all.
     # _ds_te derives from the full GRAPH_TABLES assembly — fingerprint every
     # source table, not just the interaction log (r7 ADVICE #1)
     t = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    fp = rs.fingerprint_sources(t, tag="mt_v1_i6lr005")
+    fp = rs.fingerprint_sources(
+        t, tag="mt_v1_i6lr005", component_cache=_fp_cache(spark, sf_dir)
+    )
     path = rs.store_path(fp)
-    names = ("mt_params", "mt_stats", "mt_history")
+    names = ("mt_params", "mt_stats", "mt_history", "mt_metrics")
     loaded = rs.load_artifacts(spark, path, names)
     if loaded is not None:
-        params = {
-            r["name"]: np.array(r["vals"]).reshape([int(d) for d in r["dims"]])
-            for r in loaded["mt_params"].collect()
-        }
-        stats = {r["col"]: (r["mean"], r["std"]) for r in loaded["mt_stats"].collect()}
         history = [
             r["loss"] for r in sorted(loaded["mt_history"].collect(), key=lambda r: r["it"])
         ]
+        auc = {r["metric"]: r["value"] for r in loaded["mt_metrics"].collect()}["val_auc_roc"]
     else:
+        from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+        from ..ml import multitower as mt
+
+        ds = _ds_te(spark, sf_dir)
+        train, test = lp.split_train_test(ds)
         params, stats, history = mt.train_multi_tower(train, max_iter=6, lr=0.05)
+        scored = mt.predict_multi_tower(test, params, stats).select(
+            "label", F.col("probability").cast("double").alias("probability")
+        )
+        auc = float(
+            BinaryClassificationEvaluator(
+                labelCol="label", rawPredictionCol="probability", metricName="areaUnderROC"
+            ).evaluate(scored)
+        )
         rs.save_artifacts(
             spark,
             path,
@@ -609,23 +635,16 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "mt_history": spark.createDataFrame(
                     [(i, float(x)) for i, x in enumerate(history)], "it int, loss double"
                 ),
+                "mt_metrics": spark.createDataFrame(
+                    [("val_auc_roc", auc)], "metric string, value double"
+                ),
             },
         )
-    scored = mt.predict_multi_tower(test, params, stats).select(
-        "label", F.col("probability").cast("double").alias("probability")
-    )
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", rawPredictionCol="probability", metricName="areaUnderROC"
-    ).evaluate(scored)
     rows = [
         ("first_loss", float(history[0])),
         ("last_loss", float(history[-1])),
         ("iterations", float(len(history))),
-        # The evaluator's float accumulation order follows the upstream
-        # partitioning, which differs between the training-job plan and the
-        # store-load plan — 12dp rounding (repo convention for recomputed
-        # float metrics) absorbs the 1-ulp jitter so served == fit exactly.
-        ("val_auc_roc", round(float(auc), 12)),
+        ("val_auc_roc", float(auc)),
     ]
     return spark.createDataFrame(rows, ["metric", "value"])
 
@@ -1418,7 +1437,12 @@ def _als_shared(spark: SparkSession, sf_dir: str) -> tuple:
     def build():
         inter = _als_interactions(spark, sf_dir)
         t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-        fp = rs.fingerprint(t["orders"], t["lineitem"], tag="als_v1_a2lam01")
+        fp = rs.fingerprint(
+            t["orders"],
+            t["lineitem"],
+            tag="als_v1_a2lam01",
+            component_cache=_fp_cache(spark, sf_dir),
+        )
         path = rs.store_path(fp)
         loaded = rs.load_artifacts(spark, path, ("als_x", "als_y"))
         if loaded is None:
@@ -1735,7 +1759,12 @@ def _recsys_artifacts(spark: SparkSession, sf_dir: str) -> dict:
 
     def build():
         t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-        fp = rs.fingerprint(t["orders"], t["lineitem"], tag="hyb_v1_a2lam01_nb100x5s3")
+        fp = rs.fingerprint(
+            t["orders"],
+            t["lineitem"],
+            tag="hyb_v1_a2lam01_nb100x5s3",
+            component_cache=_fp_cache(spark, sf_dir),
+        )
         path = rs.store_path(fp)
         names = ("als_x", "als_y", "item_neighbors", "popularity", "basket")
         loaded = rs.load_artifacts(spark, path, names)

@@ -2130,6 +2130,21 @@ def test_ivf_pq_sqrt_n_default_cells(spark):
     auto = sim.ivf_pq_topk(emb, k=5)
     pinned = sim.ivf_pq_topk(emb, k=5, n_cells=cells)
     assert auto.exceptAll(pinned).count() == 0 and pinned.exceptAll(auto).count() == 0
+    # r9 (r8 ADVICE): n_probe=None co-scales with the cell count so the
+    # DEFAULT's probed fraction holds >= 1/16 instead of decaying as
+    # 10/sqrt(n). The rule resolves to exactly the audited 10-probe point
+    # at (and near) the 16-cell floor.
+    assert sim._auto_probes(16) == 10  # the audited sf0.01 operating point
+    assert sim._auto_probes(160) == 10  # floor holds through 160 cells
+    assert sim._auto_probes(161) == 11  # first co-scaled step
+    assert sim._auto_probes(448) == 28  # 200k corpus: 28/448 = 6.25%
+    assert sim._auto_probes(31623) == 1977  # the 1e9 anchor: fraction held
+    # ...and the exact-refine shortlist co-scales to 3/8 of expected
+    # candidates (r9 clustered gate: fixed rerank=60 capped recall at
+    # 0.654 on tight clusters with perfect probe coverage)
+    assert sim._auto_rerank(600, 16, 10) == 139  # ceil(3/8 * 10 * 37)
+    assert sim._auto_rerank(4096, 64, 10) == 240  # the measured 1.000 point
+    assert sim._auto_rerank(200, 16, 10) == 60  # floor: the audited point
 
 
 def test_lsh_auto_planes_rule(spark):
@@ -2220,3 +2235,48 @@ def test_als_solve_matches_numpy(spark):
         assert abs(got[c][0] - x[0]) < 1e-9 and abs(got[c][1] - x[1]) < 1e-9, (
             f"user {c}: {got[c]} vs numpy {x}"
         )
+
+
+def test_negative_pairs_linear_sampler(spark, sf_dir):
+    """The production-shaped negative sampler (r8 verdict #6): draws a
+    FIXED MULTIPLE of the positives (reference
+    ``xgboost_training_for_big_data.py:258-278``, ~1:1 target), so its
+    candidate volume is linear in |positives| at any scale — unlike the
+    modular-bucket fixed-relation sampler whose candidate space is a
+    fraction of |C|x|P| (quadratic under uniform scale-up; excluded from
+    the r8 100x probe for that reason). Gates: disjointness from the
+    positives, determinism, and the realized count against the analytic
+    birthday/rejection expectation — at THIS toy scale (|P| ~ 200 parts,
+    ~37 positives per customer) collisions are large by construction;
+    at production scale (|P| >> per-customer positives) the shortfall
+    vanishes, which the 100x probe row measures."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import (
+        traversals as trav,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import (
+        load_table,
+    )
+
+    orders = load_table(spark, "orders", sf_dir)
+    lineitem = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    pos = trav.positive_pair_keys(orders, lineitem)
+    n_pos = pos.count()
+    neg = trav.negative_pair_keys_linear(orders, lineitem, part, ratio=1)
+    n_neg = neg.count()
+    # disjointness: a negative is never a positive
+    assert neg.join(pos, ["ckey", "pkey"]).count() == 0
+    # deterministic: a second build is row-identical
+    neg2 = trav.negative_pair_keys_linear(orders, lineitem, part, ratio=1)
+    assert neg.exceptAll(neg2).count() == 0 and neg2.exceptAll(neg).count() == 0
+    # analytic expectation: per customer, n_i draws into |P| cells keep
+    # ~P(1-(1-1/P)^n_i) distinct, of which ~n_i/P land on positives
+    import math
+
+    n_parts = part.count()
+    per_cust = [r["n"] for r in pos.groupBy("ckey").agg(F.count(F.lit(1)).alias("n")).collect()]
+    expect = sum(
+        n_parts * (1.0 - (1.0 - 1.0 / n_parts) ** n) * (1.0 - n / n_parts) for n in per_cust
+    )
+    assert n_neg <= n_pos  # draws can only collide/reject downward
+    assert abs(n_neg - expect) / expect < 0.10, (n_neg, expect)

@@ -752,8 +752,10 @@ def test_multitower_store_serve(spark, sf_dir, tmp_path, monkeypatch):
     """The tower-net artifact store (r7): parameters/scaler-stats/history
     persist in the fingerprint-keyed store; a second process-state must
     LOAD them (training made impossible) and report byte-identical
-    metrics — doubles roundtrip parquet bit-exactly, so the val-AUC
-    forward pass over loaded params cannot move."""
+    metrics. r9 (r8 ADVICE): the fitted val-AUC is itself a stored
+    artifact (mt_metrics) and the serve path reports the STORED value —
+    served == fit is identity by construction, not a 12dp-rounding
+    absorb of evaluator partition-order jitter."""
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import (
         multitower as mt,
     )

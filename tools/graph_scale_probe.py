@@ -102,7 +102,31 @@ def main() -> None:
     scale_probe.build(spark, replicas, tables=GRAPH_SRC_TABLES)
     build_s = round(time.perf_counter() - t0, 1)
 
-    qs = registry.queries()
+    qs = dict(registry.queries())
+
+    # probe-only entry (r8 verdict #6): the production-shaped linear
+    # negative sampler — a fixed multiple of the positives, the dataset-
+    # assembly step the r8 probe had to exclude while only the quadratic
+    # fixed-relation sampler existed. Not a registry query (the oracle-
+    # checked registry keeps the fixed-relation form); the operator's
+    # correctness gates live in tests/test_invariants.py.
+    def _negative_pairs_linear(spark_, sf_dir_):
+        from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import (
+            traversals as trav,
+        )
+        from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import (
+            load_table,
+        )
+
+        return trav.negative_pair_keys_linear(
+            load_table(spark_, "orders", sf_dir_),
+            load_table(spark_, "lineitem", sf_dir_),
+            load_table(spark_, "part", sf_dir_),
+            ratio=1,
+        )
+
+    qs["negative_pairs_linear"] = _negative_pairs_linear
+
     results: dict[str, dict] = {}
     for name in names:
         before = _shuffle_totals(spark)

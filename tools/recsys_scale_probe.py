@@ -54,12 +54,21 @@ def _out_fingerprint(df):
 
 def serve_phase() -> None:
     """Runs in a FRESH process: serve the hybrid recommender from the
-    persisted store. Trainers are monkeypatched to raise, so identity can
-    only come from the store (same gate shape as tests)."""
+    persisted store. EVERY model-builder entry point on the hybrid path is
+    monkeypatched to raise — both ALS trainers, the item-item neighbor
+    build and the capped-basket build — so identity can only come from the
+    store (same gate shape as tests; r8 ADVICE closed the gap where only
+    the ALS trainers were patched). The one remaining builder, the decayed
+    -popularity aggregate, is inlined in _recsys_artifacts' miss branch
+    AFTER the patched item_item_topk call, so it is unreachable without
+    tripping a _boom first."""
     import scale_probe
 
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.ml import als as als_mod
-    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import registry
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.plans import (
+        registry,
+        registry_relational,
+    )
     from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.session import get_spark
 
     def _boom(*a, **k):  # noqa: ANN002, ANN003
@@ -67,6 +76,8 @@ def serve_phase() -> None:
 
     als_mod.als_rank2 = _boom
     als_mod.als_rank2_bucketed = _boom
+    registry_relational.item_item_topk = _boom
+    registry_relational.capped_basket = _boom
 
     spark = get_spark("recsys-scale-serve")
     spark.sparkContext.setLogLevel("ERROR")
