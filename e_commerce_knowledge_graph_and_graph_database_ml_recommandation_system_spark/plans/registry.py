@@ -54,9 +54,10 @@ _DRIVER_UNSAMPLED = (
     # behind them the stable registration order puts the r1-era queries
     # (whose official rows are oldest) back into the driver's 50-prefix.
     # round-7 additions (png/jpeg) were sampled green in
-    # CORRECTNESS_r07.json; the rotation list resets to the round-8
-    # addition so it leads the driver's 50-query prefix
-    "multimodal_codec_roundtrip_jpeg_color",
+    # CORRECTNESS_r07.json; multimodal_codec_roundtrip_jpeg_color (r8)
+    # was sampled green in CORRECTNESS_r08.json; the rotation resets to
+    # the round-9 addition so it leads the driver's 50-query prefix
+    "negative_pairs_linear",
 )
 
 
@@ -448,6 +449,46 @@ def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, names=("orders", "lineitem", "customer", "part"))
     return trav.pair_ids(
         trav.negative_pair_keys(t["orders"], t["lineitem"], t["customer"], t["part"])
+    )
+
+
+@register(
+    "negative_pairs_linear",
+    """
+WITH pos AS (
+    SELECT DISTINCT o_custkey AS ckey, l_partkey AS pkey
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+cand AS (
+    SELECT DISTINCT ckey,
+           (('0x' || substr(md5(concat_ws('_', 'neg', ckey, pkey, 0)), 1, 8))::BIGINT
+            % (SELECT COUNT(*) FROM part)) + 1 AS pkey
+    FROM pos
+),
+neg AS (
+    SELECT ckey, pkey FROM cand
+    ANTI JOIN pos USING (ckey, pkey)
+)
+SELECT concat_ws('_', 'cust', ckey) AS customer_id,
+       concat_ws('_', 'prod', pkey) AS product_id
+FROM neg
+""",
+)
+def q_negative_pairs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4, production shape (r9): negatives as a FIXED MULTIPLE of the
+    positives — each positive draws one md5-pseudo-random part key,
+    dedup, one anti-join (reference
+    ``xgboost_training_for_big_data.py:258-278``: random pairs, reject
+    hits, ~1:1 target). LINEAR in |positives| at any scale, unlike
+    ``negative_pairs``' fixed 1/modulus fraction of the |C|x|P| cross
+    space (quadratic under uniform scale-up — the r8 100x probe excluded
+    it for exactly that reason; the 100x row for THIS sampler is in
+    SCALE.md r9). Realized count sits under 1:1 by birthday collisions +
+    rejections, exactly like the reference's rejection loop; the analytic
+    expectation is gated in tests."""
+    t = load_tables(spark, sf_dir, names=("orders", "lineitem", "part"))
+    return trav.pair_ids(
+        trav.negative_pair_keys_linear(t["orders"], t["lineitem"], t["part"], ratio=1)
     )
 
 

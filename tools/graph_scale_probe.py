@@ -62,27 +62,33 @@ def timing_checkpoints():
         DataFrame.localCheckpoint = orig
 
 
-def _shuffle_totals(spark) -> tuple[int, int] | None:
+def _shuffle_totals(spark, _attempt: int = 0) -> tuple[int, int] | None:
     """(shuffle_read_bytes, shuffle_write_bytes) summed over all stages so
-    far, via the REST status API. None when the UI is unreachable."""
+    far, via the REST status API. None when the UI is unreachable; one
+    retry with a longer timeout and a stderr note (r9: two probe runs
+    silently lost their shuffle columns to a swallowed fetch failure)."""
     import urllib.request
 
     try:
         ui = spark.sparkContext.uiWebUrl
         if not ui:
             return None
-        with urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=5) as r:
+        with urllib.request.urlopen(f"{ui}/api/v1/applications", timeout=30) as r:
             apps = json.load(r)
         app_id = apps[0]["id"]
         read = write = 0
         with urllib.request.urlopen(
-            f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=30
+            f"{ui}/api/v1/applications/{app_id}/stages?status=complete", timeout=120
         ) as r:
             for st in json.load(r):
                 read += st.get("shuffleReadBytes", 0)
                 write += st.get("shuffleWriteBytes", 0)
         return read, write
-    except Exception:  # noqa: BLE001 — metrics are best-effort
+    except Exception as e:  # noqa: BLE001 — metrics are best-effort
+        if _attempt == 0:
+            time.sleep(5)
+            return _shuffle_totals(spark, _attempt=1)
+        print(f"shuffle-totals fetch failed: {type(e).__name__}: {e}", file=sys.stderr)
         return None
 
 
