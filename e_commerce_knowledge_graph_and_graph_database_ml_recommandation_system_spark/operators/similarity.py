@@ -1391,6 +1391,17 @@ def _pq_lut(pdist: DataFrame) -> DataFrame:
     )
 
 
+#: refine shortlists larger than this take the vectorized Arrow kernel:
+#: every audited pinned operating point (registry rerank=60, the sweep's
+#: 2/4/10-probe points, the sf-scale auto resolutions <= ~240) stays on
+#: the HOF expression path the DuckDB oracles mirror fold-for-fold, while
+#: the co-scaled default at corpus scale — where the refine is |Q|·n/43
+#: pairs — gets numpy row-wise dots instead of interpreted per-element
+#: folds (measured at the 30x probe: the HOF refine was 254.6 s of a
+#: 554.6 s all-auto wall).
+IVF_REFINE_VECTORIZED_MIN_RERANK = 512
+
+
 def _ivf_pq_shortlist_refine(
     qside: DataFrame,
     xside: DataFrame,
@@ -1400,10 +1411,20 @@ def _ivf_pq_shortlist_refine(
     rerank: int,
     m: int,
     lut_offsets: list[int],
+    vectorized: bool | None = None,
 ) -> DataFrame:
     """ADC-ranked shortlist + exact-cosine refine — the serve tail shared
     by the inline operator and the store-backed search. ``eq``/``ex`` are
-    the raw (vid, v) query/index vectors for the refine join."""
+    the raw (vid, v) query/index vectors for the refine join.
+
+    ``vectorized=None`` dispatches the refine kernel on the shortlist
+    size: above IVF_REFINE_VECTORIZED_MIN_RERANK pairs per query the
+    per-pair cosine runs as one numpy batch per Arrow chunk (mapInPandas)
+    instead of the interpreted aggregate/zip_with fold — the same 6dp
+    dot/(|a||b|) formula, with the repo's zero-norm→cosine-0 kernel
+    convention (the HOF form yields NaN there; no corpus in the test or
+    probe fixtures contains a zero vector, and a parity gate pins the two
+    kernels row-identical on real fixtures)."""
     # decimal-exact ADC (order-free, matching the oracle's SUM over the
     # m lookup rows)
     adc = F.round(
@@ -1425,16 +1446,47 @@ def _ivf_pq_shortlist_refine(
         .select("query_id", "neighbor_id")
     )
     # exact refine of the PQ shortlist: |Q| x rerank rows, shared cosine
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb"))
-        / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
-        6,
-    )
-    fin = (
-        short.join(eq.select(F.col("vid").alias("query_id"), F.col("v").alias("va")), "query_id")
-        .join(ex.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb")), "neighbor_id")
-        .select("query_id", "neighbor_id", cos.alias("cosine"))
-    )
+    if vectorized is None:
+        vectorized = rerank > IVF_REFINE_VECTORIZED_MIN_RERANK
+    paired = short.join(
+        eq.select(F.col("vid").alias("query_id"), F.col("v").alias("va")), "query_id"
+    ).join(ex.select(F.col("vid").alias("neighbor_id"), F.col("v").alias("vb")), "neighbor_id")
+    if vectorized:
+        import numpy as np
+        import pandas as pd
+
+        def refine_batches(it):
+            for pdf in it:
+                if pdf.empty:
+                    continue
+                va = np.stack(pdf["va"].to_numpy())
+                vb = np.stack(pdf["vb"].to_numpy())
+                na = np.linalg.norm(va, axis=1)
+                nb = np.linalg.norm(vb, axis=1)
+                na[na == 0] = 1.0
+                nb[nb == 0] = 1.0
+                cosv = np.round(np.einsum("ij,ij->i", va, vb) / (na * nb), 6)
+                yield pd.DataFrame(
+                    {
+                        "query_id": pdf["query_id"],
+                        "neighbor_id": pdf["neighbor_id"],
+                        "cosine": cosv,
+                    }
+                )
+
+        id_type = dict(paired.dtypes)["query_id"]
+        nid_type = dict(paired.dtypes)["neighbor_id"]
+        fin = paired.mapInPandas(
+            refine_batches,
+            schema=f"query_id {id_type}, neighbor_id {nid_type}, cosine double",
+        )
+    else:
+        cos = F.round(
+            _dot(F.col("va"), F.col("vb"))
+            / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+            6,
+        )
+        fin = paired.select("query_id", "neighbor_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         fin.withColumn("rank", F.row_number().over(w))

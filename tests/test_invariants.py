@@ -2280,3 +2280,24 @@ def test_negative_pairs_linear_sampler(spark, sf_dir):
     )
     assert n_neg <= n_pos  # draws can only collide/reject downward
     assert abs(n_neg - expect) / expect < 0.10, (n_neg, expect)
+
+
+def test_ivf_refine_vectorized_parity(spark, monkeypatch):
+    """The size-dispatched vectorized refine kernel (r9: the co-scaled
+    rerank default makes the exact refine |Q|·n/43 pairs, and the
+    interpreted HOF fold was 254.6s of a 554.6s all-auto wall at the 30x
+    probe) must be ROW-IDENTICAL to the HOF expression path on a real
+    fixture — same 6dp dot/(|a||b|) formula, same final window. Forced
+    by dropping the dispatch threshold to 0."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import (
+        similarity as sim,
+    )
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.sources.tables import (
+        load_table,
+    )
+
+    emb = load_table(spark, "embeddings", SF)
+    hof = sim.ivf_pq_topk(emb, k=5, n_cells=16)  # auto rerank 139 < 512 -> HOF
+    monkeypatch.setattr(sim, "IVF_REFINE_VECTORIZED_MIN_RERANK", 0)
+    vec = sim.ivf_pq_topk(emb, k=5, n_cells=16)  # same config, numpy kernel
+    assert hof.exceptAll(vec).count() == 0 and vec.exceptAll(hof).count() == 0
