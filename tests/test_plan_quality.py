@@ -49,6 +49,10 @@ NO_NESTED_LOOP = [
     "dedup_exact",
     "positive_pairs",
     "negative_pairs",
+    # r9: the linear production-shaped sampler is explode + distinct +
+    # anti-join — any nested-loop here would mean the draw degenerated
+    # into pair-space enumeration
+    "negative_pairs_linear",
     "kfold_target_encoding",
     "community_degree_features",
     "recency_frequency",
