@@ -102,6 +102,30 @@ TRAIN_COLD = [
 ]
 
 
+def _host_canary() -> dict:
+    """Fixed-work CPU canary: the wall of a deterministic numpy gemm and a
+    pure-python loop, independent of Spark. The load-average sentinel is
+    BLIND to hypervisor CPU throttling (r9: a bench read 2.2x slow with
+    load 0.24->1.95 — the runnable queue stays short when the host steals
+    cycles), so per-round comparisons need a measured host-speed factor:
+    if the canary reads k x its quiet baseline (~1.0s gemm / ~0.55s py on
+    this VM class), discount the suite walls by ~k before calling a
+    regression."""
+    import numpy as np
+
+    a = np.ones((1024, 1024))
+    t0 = time.perf_counter()
+    for _ in range(12):
+        a = (a @ a) % 7 + 1.0
+    gemm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(8_000_000):
+        s += i & 1023
+    py = time.perf_counter() - t0
+    return {"host_canary_gemm_sec": round(gemm, 3), "host_canary_py_sec": round(py, 3)}
+
+
 def _count_other_java() -> int:
     """Concurrent-Spark sentinel: number of java processes already running.
     Called BEFORE this bench creates its own JVM, so every hit is another
@@ -214,6 +238,7 @@ def isolate_main(names: list[str], reps: int = 4) -> None:
         "isolated_protocol": f"min-of-{reps}, fresh JVM per query, standard warmup",
         "isolated_load_1m": round(os.getloadavg()[0], 2),
         "isolated_sf_dir": SF_DIR,
+        **{f"isolated_{k}": v for k, v in _host_canary().items()},
     }
     _merge_local(out)
     print(json.dumps(out))
@@ -226,6 +251,7 @@ def main() -> None:
 
     other_java = _count_other_java()
     load_start = os.getloadavg()[0]
+    canary = _host_canary()
     spark = get_spark("bench")
     qs = registry.queries()
 
@@ -289,6 +315,7 @@ def main() -> None:
         "other_java_procs_at_start": other_java,
         "load_1m_at_start": round(load_start, 2),
         "load_1m_at_end": round(os.getloadavg()[0], 2),
+        **canary,
     }
     line = json.dumps(out)
     # the driver captures stdout through a pipe that Spark progress bars
