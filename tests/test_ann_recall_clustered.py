@@ -126,3 +126,19 @@ def test_ivf_pq_auto_recall_clustered_corpus(spark):
         res = sim.ivf_pq_topk(_spark_emb(spark, ids, mat), k=K)
         r = _recall(res, truth)
         assert r >= 0.8, f"auto-granularity IVF-PQ recall@5 {r:.3f} < 0.8 at n={n}"
+
+
+def test_ivf_hash_auto_recall_clustered_corpus(spark):
+    """ivf_hash_topk(n_cells=None, n_probe=None) — the exact-within-cell
+    IVF path, auto-converted in the r9 granularity audit (√n cells,
+    probes floor=2/divisor=8) — recall@5 >= 0.8 on the clustered corpus
+    at the scaled side of the cell transition (4096 vectors: 64 cells,
+    8 probes = 12.5% fraction, the audited floor point's own fraction
+    held). No PQ/ADC stage here, so this isolates the PROBE rule: cell
+    coverage alone must carry the recall on clustered geometry."""
+    assert sim._auto_probes(sim._auto_cells(4096), floor=2, divisor=8) == 8
+    ids, mat = _mog(4096, 16)
+    truth = _exact_topk(ids, mat, _sample_idx(4096, 256))
+    res = sim.ivf_hash_topk(_spark_emb(spark, ids, mat), k=K)
+    r = _recall(res, truth)
+    assert r >= 0.8, f"auto-granularity IVF-hash recall@5 {r:.3f} < 0.8"
