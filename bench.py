@@ -126,6 +126,44 @@ def _host_canary() -> dict:
     return {"host_canary_gemm_sec": round(gemm, 3), "host_canary_py_sec": round(py, 3)}
 
 
+#: quiet-window gemm baseline on this VM class (~0.61-0.67 s measured r9);
+#: a pre-flight read above 1.5x this means the hypervisor is stealing
+#: cycles and every wall in the record will be uniformly pessimistic
+#: (BENCH_r09 landed in a 2.343 s window and read ~30% slow).
+CANARY_QUIET_GEMM_SEC = 0.65
+CANARY_PREFLIGHT_MAX_WAIT_SEC = 240
+
+
+def _canary_preflight() -> dict:
+    """Wait (bounded) for a quiet host window before benching (r9 verdict
+    #7: the official r9 record was taken in a throttled window the canary
+    flagged but nothing acted on). Re-reads the canary every ~30 s until
+    the gemm wall drops under 1.5x the quiet baseline or the wait budget
+    (4 min) runs out; always proceeds — the stamped canary fields let a
+    reader discount a record that had to run throttled."""
+    deadline = time.monotonic() + CANARY_PREFLIGHT_MAX_WAIT_SEC
+    attempts = 0
+    canary = _host_canary()
+    while (
+        canary["host_canary_gemm_sec"] > 1.5 * CANARY_QUIET_GEMM_SEC
+        and time.monotonic() < deadline
+    ):
+        attempts += 1
+        print(
+            f"[bench] host throttled (canary gemm {canary['host_canary_gemm_sec']}s "
+            f"vs quiet ~{CANARY_QUIET_GEMM_SEC}s); waiting for a quiet window "
+            f"(attempt {attempts})",
+            file=sys.stderr,
+        )
+        time.sleep(30)
+        canary = _host_canary()
+    canary["canary_preflight_waits"] = attempts
+    canary["canary_preflight_quiet"] = bool(
+        canary["host_canary_gemm_sec"] <= 1.5 * CANARY_QUIET_GEMM_SEC
+    )
+    return canary
+
+
 def _count_other_java() -> int:
     """Concurrent-Spark sentinel: number of java processes already running.
     Called BEFORE this bench creates its own JVM, so every hit is another
@@ -251,7 +289,7 @@ def main() -> None:
 
     other_java = _count_other_java()
     load_start = os.getloadavg()[0]
-    canary = _host_canary()
+    canary = _canary_preflight()
     spark = get_spark("bench")
     qs = registry.queries()
 
@@ -332,7 +370,17 @@ if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if len(sys.argv) >= 2 and sys.argv[1] == "--isolate-child":
         isolate_child(sys.argv[2], sys.argv[3], int(sys.argv[4]))
-    elif len(sys.argv) >= 3 and sys.argv[1] == "--isolate":
-        isolate_main([n.strip() for n in sys.argv[2].split(",") if n.strip()])
+    elif len(sys.argv) >= 2 and sys.argv[1] == "--isolate":
+        # own branch so a nameless `--isolate` errors instead of silently
+        # falling through to the full ~4-min suite (r9 ADVICE)
+        names = [n.strip() for n in sys.argv[2].split(",")] if len(sys.argv) >= 3 else []
+        names = [n for n in names if n]
+        if not names:
+            print(
+                "usage: bench.py --isolate q1[,q2,...]   (comma-separated registry query names)",
+                file=sys.stderr,
+            )
+            sys.exit(2)
+        isolate_main(names)
     else:
         main()
