@@ -115,25 +115,38 @@ def brute_topk_blas(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col:
 
     def batches(it):
         idx_of = None
+        sims_buf = den_buf = None
+        CHUNK = 512
         for pdf in it:
             ids_l = b_ids.value
             m = b_mat.value
             n_idx = m.shape[0]
             if idx_of is None:
                 idx_of = {int(i): j for j, i in enumerate(ids_l)}
+            if sims_buf is None:
+                # preallocate ONCE per worker and compute into the buffers
+                # with out= — fresh (chunk x N) allocations per chunk pay
+                # first-touch page faults that dominate the kernel on
+                # virtualized hosts (r10: a fresh 32 MB divide measured
+                # 8.5 s on first touch vs 0.04 s warm on this VM class)
+                sims_buf = np.empty((CHUNK, n_idx))
+                den_buf = np.empty((CHUNK, n_idx))
             out = []
             # chunk the Arrow batch so the (chunk × N) working set stays
             # cache-sized — big fresh allocations are the kernel's real
             # cost at scale (memory bandwidth, not FLOPs) — and do the
             # divide/round in place: the VALUES are unchanged
             # (dot/(qn_i·mn_j) then round, the DuckDB operation order)
-            for c0 in range(0, len(pdf), 2048):
-                cpdf = pdf.iloc[c0 : c0 + 2048]
+            for c0 in range(0, len(pdf), CHUNK):
+                cpdf = pdf.iloc[c0 : c0 + CHUNK]
                 q = np.stack(cpdf["v"].to_numpy())
                 qn = np.linalg.norm(q, axis=1)
                 qn = np.where(qn == 0, 1.0, qn)
-                sims = q @ m.T
-                np.divide(sims, qn[:, None] * b_norms.value[None, :], out=sims)
+                sims = sims_buf[: len(cpdf)]
+                den = den_buf[: len(cpdf)]
+                np.dot(q, m.T, out=sims)
+                np.multiply(qn[:, None], b_norms.value[None, :], out=den)
+                np.divide(sims, den, out=sims)
                 np.round(sims, 6, out=sims)
                 qids = cpdf[id_col].to_numpy()
                 # exclude self O(1)/row via the id->column map
@@ -156,7 +169,14 @@ def brute_topk_blas(emb: DataFrame, k: int = 5, id_col: str = "vec_id", vec_col:
                         out.append((int(qid), r, int(ids_l[j]), float(row[j])))
             yield pd.DataFrame(out, columns=["query_id", "rank", "neighbor_id", "cosine"])
 
-    src = emb.select(id_col, _as_double(F.col(vec_col)).alias("v"))
+    # spread the query side across cores: a dim-table-scale corpus often
+    # sits in ONE parquet row group, and without this the whole gemm runs
+    # as a single task on a single worker (r10: the entire sf0.1
+    # ann_brute wall was one core's page-fault anneal). The shuffle moves
+    # |N| rows — noise — and per-row output is partitioning-independent.
+    src = emb.select(id_col, _as_double(F.col(vec_col)).alias("v")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return src.mapInPandas(batches, schema="query_id long, rank int, neighbor_id long, cosine double")
 
 
@@ -209,7 +229,11 @@ def _near_dup_blas(emb: DataFrame, threshold: float, id_col: str, vec_col: str) 
                 {"vec_a": qids[qi], "vec_b": ids_l[ni], "cosine": sims[qi, ni]}
             )
 
-    src = emb.select(id_col, _as_double(F.col(vec_col)).alias("v"))
+    # same single-row-group hazard as brute_topk_blas (r10): spread the
+    # query side so the gemm parallelizes across cores
+    src = emb.select(id_col, _as_double(F.col(vec_col)).alias("v")).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return src.mapInPandas(batches, schema="vec_a long, vec_b long, cosine double")
 
 
@@ -406,6 +430,52 @@ def _auto_rerank(n: int, n_cells: int, n_probe: int, floor: int = 60) -> int:
     return max(floor, -(-3 * n_probe * max(1, n // max(n_cells, 1)) // 8))
 
 
+#: per-query candidate budget for the ALL-AUTO IVF paths (r10, r9 verdict
+#: #1): ``_auto_probes`` holds the probed fraction >= 1/16, which makes the
+#: default candidate volume ~n^2/16 — quadratic with small constants, the
+#: last quadratic public default in the package (measured 469.1 s at just
+#: 60k vectors, tools/ivf_auto_cost_probe.py). Capping expected per-query
+#: candidates at this budget converts total volume to <= n x 4096 — linear
+#: past the binding size (~65k vectors all-auto). 4096 matches the LSH
+#: path's target bucket size, so both approximate defaults bound per-query
+#: work at the same scale-independent constant.
+IVF_AUTO_MAX_CANDIDATES = 4096
+
+
+def _cap_auto_probes(n_probe: int, n: int, n_cells: int, budget: int | None, op: str) -> int:
+    """Bound an AUTO probe count so expected per-query candidate volume
+    (n_probe x n/n_cells) never exceeds ``budget``; warns when it binds.
+
+    Below the binding corpus size the co-scaled `_auto_probes` pairing is
+    returned unchanged (every audited operating point, every registry
+    query, and every recall gate sits below it). Past it, the probed
+    fraction shrinks as budget/n instead of holding 1/16: on clustered
+    production geometry ranked probing keeps recall high at small
+    fractions (the MoG gate measures recall@5 >= 0.8 with the cap
+    binding; the r9 200k LSH measurement read 0.992 at a ~2% candidate
+    fraction), while on near-isotropic corpora recall tracks the probed
+    fraction and an explicit audited operating point
+    (ivf_probe_recall_audit) is the honest choice — the warning says so.
+    Pinned (explicit n_probe) callers are never capped."""
+    if budget is None:
+        return n_probe
+    cell_pop = max(1, n // max(n_cells, 1))
+    capped = max(1, budget // cell_pop)
+    if capped < n_probe:
+        import warnings
+
+        warnings.warn(
+            f"{op}: auto n_probe capped {n_probe} -> {capped} by "
+            f"max_candidates_per_query={budget} (expected cell population ~{cell_pop}). "
+            "On near-isotropic corpora recall shrinks with the probed fraction — "
+            "pick an audited operating point via ivf_probe_recall_audit for "
+            "scale-critical serving, or raise/disable the budget explicitly.",
+            stacklevel=3,
+        )
+        return capped
+    return n_probe
+
+
 def _auto_planes(n: int, target_bucket: int = LSH_TARGET_BUCKET_ROWS) -> int:
     """Scale-safe hyperplane count: ~ceil(log2(n / target_bucket)), floored
     at 4. A FIXED plane count keeps the bucket count constant, so expected
@@ -582,14 +652,24 @@ def _hash_cell_ranked(
     ])
 
     def cell_sims(vec):
-        # struct(-cos, cell): ascending array_sort == (cos desc, cell asc)
+        # struct(-cos, cell): ascending array_sort == (cos desc, cell asc).
+        # Zero-norm guard (r10): a zero-norm side divides as norm 1 — the
+        # repo's zero-norm→cosine-0 convention — so a zero vector ranks
+        # every cell equally (tie broken by cell asc, deterministic)
+        # instead of raising ANSI DIVIDE_BY_ZERO; nonzero vectors are
+        # byte-unchanged.
+        nv = _norm(vec)
+        safe_nv = F.when(nv == 0, F.lit(1.0)).otherwise(nv)
+
+        def negcos(s):
+            nc = _norm(s["cv"])
+            safe_nc = F.when(nc == 0, F.lit(1.0)).otherwise(nc)
+            return -F.round(_dot(vec, s["cv"]) / (safe_nv * safe_nc), 9)
+
         return F.array_sort(
             F.transform(
                 centers_lit,
-                lambda s: F.struct(
-                    (-F.round(_dot(vec, s["cv"]) / (_norm(vec) * _norm(s["cv"])), 9)).alias("negcos"),
-                    s["cell"].alias("cell"),
-                ),
+                lambda s: F.struct(negcos(s).alias("negcos"), s["cell"].alias("cell")),
             )
         )
 
@@ -671,6 +751,7 @@ def ivf_hash_topk(
     n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidates_per_query: int | None = IVF_AUTO_MAX_CANDIDATES,
 ) -> DataFrame:
     """Deterministic IVF ANN: the coarse quantizer's centroids are the
     ``n_cells`` corpus vectors with the smallest md5('ivf_' || id) — a
@@ -692,12 +773,27 @@ def ivf_hash_topk(
     ``n_probe=None`` co-scales as max(2, ⌈n_cells/8⌉) — the audited
     2-of-16 floor point with its own 1/8 probe fraction held as the cell
     count grows (r9 audit: this operator carried the fixed-granularity
-    default the r8 probes proved quadratic). The registry query and the
-    recall/probe audits pin their operating points explicitly."""
+    default the r8 probes proved quadratic). The held 1/8 fraction makes
+    the all-auto candidate volume ~n²/8, so ``max_candidates_per_query``
+    (r10, default 4096 — see ``IVF_AUTO_MAX_CANDIDATES``) caps the auto
+    probe count once expected per-query candidates exceed the budget,
+    bounding total volume at n·4096 (linear) past ~33k vectors; the
+    warning says so when it binds. The registry query and the
+    recall/probe audits pin their operating points explicitly and are
+    never capped."""
+    n_rows: int | None = None
     if n_cells is None:
-        n_cells = _auto_cells(emb.count())
+        n_rows = emb.count()
+        n_cells = _auto_cells(n_rows)
     if n_probe is None:
-        n_probe = _auto_probes(n_cells, floor=2, divisor=8)
+        n_rows = emb.count() if n_rows is None else n_rows
+        n_probe = _cap_auto_probes(
+            _auto_probes(n_cells, floor=2, divisor=8),
+            n_rows,
+            n_cells,
+            max_candidates_per_query,
+            "ivf_hash_topk",
+        )
     ranked_cells = _hash_cell_ranked(emb, n_cells, id_col, vec_col)
     indexed = ranked_cells.select("vid", "v", F.element_at("cs", 1)["cell"].alias("cell"))
     probed = ranked_cells.select(
@@ -1168,6 +1264,7 @@ def ivf_pq_topk(
     rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_candidates_per_query: int | None = IVF_AUTO_MAX_CANDIDATES,
 ) -> DataFrame:
     """IVF-PQ ANN with exact refine — the FAISS-style memory-compressed
     index, end to end: a coarse inverted file restricts candidates (same
@@ -1217,6 +1314,15 @@ def ivf_pq_topk(
     scale-critical deployments pick a per-corpus operating point with
     ivf_probe_recall_audit and pin both knobs.
 
+    ``max_candidates_per_query`` (default ``IVF_AUTO_MAX_CANDIDATES`` =
+    4096, r10) bounds the AUTO pairing's cost law: when the expected
+    per-query candidate count (n_probe · n/n_cells) would exceed the
+    budget, the auto probe count is capped (with a warning saying so) so
+    total candidate volume is ≤ n·budget — LINEAR past the ~65k-vector
+    binding size instead of ~n²/16, and the co-scaled rerank (3/8 of
+    candidates) is bounded with it. Explicitly pinned ``n_probe`` values
+    are never capped; pass ``max_candidates_per_query=None`` to opt out.
+
     ``rerank=None`` (the default) co-scales the exact-refine shortlist to
     3/8 of the expected per-query candidate count (``_auto_rerank``,
     floor 60 — the audited point): on tight clusters the ADC ranking
@@ -1233,7 +1339,10 @@ def ivf_pq_topk(
         n_rows = e.count()
         n_cells = _auto_cells(n_rows)
     if n_probe is None:
-        n_probe = _auto_probes(n_cells)
+        n_rows = e.count() if n_rows is None else n_rows
+        n_probe = _cap_auto_probes(
+            _auto_probes(n_cells), n_rows, n_cells, max_candidates_per_query, "ivf_pq_topk"
+        )
     if rerank is None:
         n_rows = e.count() if n_rows is None else n_rows
         rerank = _auto_rerank(n_rows, n_cells, n_probe)
@@ -1399,6 +1508,17 @@ def _pq_lut(pdist: DataFrame) -> DataFrame:
 #: pairs — gets numpy row-wise dots instead of interpreted per-element
 #: folds (measured at the 30x probe: the HOF refine was 254.6 s of a
 #: 554.6 s all-auto wall).
+#:
+#: CONSTRAINT for oracle-mirrored callers (r9 ADVICE): the two kernels'
+#: row-identity is only guaranteed up to summation order — numpy's einsum
+#: accumulates pairwise/SIMD while the HOF fold (and DuckDB's
+#: list_cosine_similarity) accumulate sequentially, so a dot whose two
+#: orderings differ by an ulp can straddle the 6dp rounding boundary.
+#: Every DuckDB-hash-oracled path must therefore resolve to a rerank <=
+#: this threshold (all pinned operating points do: registry rerank=60,
+#: sweep points <= 240); if an oracle path ever co-scales past it, either
+#: pass vectorized=False explicitly or make the vectorized kernel
+#: accumulate in the same sequential order (math.fsum per pair).
 IVF_REFINE_VECTORIZED_MIN_RERANK = 512
 
 
@@ -1421,10 +1541,11 @@ def _ivf_pq_shortlist_refine(
     size: above IVF_REFINE_VECTORIZED_MIN_RERANK pairs per query the
     per-pair cosine runs as one numpy batch per Arrow chunk (mapInPandas)
     instead of the interpreted aggregate/zip_with fold — the same 6dp
-    dot/(|a||b|) formula, with the repo's zero-norm→cosine-0 kernel
-    convention (the HOF form yields NaN there; no corpus in the test or
-    probe fixtures contains a zero vector, and a parity gate pins the two
-    kernels row-identical on real fixtures)."""
+    dot/(|a||b|) formula, and BOTH kernels apply the repo's
+    zero-norm→cosine-0 convention (a zero-norm side divides as norm 1,
+    r10: the HOF denominator is guarded, so dispatch can never change an
+    answer; a parity gate pins the kernels row-identical on a fixture
+    with an injected zero vector)."""
     # decimal-exact ADC (order-free, matching the oracle's SUM over the
     # m lookup rows)
     adc = F.round(
@@ -1481,9 +1602,18 @@ def _ivf_pq_shortlist_refine(
             schema=f"query_id {id_type}, neighbor_id {nid_type}, cosine double",
         )
     else:
+        # zero-norm guard (r9 ADVICE): a zero-norm side divides as norm 1 —
+        # exactly the Arrow kernel's na[na==0]=1 — so a zero vector yields
+        # cosine 0 on BOTH kernels and the rerank-size dispatch can never
+        # change an answer (the bare quotient was NaN here, 0 there)
+        na = F.sqrt(_dot(F.col("va"), F.col("va")))
+        nb = F.sqrt(_dot(F.col("vb"), F.col("vb")))
         cos = F.round(
             _dot(F.col("va"), F.col("vb"))
-            / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))),
+            / (
+                F.when(na == 0, F.lit(1.0)).otherwise(na)
+                * F.when(nb == 0, F.lit(1.0)).otherwise(nb)
+            ),
             6,
         )
         fin = paired.select("query_id", "neighbor_id", cos.alias("cosine"))
@@ -1493,6 +1623,11 @@ def _ivf_pq_shortlist_refine(
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+#: bump when ivf_pq_train's persisted index artifacts change (r10):
+#: folded into the ivfpq store key in the registry.
+IVF_PQ_ALGO_VERSION = 1
 
 
 def ivf_pq_train(
@@ -1550,6 +1685,7 @@ def ivf_pq_search(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     index_vectors: DataFrame | None = None,
+    max_candidates_per_query: int | None = IVF_AUTO_MAX_CANDIDATES,
 ) -> DataFrame:
     """Serve top-k from a TRAINED IVF-PQ index (ivf_pq_train artifacts,
     possibly parquet-roundtripped): the query side computes its probe
@@ -1565,15 +1701,23 @@ def ivf_pq_search(
     cell count, so an index trained with sqrt-n-scaled cells is served at
     a held probe fraction instead of a silently decaying one (r8 ADVICE);
     ``rerank=None`` likewise co-scales the exact-refine shortlist via
-    ``_auto_rerank`` against the stored inverted file's row count. The
+    ``_auto_rerank`` against the stored inverted file's row count, and
+    the auto probe count is bounded by ``max_candidates_per_query`` the
+    same way as ivf_pq_topk (r10: expected candidates ≤ 4096/query, so
+    serving cost is linear in the query count at any index size). The
     registry query pins its audited (10, 60) point explicitly."""
     pb = index["pq_codebooks"].localCheckpoint(eager=True)
     m = int(pb.agg(F.max("s")).first()[0]) + 1
     n_cells = index["coarse_centroids"].count()
+    n_index: int | None = None
     if n_probe is None:
-        n_probe = _auto_probes(n_cells)
+        n_index = index["ivf_assign"].count()
+        n_probe = _cap_auto_probes(
+            _auto_probes(n_cells), n_index, n_cells, max_candidates_per_query, "ivf_pq_search"
+        )
     if rerank is None:
-        rerank = _auto_rerank(index["ivf_assign"].count(), n_cells, n_probe)
+        n_index = index["ivf_assign"].count() if n_index is None else n_index
+        rerank = _auto_rerank(n_index, n_cells, n_probe)
     eq = queries.select(
         F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")
     ).localCheckpoint(eager=True)

@@ -142,3 +142,79 @@ def test_ivf_hash_auto_recall_clustered_corpus(spark):
     res = sim.ivf_hash_topk(_spark_emb(spark, ids, mat), k=K)
     r = _recall(res, truth)
     assert r >= 0.8, f"auto-granularity IVF-hash recall@5 {r:.3f} < 0.8"
+
+
+def test_semdedup_auto_cells_quality_clustered_corpus(spark):
+    """r10 (r9 verdict #6): the r9 MoG gates covered top-k recall for
+    lsh/ivf_pq/ivf_hash; semdedup's √n auto-cell rule was validated for
+    COST only (178.8 s at the 100x probe). This gates its prune QUALITY
+    vs the exact O(n²) keep-first semantic dedup on clustered geometry,
+    at two sizes spanning the 16-cell floor -> 64-cell transition.
+
+    Precision is 1.0 BY CONSTRUCTION (a within-cell lower-id duplicate is
+    a global lower-id duplicate — cell partitioning can only HIDE pairs,
+    never invent them), so the gate pins it exactly; recall measures what
+    cross-cell splitting hides: a cluster spread over ~cells/clusters
+    centroids keeps one representative per (cell ∩ cluster) instead of
+    one per cluster. Measured 0.922 at n=200/16 cells and 0.988 at
+    n=4096/64 cells (the approximation IMPROVES as auto cells outgrow
+    the cluster count); gated at >= 0.85 with the fixture's within-cluster
+    cosine ~0.86 vs threshold 0.8."""
+    TAU = 0.8
+    for n, n_clusters in ((200, 8), (4096, 16)):
+        ids, mat = _mog(n, n_clusters)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        U = mat / norms[:, None]
+        S = np.round(U @ U.T, 6)
+        exact = {int(ids[i]) for i in range(1, n) if (S[i, :i] >= TAU).any()}
+        res = sim.semdedup(_spark_emb(spark, ids, mat), threshold=TAU)
+        got = {int(r["vec_id"]) for r in res.collect() if r["pruned"] == 1}
+        inter = len(got & exact)
+        assert len(got) == inter, "precision must be exactly 1 (no invented duplicates)"
+        recall = inter / max(len(exact), 1)
+        assert recall >= 0.85, f"semdedup auto-cell prune recall {recall:.3f} < 0.85 at n={n}"
+
+
+def test_ivf_auto_candidate_budget_rule(spark):
+    """r10 (r9 verdict #1): the all-auto IVF candidate budget. The
+    co-scaled _auto_probes pairing holds the probed fraction >= 1/16,
+    which makes default candidate volume ~n^2/16 — the last quadratic
+    public default; `_cap_auto_probes` bounds expected per-query
+    candidates at IVF_AUTO_MAX_CANDIDATES (4096) so total volume is
+    <= n x 4096 (linear) past the ~65k-vector binding size. Pins the rule
+    arithmetic at the audited and probe-measured operating points."""
+    B = sim.IVF_AUTO_MAX_CANDIDATES
+    assert B == 4096
+    # below the binding size: every gate/audit/registry point unchanged
+    assert sim._cap_auto_probes(10, 4096, 64, B, "t") == 10  # MoG gate point
+    assert sim._cap_auto_probes(10, 500, 23, B, "t") == 10  # sf0.01 corpus
+    # the r9 cost probe's 60k point (469.1 s all-auto) sits just under:
+    # 16 probes x 244-row cells = 3904 candidates — uncapped by design
+    assert sim._cap_auto_probes(16, 60_000, 245, B, "t") == 16
+    # the 100x probe's 200k point: auto 28 probes x ~446-row cells =
+    # ~12.5k candidates/query -> capped to 9 (~4k), and the cap SAYS so
+    with pytest.warns(UserWarning, match=r"capped 28 -> 9"):
+        assert sim._cap_auto_probes(28, 200_000, 448, B, "t") == 9
+    # explicit opt-out restores the held-fraction pairing
+    assert sim._cap_auto_probes(28, 200_000, 448, None, "t") == 28
+    # the cap never drops below one probe
+    with pytest.warns(UserWarning):
+        assert sim._cap_auto_probes(10, 1_000_000, 1000, 500, "t") == 1
+
+
+def test_ivf_pq_capped_budget_recall_clustered_corpus(spark):
+    """Recall gate AT a binding point of the r10 candidate budget: a
+    256-candidate budget at n=4096 (64 cells) forces the auto probe count
+    10 -> 4, the same fraction shrink the default 4096 budget applies at
+    200k+ vectors. On clustered geometry ranked probing must still carry
+    recall@5 >= 0.8 — the query's own cluster occupies its top-ranked
+    cells, so a capped probe list keeps the true neighbors reachable even
+    though the probed fraction drops to 1/16 of the cells."""
+    n, n_clusters = 4096, 16
+    ids, mat = _mog(n, n_clusters)
+    truth = _exact_topk(ids, mat, _sample_idx(n, 256))
+    with pytest.warns(UserWarning, match=r"ivf_pq_topk: auto n_probe capped 10 -> 4"):
+        res = sim.ivf_pq_topk(_spark_emb(spark, ids, mat), k=K, max_candidates_per_query=256)
+    r = _recall(res, truth)
+    assert r >= 0.8, f"capped-budget IVF-PQ recall@5 {r:.3f} < 0.8"

@@ -57,14 +57,20 @@ def main() -> None:
     emb = load_table(spark, "embeddings", scale_probe.SCRATCH)
     n = emb.count()
     cells = sim._auto_cells(n)
-    probes = sim._auto_probes(cells)
+    probes_unc = sim._auto_probes(cells)
+    # r10: the default resolution applies the per-query candidate budget
+    # (IVF_AUTO_MAX_CANDIDATES) — print BOTH so the row shows when it binds
+    probes = sim._cap_auto_probes(probes_unc, n, cells, sim.IVF_AUTO_MAX_CANDIDATES, "probe")
     rerank = sim._auto_rerank(n, cells, probes)
     cfg = {
         "n": n,
         "auto_cells": cells,
+        "auto_probes_uncapped": probes_unc,
         "auto_probes": probes,
+        "budget": sim.IVF_AUTO_MAX_CANDIDATES,
         "auto_rerank": rerank,
         "expected_candidates_per_query": probes * (n // cells),
+        "expected_candidates_per_query_uncapped": probes_unc * (n // cells),
     }
     print(json.dumps({"resolved_auto_config": cfg}), flush=True)
 
