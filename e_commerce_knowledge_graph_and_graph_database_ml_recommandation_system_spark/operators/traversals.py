@@ -14,7 +14,7 @@ declarative analog of the reference's 1500-2000 candidate cap.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Knuth multiplicative hash constant: deterministic pseudo-random selection
@@ -181,54 +181,133 @@ def negative_pair_keys(
     return pairs.join(positive_pair_keys(orders, lineitem), ["ckey", "pkey"], "left_anti")
 
 
+def _exact_n_by_hash(df: DataFrame, target: int) -> DataFrame:
+    """Deterministic exact-``target`` truncation of (ckey, pkey) rows by
+    md5 hash order WITHOUT a global sort: rows bucket on the hash's first
+    3 hex chars (4096 buckets — a PREFIX of the sort key, so
+    (bucket asc, hash asc) IS the global hash order), a 4096-row count
+    collect locates the boundary bucket on the driver, every bucket below
+    it passes through sort-free, and only the ONE boundary bucket pays an
+    intra-bucket window (~target/4096 rows at any scale). A SQL oracle
+    mirrors this as a plain global ``ROW_NUMBER() OVER (ORDER BY md5
+    ...)`` — identical output, different physical strategy."""
+    key = F.md5(F.concat_ws("_", F.lit("negsel"), F.col("ckey"), F.col("pkey")))
+    with_key = df.select(
+        "ckey",
+        "pkey",
+        key.alias("sel_key"),
+        F.conv(F.substring(key, 1, 3), 16, 10).cast("int").alias("sel_bucket"),
+    )
+    counts = {
+        int(r["sel_bucket"]): int(r["n"])
+        for r in with_key.groupBy("sel_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    cum = 0
+    boundary, need = None, 0
+    for b in sorted(counts):
+        if cum + counts[b] >= target:
+            boundary, need = b, target - cum
+            break
+        cum += counts[b]
+    if boundary is None:  # target >= |df|: nothing to cut
+        return df
+    full = with_key.filter(F.col("sel_bucket") < boundary)
+    w = Window.partitionBy("sel_bucket").orderBy("sel_key", "ckey", "pkey")
+    edge = (
+        with_key.filter(F.col("sel_bucket") == boundary)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= need)
+    )
+    return full.select("ckey", "pkey").unionByName(edge.select("ckey", "pkey"))
+
+
 def negative_pair_keys_linear(
-    orders: DataFrame, lineitem: DataFrame, part: DataFrame, ratio: int = 1
+    orders: DataFrame, lineitem: DataFrame, part: DataFrame, ratio: int = 1, exact: bool = True
 ) -> DataFrame:
     """J4, production shape: negatives drawn as a FIXED MULTIPLE of the
     positives — the reference's own sampler (random pairs, reject hits,
-    ~1:1 target; ``xgboost_training_for_big_data.py:258-278``) made
-    distributed and deterministic, and LINEAR in |positives| by
-    construction.
+    retry to an exact ~1:1 target;
+    ``xgboost_training_for_big_data.py:258-278``) made distributed and
+    deterministic, and LINEAR in |positives| by construction.
+
+    DISTRIBUTIONAL NOTE (r9 ADVICE): the reference draws (customer,
+    product) pairs uniformly over the pair space; this sampler draws
+    per POSITIVE row, so a customer's negative count is proportional to
+    their positive degree (a per-positive stratified draw — every
+    training customer is guaranteed negatives, heavy buyers get more).
+    Same 1:1 aggregate target, different per-customer distribution;
+    downstream training consumers comparing against the reference's
+    sampler should expect per-customer counts to differ.
 
     The modular-bucket sampler above (`negative_pair_keys`) selects a
     fixed 1/modulus FRACTION of the |C|x|P| cross space — the right shape
     for an oracle-checkable fixed relation, but its candidate count grows
     with the PAIR SPACE, which is quadratic under uniform scale-up (the
     r8 100x probe excluded it for exactly that reason; SCALE.md r8).
-    Here each positive row draws ``ratio`` pseudo-random part keys
-    (md5 of (ckey, pkey, draw) mapped into the contiguous 1..|P| key
-    range — engine-agnostic, reproducible), the draws are deduped, and
-    ONE left-anti join rejects collisions with positives. Candidate
-    volume is ratio·|positives| at any scale; every shuffle keys on the
-    uniform (ckey, pkey), never on a bucket key. The realized count is
-    slightly under ratio·|positives| (birthday collisions within a
-    customer's draws + anti-join rejections — the same shortfall the
-    reference's rejection loop absorbs by construction); a pytest gate
-    pins it within 10% of target and the disjointness invariant."""
-    pos = positive_pair_keys(orders, lineitem)
+    Here each positive row draws pseudo-random part keys (md5 of
+    (ckey, pkey, draw) mapped into the contiguous 1..|P| key range —
+    engine-agnostic, reproducible), the draws are deduped, and ONE
+    left-anti join rejects collisions with positives. Candidate volume is
+    a small multiple of |positives| at any scale; every shuffle keys on
+    the uniform (ckey, pkey), never on a bucket key.
+
+    ``exact=True`` (default, r10 — the reference's exact-count contract):
+    the sampler OVERDRAWS at ratio+1 draws per positive (doubling up to
+    twice more if a pathological corpus still undershoots — at both test
+    SFs and at production |P| >> per-customer degree the first attempt
+    suffices, which a pytest gate pins because the SQL oracle mirrors the
+    first-attempt draw count), then truncates to EXACTLY ratio·|positives|
+    rows by md5 hash order via the bucketed ``_exact_n_by_hash`` (no
+    global sort — see its docstring). ``exact=False`` keeps the r9
+    single-pass shape: ratio draws per positive, realized count ~0.77×
+    target at sf0.001 shrinking to ~1-1e-5 at production scale (birthday
+    collisions + rejections; the analytic expectation is gated)."""
+    pos = positive_pair_keys(orders, lineitem).localCheckpoint(eager=True)
     n_parts = part.count()  # dim-sized action, mirrors the sampler's |P| knowledge
-    draws = pos.select(
-        "ckey",
-        F.col("pkey").alias("seed_pkey"),
-        F.explode(F.array(*[F.lit(r) for r in range(ratio)])).alias("draw"),
-    )
-    drawn_pkey = (
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("_", F.lit("neg"), F.col("ckey"), F.col("seed_pkey"), F.col("draw"))),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long"),
-            F.lit(int(n_parts)),
+
+    def draw_negatives(d: int) -> DataFrame:
+        draws = pos.select(
+            "ckey",
+            F.col("pkey").alias("seed_pkey"),
+            F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("draw"),
         )
-        + 1
-    )
-    cand = draws.select("ckey", drawn_pkey.alias("pkey")).distinct()
-    return cand.join(pos, ["ckey", "pkey"], "left_anti")
+        drawn_pkey = (
+            F.pmod(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(
+                                "_", F.lit("neg"), F.col("ckey"), F.col("seed_pkey"), F.col("draw")
+                            )
+                        ),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+                F.lit(int(n_parts)),
+            )
+            + 1
+        )
+        cand = draws.select("ckey", drawn_pkey.alias("pkey")).distinct()
+        return cand.join(pos, ["ckey", "pkey"], "left_anti")
+
+    if not exact:
+        return draw_negatives(ratio)
+
+    target = ratio * pos.count()
+    d = ratio + 1
+    neg, n_neg = None, 0
+    for _ in range(3):
+        neg = draw_negatives(d).localCheckpoint(eager=True)
+        n_neg = neg.count()
+        if n_neg >= target:
+            break
+        d *= 2
+    if n_neg <= target:
+        return neg
+    return _exact_n_by_hash(neg, target)
 
 
 def pair_ids(pairs: DataFrame) -> DataFrame:

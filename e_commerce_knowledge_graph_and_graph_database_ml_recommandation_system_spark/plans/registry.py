@@ -461,31 +461,45 @@ WITH pos AS (
 ),
 cand AS (
     SELECT DISTINCT ckey,
-           (('0x' || substr(md5(concat_ws('_', 'neg', ckey, pkey, 0)), 1, 8))::BIGINT
+           (('0x' || substr(md5(concat_ws('_', 'neg', ckey, pkey, draw)), 1, 8))::BIGINT
             % (SELECT COUNT(*) FROM part)) + 1 AS pkey
-    FROM pos
+    FROM pos, (SELECT UNNEST(range(2)) AS draw) d
 ),
 neg AS (
     SELECT ckey, pkey FROM cand
     ANTI JOIN pos USING (ckey, pkey)
+),
+ranked AS (
+    SELECT ckey, pkey,
+           ROW_NUMBER() OVER (
+               ORDER BY md5(concat_ws('_', 'negsel', ckey, pkey)), ckey, pkey) AS rn
+    FROM neg
 )
 SELECT concat_ws('_', 'cust', ckey) AS customer_id,
        concat_ws('_', 'prod', pkey) AS product_id
-FROM neg
+FROM ranked
+WHERE rn <= (SELECT COUNT(*) FROM pos)
 """,
 )
 def q_negative_pairs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J4, production shape (r9): negatives as a FIXED MULTIPLE of the
-    positives — each positive draws one md5-pseudo-random part key,
-    dedup, one anti-join (reference
+    """J4, production shape (r9; exact-count r10): negatives as a FIXED
+    MULTIPLE of the positives — each positive overdraws ratio+1
+    md5-pseudo-random part keys, dedup, one anti-join, then a
+    deterministic md5-order truncation to EXACTLY 1:1 (reference
     ``xgboost_training_for_big_data.py:258-278``: random pairs, reject
-    hits, ~1:1 target). LINEAR in |positives| at any scale, unlike
-    ``negative_pairs``' fixed 1/modulus fraction of the |C|x|P| cross
-    space (quadratic under uniform scale-up — the r8 100x probe excluded
-    it for exactly that reason; the 100x row for THIS sampler is in
-    SCALE.md r9). Realized count sits under 1:1 by birthday collisions +
-    rejections, exactly like the reference's rejection loop; the analytic
-    expectation is gated in tests."""
+    hits, retry to the exact target). LINEAR in |positives| at any
+    scale, unlike ``negative_pairs``' fixed 1/modulus fraction of the
+    |C|x|P| cross space (quadratic under uniform scale-up — the r8 100x
+    probe excluded it for exactly that reason; the 100x row for THIS
+    sampler is in SCALE.md r9/r10). The oracle mirrors the
+    first-attempt draw count (2 draws/positive at ratio=1) and the
+    truncation as a global ORDER BY md5 ROW_NUMBER; the engine's
+    truncation is the bucketed no-global-sort form (traversals.
+    _exact_n_by_hash) — identical output, and a pytest gate pins
+    first-attempt sufficiency at both test SFs so the mirror can't
+    drift. Per-customer distribution note: draws are per-positive
+    (degree-proportional), not uniform over pairs — see the operator
+    docstring."""
     t = load_tables(spark, sf_dir, names=("orders", "lineitem", "part"))
     return trav.pair_ids(
         trav.negative_pair_keys_linear(t["orders"], t["lineitem"], t["part"], ratio=1)

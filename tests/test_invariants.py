@@ -2264,22 +2264,54 @@ def test_negative_pairs_linear_sampler(spark, sf_dir):
     n_pos = pos.count()
     neg = trav.negative_pair_keys_linear(orders, lineitem, part, ratio=1)
     n_neg = neg.count()
+    # r10: the EXACT count contract — the reference's rejection loop
+    # retries to the target; the overdraw+truncate form hits it exactly
+    assert n_neg == n_pos, (n_neg, n_pos)
     # disjointness: a negative is never a positive
     assert neg.join(pos, ["ckey", "pkey"]).count() == 0
     # deterministic: a second build is row-identical
     neg2 = trav.negative_pair_keys_linear(orders, lineitem, part, ratio=1)
     assert neg.exceptAll(neg2).count() == 0 and neg2.exceptAll(neg).count() == 0
-    # analytic expectation: per customer, n_i draws into |P| cells keep
-    # ~P(1-(1-1/P)^n_i) distinct, of which ~n_i/P land on positives
-    import math
-
+    # ORACLE CONTRACT (r10): the DuckDB mirror encodes the FIRST-attempt
+    # overdraw (ratio+1 = 2 draws per positive); gate that the first
+    # attempt really does cover the target at this SF, so the adaptive
+    # doubling fallback can never silently diverge from the mirror
+    cand_first = trav.negative_pair_keys_linear(orders, lineitem, part, ratio=2, exact=False)
+    # ratio=2, exact=False draws exactly 2 keys/positive = attempt one
+    assert cand_first.count() >= n_pos
+    # legacy single-pass shape (exact=False): the analytic
+    # birthday/rejection expectation — per customer, n_i draws into |P|
+    # cells keep ~P(1-(1-1/P)^n_i) distinct, of which ~n_i/P land on
+    # positives
+    neg_loose = trav.negative_pair_keys_linear(orders, lineitem, part, ratio=1, exact=False)
+    n_loose = neg_loose.count()
     n_parts = part.count()
     per_cust = [r["n"] for r in pos.groupBy("ckey").agg(F.count(F.lit(1)).alias("n")).collect()]
     expect = sum(
         n_parts * (1.0 - (1.0 - 1.0 / n_parts) ** n) * (1.0 - n / n_parts) for n in per_cust
     )
-    assert n_neg <= n_pos  # draws can only collide/reject downward
-    assert abs(n_neg - expect) / expect < 0.10, (n_neg, expect)
+    assert n_loose <= n_pos  # draws can only collide/reject downward
+    assert abs(n_loose - expect) / expect < 0.10, (n_loose, expect)
+    # the exact form's kept rows are a subset of the overdrawn candidate
+    # pool and a superset of nothing positive — spot the truncation is
+    # by the documented md5 order: re-derive via the oracle formulation
+    sel = F.md5(F.concat_ws("_", F.lit("negsel"), F.col("ckey"), F.col("pkey")))
+    full_pool = trav.negative_pair_keys_linear(orders, lineitem, part, ratio=2, exact=False)
+    from pyspark.sql import Window as W
+
+    oracle_form = (
+        full_pool.withColumn("rn", F.row_number().over(W.orderBy(sel, "ckey", "pkey")))
+        .filter(F.col("rn") <= n_pos)
+        .select("ckey", "pkey")
+    )
+    assert neg.exceptAll(oracle_form).count() == 0 and oracle_form.exceptAll(neg).count() == 0
+    # same exact-count + first-attempt-sufficiency contracts at sf0.01
+    # (the driver's oracle scale — r9 verdict #5 asks for both SFs)
+    sf01 = "/root/testdata/sf0.01"
+    o1, l1, p1 = (load_table(spark, t, sf01) for t in ("orders", "lineitem", "part"))
+    np1 = trav.positive_pair_keys(o1, l1).count()
+    assert trav.negative_pair_keys_linear(o1, l1, p1, ratio=1).count() == np1
+    assert trav.negative_pair_keys_linear(o1, l1, p1, ratio=2, exact=False).count() >= np1
 
 
 def test_ivf_refine_vectorized_parity(spark, monkeypatch):
@@ -2301,3 +2333,28 @@ def test_ivf_refine_vectorized_parity(spark, monkeypatch):
     monkeypatch.setattr(sim, "IVF_REFINE_VECTORIZED_MIN_RERANK", 0)
     vec = sim.ivf_pq_topk(emb, k=5, n_cells=16)  # same config, numpy kernel
     assert hof.exceptAll(vec).count() == 0 and vec.exceptAll(hof).count() == 0
+
+
+def test_ivf_refine_zero_norm_parity(spark, monkeypatch):
+    """r10 (r9 ADVICE): the HOF refine's denominator is guarded so a
+    zero-norm vector yields cosine 0 on BOTH kernels (the Arrow kernel's
+    na[na==0]=1 convention) — the rerank-size dispatch can never change
+    an answer, even on a corpus containing a zero vector."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators import (
+        similarity as sim,
+    )
+
+    rows = [(i, [float((i * 7 + d * 13) % 23) - 11.0 for d in range(16)]) for i in range(40)]
+    rows.append((999, [0.0] * 16))  # the zero vector
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cfg = dict(k=3, n_cells=4, n_probe=4, m=4, rerank=400)
+    hof = sim.ivf_pq_topk(emb, **cfg).localCheckpoint(eager=True)  # 400 < 512 -> HOF
+    monkeypatch.setattr(sim, "IVF_REFINE_VECTORIZED_MIN_RERANK", 0)
+    vec = sim.ivf_pq_topk(emb, **cfg).localCheckpoint(eager=True)  # numpy kernel
+    assert hof.exceptAll(vec).count() == 0 and vec.exceptAll(hof).count() == 0
+    # the zero vector must appear with cosine exactly 0, never NaN
+    for df in (hof, vec):
+        assert df.filter(F.isnan("cosine")).count() == 0
+        zrows = df.filter((F.col("query_id") == 999) | (F.col("neighbor_id") == 999))
+        assert zrows.count() > 0
+        assert zrows.filter(F.col("cosine") != 0.0).count() == 0
