@@ -49,6 +49,12 @@ from ..functions.text import md5_int32
 _DEC = "decimal(26,12)"
 
 
+#: bump when this trainer's persisted factor output changes (r10, r9
+#: verdict #4): folded into every store tag via recsys_store.versioned_tag
+#: so a trainer-code change invalidates the artifact store automatically.
+ALGO_VERSION = 1
+
+
 def _init_factors(inter: DataFrame, key: str, salt: str) -> DataFrame:
     """Deterministic md5-seeded factors in (-0.5, 0.5): the same
     hash-uniform init convention as power_iteration_pc1's direction."""

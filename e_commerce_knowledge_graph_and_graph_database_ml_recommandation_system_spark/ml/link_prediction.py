@@ -25,6 +25,10 @@ from ..operators import traversals as trav
 from ..operators.aggregates import kfold_target_encoding, recency_frequency
 from ..operators.degrees import degree_features
 
+#: bump when the GBT trainer's persisted model/feature assembly changes
+#: (r10): folded into the gbt store tag via recsys_store.versioned_tag.
+ALGO_VERSION = 1
+
 FEATURE_COLS = [
     "cust_degree",
     "cust_log_degree",

@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 from .lifecycle import TOWER_BLOCKS, apply_block_scalers, fit_block_scalers
 
 
+#: bump when this trainer's persisted params/stats/metrics change (r10):
+#: folded into the mt store tag via recsys_store.versioned_tag.
+ALGO_VERSION = 1
+
+
 def _init_params(blocks: dict[str, list[str]], tower_hidden: int, head_hidden: int, seed: int):
     import numpy as np
 

@@ -146,6 +146,20 @@ def fingerprint_sources(
     return f"{tag}_src{digest}"
 
 
+def versioned_tag(tag: str, *algo_versions: int) -> str:
+    """Fold per-trainer ``ALGO_VERSION`` constants into a training-config
+    tag (r9 verdict #4): the fingerprint covers SOURCES + tag, so a
+    trainer-CODE change used to invalidate the store only if the builder
+    remembered to bump the tag by hand — r9's own store-layout change
+    worked only because they did. Every trainer module now carries an
+    ``ALGO_VERSION`` constant (bumped whenever its persisted output
+    changes), and every store consumer routes its tag through this helper,
+    so a changed trainer can never serve stale artifacts: the version is
+    part of the store path by construction. Gate-tested (bumping a
+    version forces a retrain)."""
+    return tag + "_av" + "-".join(str(v) for v in algo_versions)
+
+
 def store_path(fp: str, base_dir: str | None = None) -> str:
     return os.path.join(base_dir or _default_base(), fp)
 

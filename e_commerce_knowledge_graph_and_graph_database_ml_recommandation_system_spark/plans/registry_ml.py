@@ -101,7 +101,9 @@ def _lp_shared(spark: SparkSession, sf_dir: str) -> dict:
         # orders/lineitem are unchanged (r7 ADVICE #1)
         t = load_tables(spark, sf_dir, names=GRAPH_TABLES)
         fp = rs.fingerprint_sources(
-            t, tag="lp_gbt_i7_v1", component_cache=_fp_cache(spark, sf_dir)
+            t,
+            tag=rs.versioned_tag("lp_gbt_i7_v1", lp.ALGO_VERSION),
+            component_cache=_fp_cache(spark, sf_dir),
         )
         mdir = os.path.join(rs.store_path(fp), "gbt_model")
         marker = os.path.join(mdir, "_SAVED_OK")
@@ -590,8 +592,12 @@ def q_ml_multitower_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _ds_te derives from the full GRAPH_TABLES assembly — fingerprint every
     # source table, not just the interaction log (r7 ADVICE #1)
     t = load_tables(spark, sf_dir, names=GRAPH_TABLES)
+    from ..ml import multitower as mt_mod
+
     fp = rs.fingerprint_sources(
-        t, tag="mt_v1_i6lr005", component_cache=_fp_cache(spark, sf_dir)
+        t,
+        tag=rs.versioned_tag("mt_v1_i6lr005", mt_mod.ALGO_VERSION),
+        component_cache=_fp_cache(spark, sf_dir),
     )
     path = rs.store_path(fp)
     names = ("mt_params", "mt_stats", "mt_history", "mt_metrics")
@@ -1440,7 +1446,7 @@ def _als_shared(spark: SparkSession, sf_dir: str) -> tuple:
         fp = rs.fingerprint(
             t["orders"],
             t["lineitem"],
-            tag="als_v1_a2lam01",
+            tag=rs.versioned_tag("als_v1_a2lam01", als_mod.ALGO_VERSION),
             component_cache=_fp_cache(spark, sf_dir),
         )
         path = rs.store_path(fp)
@@ -1759,10 +1765,14 @@ def _recsys_artifacts(spark: SparkSession, sf_dir: str) -> dict:
 
     def build():
         t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+        from .registry_relational import ITEM_ITEM_ALGO_VERSION
+
         fp = rs.fingerprint(
             t["orders"],
             t["lineitem"],
-            tag="hyb_v1_a2lam01_nb100x5s3",
+            tag=rs.versioned_tag(
+                "hyb_v1_a2lam01_nb100x5s3", als_mod.ALGO_VERSION, ITEM_ITEM_ALGO_VERSION
+            ),
             component_cache=_fp_cache(spark, sf_dir),
         )
         path = rs.store_path(fp)

@@ -682,6 +682,12 @@ def q_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+#: bump when the item-item/basket/popularity artifact builders' persisted
+#: output changes (r10): folded into the hybrid store tag via
+#: recsys_store.versioned_tag.
+ITEM_ITEM_ALGO_VERSION = 1
+
+
 @register(
     "item_item_neighbors",
     """

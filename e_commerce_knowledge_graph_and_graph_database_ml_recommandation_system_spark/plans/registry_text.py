@@ -2577,7 +2577,12 @@ def _ivf_pq_index(spark: SparkSession, sf_dir: str) -> dict:
                 )
             ).alias("sig"),
         ).collect()[0]
-        fp = f"ivfpq_v1_c16m16x32i2_n{agg['n']}_mx{agg['mx']}_s{agg['sig']}"
+        # the trainer's ALGO_VERSION is part of the key (r10, r9 verdict
+        # #4): an ivf_pq_train code change re-trains automatically
+        fp = (
+            f"ivfpq_v1_av{sim.IVF_PQ_ALGO_VERSION}"
+            f"_c16m16x32i2_n{agg['n']}_mx{agg['mx']}_s{agg['sig']}"
+        )
         path = rs.store_path(fp)
         names = ("pq_codebooks", "pq_codes", "ivf_assign", "coarse_centroids")
         loaded = rs.load_artifacts(spark, path, names)

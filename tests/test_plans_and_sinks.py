@@ -653,6 +653,20 @@ def test_recsys_store_freshness_and_serve_identity(spark, sf_dir, tmp_path, monk
     monkeypatch.setattr(rel_mod, "item_item_topk", _boom)
     out_served = sorted(map(tuple, qs["hybrid_recommendations"](spark, sf_dir).collect()))
     assert out_train == out_served
+    # r10 (r9 verdict #4): a trainer-CODE change — modeled by bumping its
+    # ALGO_VERSION — must move the store path and force a retrain. With
+    # the trainers still rigged to raise, the serve must now FAIL on the
+    # (forced) training path instead of quietly serving stale artifacts.
+    _memo.clear()
+    monkeypatch.setattr(als_mod, "ALGO_VERSION", als_mod.ALGO_VERSION + 1)
+    import pytest
+
+    with pytest.raises(AssertionError, match="store miss"):
+        qs["hybrid_recommendations"](spark, sf_dir).collect()
+    # versioned_tag contract: version moves the tag; same inputs don't
+    assert rs.versioned_tag("t", 1) != rs.versioned_tag("t", 2)
+    assert rs.versioned_tag("t", 1, 2) == rs.versioned_tag("t", 1, 2)
+    assert rs.versioned_tag("t", 1, 2) != rs.versioned_tag("t", 2, 1)
 
 
 def test_als_rank2_bucketed_full_train_identity(spark, sf_dir):
