@@ -38,6 +38,19 @@ from pyspark.sql import functions as F
 FRAME_SCHEMA = "doc_id long, frame_no int, width int, height int, n_bytes long, phash bigint"
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a codec-chain head to cores (r10): the test corpus — and
+    any single-file ingest — is ONE parquet row group, so without this the
+    whole Arrow/Python codec pipeline (synthesize → decode → features) runs
+    as a single task on a single worker no matter how many cores the
+    cluster has (measured: multimodal_codec_roundtrip_jpeg 4.2 s
+    single-task at sf0.1 on 32 idle cores). The shuffle moves doc-id-sized
+    rows — noise next to the per-row codec work — and every downstream
+    mapInPandas inherits the spread; per-row outputs are
+    partitioning-independent, so oracle hashes are unchanged."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def attach_binary(docs: DataFrame) -> DataFrame:
     """Treat each document's UTF-8 bytes as an opaque media payload with
     typed metadata — the ingestion shape for real image/audio blobs."""
@@ -87,7 +100,7 @@ def decode_frames(docs: DataFrame, frame_bytes: int = 1024) -> DataFrame:
     ``_real_decode`` when codecs exist."""
     import hashlib
 
-    src = attach_binary(docs).select("doc_id", "payload")
+    src = _spread(attach_binary(docs).select("doc_id", "payload"))
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -429,7 +442,7 @@ def synthesize_media(docs: DataFrame) -> DataFrame:
     payload per document, dimensions/length derived from doc_id. Runs as
     mapInPandas — the same Arrow-batched blob pipeline shape real media
     ingestion uses."""
-    src = docs.select("doc_id")
+    src = _spread(docs.select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1117,7 +1130,7 @@ def synthesize_media_jpeg(docs: DataFrame) -> DataFrame:
     make the lossy codec exact by construction, so the decoded features
     hash-match SQL over the generator arithmetic. Dims: (8..24) x (8..24)
     in 8-pixel steps."""
-    src = docs.select("doc_id")
+    src = _spread(docs.select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1141,7 +1154,7 @@ def synthesize_media_jpeg_color(docs: DataFrame) -> DataFrame:
     arithmetic. Dims: Y (16|32) x (16|32) (4:2:0 MCU multiples)."""
     import numpy as np
 
-    src = docs.select("doc_id")
+    src = _spread(docs.select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1200,7 +1213,7 @@ def synthesize_media_png(docs: DataFrame) -> DataFrame:
     BMP/GIF fixtures, so the decoded features carry the same full hash
     oracle. JPEG remains the documented honest stub — entropy-coded DCT
     genuinely needs a codec library."""
-    src = docs.select("doc_id")
+    src = _spread(docs.select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1219,7 +1232,7 @@ def synthesize_media_ext(docs: DataFrame) -> DataFrame:
     big-endian PCM, 80-bit extended sample rate) per document — same
     deterministic generators as the BMP/WAV fixtures so the decoded
     features carry the same full hash oracle."""
-    src = docs.select("doc_id")
+    src = _spread(docs.select("doc_id"))
 
     def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -181,7 +181,33 @@ def negative_pair_keys(
     return pairs.join(positive_pair_keys(orders, lineitem), ["ckey", "pkey"], "left_anti")
 
 
-def _exact_n_by_hash(df: DataFrame, target: int) -> DataFrame:
+def _sel_keyed(df: DataFrame) -> DataFrame:
+    """(ckey, pkey, sel_key, sel_bucket): the md5 selection key plus its
+    3-hex-char prefix bucket — the shared projection of the exact-n
+    truncation and its count pass."""
+    key = F.md5(F.concat_ws("_", F.lit("negsel"), F.col("ckey"), F.col("pkey")))
+    return df.select(
+        "ckey",
+        "pkey",
+        key.alias("sel_key"),
+        F.conv(F.substring(key, 1, 3), 16, 10).cast("int").alias("sel_bucket"),
+    )
+
+
+def _sel_bucket_counts(df: DataFrame) -> dict[int, int]:
+    """Per-bucket row counts of the selection-key space (≤4096 rows
+    collected). Doubles as the realized-count action: sum(values) is
+    |df|, so the sampler's overdraw check and the truncation share ONE
+    aggregation job."""
+    return {
+        int(r["sel_bucket"]): int(r["n"])
+        for r in _sel_keyed(df).groupBy("sel_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def _exact_n_by_hash(
+    df: DataFrame, target: int, bucket_counts: dict[int, int] | None = None
+) -> DataFrame:
     """Deterministic exact-``target`` truncation of (ckey, pkey) rows by
     md5 hash order WITHOUT a global sort: rows bucket on the hash's first
     3 hex chars (4096 buckets — a PREFIX of the sort key, so
@@ -191,17 +217,8 @@ def _exact_n_by_hash(df: DataFrame, target: int) -> DataFrame:
     intra-bucket window (~target/4096 rows at any scale). A SQL oracle
     mirrors this as a plain global ``ROW_NUMBER() OVER (ORDER BY md5
     ...)`` — identical output, different physical strategy."""
-    key = F.md5(F.concat_ws("_", F.lit("negsel"), F.col("ckey"), F.col("pkey")))
-    with_key = df.select(
-        "ckey",
-        "pkey",
-        key.alias("sel_key"),
-        F.conv(F.substring(key, 1, 3), 16, 10).cast("int").alias("sel_bucket"),
-    )
-    counts = {
-        int(r["sel_bucket"]): int(r["n"])
-        for r in with_key.groupBy("sel_bucket").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
+    with_key = _sel_keyed(df)
+    counts = bucket_counts if bucket_counts is not None else _sel_bucket_counts(df)
     cum = 0
     boundary, need = None, 0
     for b in sorted(counts):
@@ -298,16 +315,19 @@ def negative_pair_keys_linear(
 
     target = ratio * pos.count()
     d = ratio + 1
-    neg, n_neg = None, 0
+    neg, counts, n_neg = None, {}, 0
     for _ in range(3):
         neg = draw_negatives(d).localCheckpoint(eager=True)
-        n_neg = neg.count()
+        # one aggregation serves both the realized-count check and the
+        # truncation's boundary search
+        counts = _sel_bucket_counts(neg)
+        n_neg = sum(counts.values())
         if n_neg >= target:
             break
         d *= 2
     if n_neg <= target:
         return neg
-    return _exact_n_by_hash(neg, target)
+    return _exact_n_by_hash(neg, target, bucket_counts=counts)
 
 
 def pair_ids(pairs: DataFrame) -> DataFrame:
