@@ -158,7 +158,12 @@ def positive_pair_keys_after(orders: DataFrame, lineitem: DataFrame, cutoff: str
 
 
 def negative_pair_keys(
-    orders: DataFrame, lineitem: DataFrame, customer: DataFrame, part: DataFrame, modulus: int = 50
+    orders: DataFrame,
+    lineitem: DataFrame,
+    customer: DataFrame,
+    part: DataFrame,
+    modulus: int = 50,
+    pos: DataFrame | None = None,
 ) -> DataFrame:
     """J4 on raw keys — same modular-bucket equi-join sample and anti-join
     as negative_pairs, minus the string ids until the very end. The part
@@ -178,7 +183,14 @@ def negative_pair_keys(
         ).alias("bucket"),
     )
     pairs = customers.join(F.broadcast(products), "bucket").select("ckey", "pkey")
-    return pairs.join(positive_pair_keys(orders, lineitem), ["ckey", "pkey"], "left_anti")
+    # ``pos`` (optional): a pre-built positive-pair relation — the registry
+    # passes its memo-shared checkpoint so four consumers derive the
+    # join+distinct once per process
+    return pairs.join(
+        pos if pos is not None else positive_pair_keys(orders, lineitem),
+        ["ckey", "pkey"],
+        "left_anti",
+    )
 
 
 def _sel_keyed(df: DataFrame) -> DataFrame:
@@ -239,7 +251,12 @@ def _exact_n_by_hash(
 
 
 def negative_pair_keys_linear(
-    orders: DataFrame, lineitem: DataFrame, part: DataFrame, ratio: int = 1, exact: bool = True
+    orders: DataFrame,
+    lineitem: DataFrame,
+    part: DataFrame,
+    ratio: int = 1,
+    exact: bool = True,
+    pos: DataFrame | None = None,
 ) -> DataFrame:
     """J4, production shape: negatives drawn as a FIXED MULTIPLE of the
     positives — the reference's own sampler (random pairs, reject hits,
@@ -279,7 +296,11 @@ def negative_pair_keys_linear(
     single-pass shape: ratio draws per positive, realized count ~0.77×
     target at sf0.001 shrinking to ~1-1e-5 at production scale (birthday
     collisions + rejections; the analytic expectation is gated)."""
-    pos = positive_pair_keys(orders, lineitem).localCheckpoint(eager=True)
+    # ``pos`` (optional): a pre-built (ideally checkpointed) positive-pair
+    # relation — the relation is consumed 3x here (draw seed, anti-join,
+    # count), so the registry passes its memo-shared checkpoint
+    if pos is None:
+        pos = positive_pair_keys(orders, lineitem).localCheckpoint(eager=True)
     n_parts = part.count()  # dim-sized action, mirrors the sampler's |P| knowledge
 
     def draw_negatives(d: int) -> DataFrame:

@@ -181,6 +181,23 @@ def shared_sim_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distinct (ckey, pkey) positive-pair relation, checkpointed once
+    per (app, sf_dir): four registry entries (positive_pairs,
+    negative_pairs, negative_pairs_linear, kfold_target_encoding) consume
+    the IDENTICAL trav.positive_pair_keys output, and the linear sampler
+    additionally reads it three times internally (draw seed, anti-join,
+    target count). Same rows, same schema; plan audits capture with the
+    memo disabled (r10, the shared_edges pattern)."""
+    from ._memo import memo
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+        return trav.positive_pair_keys(t["orders"], t["lineitem"]).localCheckpoint(eager=True)
+
+    return memo(spark, ("positive_pair_keys", sf_dir), build)
+
+
 # --------------------------------------------------------------------------
 # Flagship (EP3 retrieval shape)
 # --------------------------------------------------------------------------
@@ -407,8 +424,7 @@ def q_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # numeric-key fast path (trav.positive_pair_keys): same pair set as
     # trav.positive_pairs over build_edges — id derivation is injective —
     # but the distinct shuffles 8-byte keys and concats ids post-shuffle
-    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-    return trav.pair_ids(trav.positive_pair_keys(t["orders"], t["lineitem"]))
+    return trav.pair_ids(shared_positive_pairs(spark, sf_dir))
 
 
 @register(
@@ -448,7 +464,13 @@ ANTI JOIN pos USING (customer_id, product_id)
 def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, names=("orders", "lineitem", "customer", "part"))
     return trav.pair_ids(
-        trav.negative_pair_keys(t["orders"], t["lineitem"], t["customer"], t["part"])
+        trav.negative_pair_keys(
+            t["orders"],
+            t["lineitem"],
+            t["customer"],
+            t["part"],
+            pos=shared_positive_pairs(spark, sf_dir),
+        )
     )
 
 
@@ -502,7 +524,10 @@ def q_negative_pairs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     docstring."""
     t = load_tables(spark, sf_dir, names=("orders", "lineitem", "part"))
     return trav.pair_ids(
-        trav.negative_pair_keys_linear(t["orders"], t["lineitem"], t["part"], ratio=1)
+        trav.negative_pair_keys_linear(
+            t["orders"], t["lineitem"], t["part"], ratio=1,
+            pos=shared_positive_pairs(spark, sf_dir),
+        )
     )
 
 
@@ -644,8 +669,9 @@ def q_kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 118k output rows (late materialization — see trav.positive_pair_keys)
     tables = load_tables(spark, sf_dir, names=("orders", "lineitem", "customer", "part"))
     o, li, cu, pa = tables["orders"], tables["lineitem"], tables["customer"], tables["part"]
-    pos = trav.positive_pair_keys(o, li).withColumn("label", F.lit(1))
-    neg = trav.negative_pair_keys(o, li, cu, pa).withColumn("label", F.lit(0))
+    shared_pos = shared_positive_pairs(spark, sf_dir)
+    pos = shared_pos.withColumn("label", F.lit(1))
+    neg = trav.negative_pair_keys(o, li, cu, pa, pos=shared_pos).withColumn("label", F.lit(0))
     train = pos.unionByName(neg)
     part_dim = pa.select(F.col("p_partkey").alias("pkey"), F.col("p_type").alias("category"))
     tf = train.join(F.broadcast(part_dim), "pkey")
