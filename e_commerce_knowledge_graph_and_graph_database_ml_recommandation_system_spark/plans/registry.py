@@ -192,8 +192,11 @@ def shared_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ._memo import memo
 
     def build() -> DataFrame:
+        # no explicit checkpoint: memo() materializes DataFrame results
+        # itself, and under _memo.disabled() (plan capture) the LAZY plan
+        # must stay visible
         t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-        return trav.positive_pair_keys(t["orders"], t["lineitem"]).localCheckpoint(eager=True)
+        return trav.positive_pair_keys(t["orders"], t["lineitem"])
 
     return memo(spark, ("positive_pair_keys", sf_dir), build)
 
