@@ -14,6 +14,8 @@ declarative analog of the reference's 1500-2000 candidate cap.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -238,8 +240,8 @@ def _exact_n_by_hash(
             boundary, need = b, target - cum
             break
         cum += counts[b]
-    if boundary is None:  # target >= |df|: nothing to cut
-        return df
+    if boundary is None:  # target >= |df|: nothing to cut (same schema as
+        return df.select("ckey", "pkey")  # the truncating branch below)
     full = with_key.filter(F.col("sel_bucket") < boundary)
     w = Window.partitionBy("sel_bucket").orderBy("sel_key", "ckey", "pkey")
     edge = (
@@ -257,6 +259,8 @@ def negative_pair_keys_linear(
     ratio: int = 1,
     exact: bool = True,
     pos: DataFrame | None = None,
+    uniform: bool = False,
+    customer: DataFrame | None = None,
 ) -> DataFrame:
     """J4, production shape: negatives drawn as a FIXED MULTIPLE of the
     positives — the reference's own sampler (random pairs, reject hits,
@@ -264,14 +268,21 @@ def negative_pair_keys_linear(
     ``xgboost_training_for_big_data.py:258-278``) made distributed and
     deterministic, and LINEAR in |positives| by construction.
 
-    DISTRIBUTIONAL NOTE (r9 ADVICE): the reference draws (customer,
-    product) pairs uniformly over the pair space; this sampler draws
-    per POSITIVE row, so a customer's negative count is proportional to
-    their positive degree (a per-positive stratified draw — every
-    training customer is guaranteed negatives, heavy buyers get more).
-    Same 1:1 aggregate target, different per-customer distribution;
-    downstream training consumers comparing against the reference's
-    sampler should expect per-customer counts to differ.
+    DISTRIBUTIONAL DECISION (r9 ADVICE noted, r11 decided): the reference
+    draws (customer, product) pairs uniformly over the pair space; this
+    sampler DEFAULTS to drawing per POSITIVE row, so a customer's
+    negative count is proportional to their positive degree (a
+    per-positive stratified draw). Stratified is the better TRAINING
+    contract — every training customer is guaranteed negatives, so no
+    customer's ranking model sees only positives — and it is therefore
+    the deliberate default, not an accident of implementation.
+    ``uniform=True`` opts into the reference's distribution: both the
+    customer AND the product key of every draw are md5-uniform over
+    their key ranges (requires ``customer`` for the |C| range), through
+    the SAME dedup → anti-join → overdraw/exact-truncate machinery.
+    Same 1:1 aggregate target either way; per-customer counts differ
+    (an expectation gate pins the distributional split: stratified
+    negative counts correlate with positive degree, uniform ones don't).
 
     The modular-bucket sampler above (`negative_pair_keys`) selects a
     fixed 1/modulus FRACTION of the |C|x|P| cross space — the right shape
@@ -279,9 +290,10 @@ def negative_pair_keys_linear(
     with the PAIR SPACE, which is quadratic under uniform scale-up (the
     r8 100x probe excluded it for exactly that reason; SCALE.md r8).
     Here each positive row draws pseudo-random part keys (md5 of
-    (ckey, pkey, draw) mapped into the contiguous 1..|P| key range —
-    engine-agnostic, reproducible), the draws are deduped, and ONE
-    left-anti join rejects collisions with positives. Candidate volume is
+    (ckey, pkey, draw) mapped into the part table's ACTUAL contiguous
+    key range [min(p_partkey), min+|P|) — engine-agnostic, reproducible,
+    and every drawn negative is a REAL product), the draws are deduped,
+    and ONE left-anti join rejects collisions with positives. Candidate volume is
     a small multiple of |positives| at any scale; every shuffle keys on
     the uniform (ckey, pkey), never on a bucket key.
 
@@ -299,9 +311,27 @@ def negative_pair_keys_linear(
     # ``pos`` (optional): a pre-built (ideally checkpointed) positive-pair
     # relation — the relation is consumed 3x here (draw seed, anti-join,
     # count), so the registry passes its memo-shared checkpoint
+    if uniform and customer is None:
+        raise ValueError("uniform=True draws customer keys too: pass customer")
     if pos is None:
         pos = positive_pair_keys(orders, lineitem).localCheckpoint(eager=True)
-    n_parts = part.count()  # dim-sized action, mirrors the sampler's |P| knowledge
+    # dim-sized action, mirrors the sampler's key-range knowledge. Drawn
+    # keys map into the table's ACTUAL contiguous range [min, min+count)
+    # — a fixed 1..|P| assumption mints phantom products on a 0-based
+    # corpus (r11 fix: the testdata keys are 0-based; dbgen's are 1-based)
+    p_min, n_parts = part.agg(F.min("p_partkey"), F.count(F.lit(1))).first()
+    if uniform:
+        c_min, n_cust = customer.agg(F.min("c_custkey"), F.count(F.lit(1))).first()
+
+    def _md5_mod(salt: str, lo: int, n: int):
+        """Deterministic uniform key in [lo, lo+n) from md5 of the seed
+        row (ckey, seed_pkey, draw) — engine-agnostic, oracle-reproducible."""
+        h = F.md5(
+            F.concat_ws("_", F.lit(salt), F.col("ckey"), F.col("seed_pkey"), F.col("draw"))
+        )
+        return F.pmod(F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), F.lit(int(n))) + F.lit(
+            int(lo)
+        )
 
     def draw_negatives(d: int) -> DataFrame:
         draws = pos.select(
@@ -309,26 +339,11 @@ def negative_pair_keys_linear(
             F.col("pkey").alias("seed_pkey"),
             F.explode(F.array(*[F.lit(r) for r in range(d)])).alias("draw"),
         )
-        drawn_pkey = (
-            F.pmod(
-                F.conv(
-                    F.substring(
-                        F.md5(
-                            F.concat_ws(
-                                "_", F.lit("neg"), F.col("ckey"), F.col("seed_pkey"), F.col("draw")
-                            )
-                        ),
-                        1,
-                        8,
-                    ),
-                    16,
-                    10,
-                ).cast("long"),
-                F.lit(int(n_parts)),
-            )
-            + 1
+        drawn = draws.select(
+            (_md5_mod("negc", c_min, n_cust) if uniform else F.col("ckey")).alias("ckey"),
+            _md5_mod("neg", p_min, n_parts).alias("pkey"),
         )
-        cand = draws.select("ckey", drawn_pkey.alias("pkey")).distinct()
+        cand = drawn.distinct()
         return cand.join(pos, ["ckey", "pkey"], "left_anti")
 
     if not exact:
@@ -346,7 +361,25 @@ def negative_pair_keys_linear(
         if n_neg >= target:
             break
         d *= 2
+        # the DuckDB oracle hard-codes the FIRST-attempt draw count, so a
+        # corpus that reaches this branch is off-oracle by construction —
+        # say so rather than silently diverging (r10 ADVICE)
+        warnings.warn(
+            f"negative_pair_keys_linear: overdraw attempt ({n_neg} < target "
+            f"{target}) undershot; doubling draws to {d}/positive — the SQL "
+            "oracle mirrors the first-attempt draw count, so oracle "
+            "comparisons will mismatch on this corpus",
+            stacklevel=2,
+        )
     if n_neg <= target:
+        if n_neg < target:
+            warnings.warn(
+                f"negative_pair_keys_linear: exact target {target} unreachable "
+                f"after 3 overdraw attempts (realized {n_neg}); returning all "
+                "realized negatives — the corpus has too few non-positive "
+                "pairs in the draw space for the requested ratio",
+                stacklevel=2,
+            )
         return neg
     return _exact_n_by_hash(neg, target, bucket_counts=counts)
 

@@ -486,8 +486,9 @@ WITH pos AS (
 ),
 cand AS (
     SELECT DISTINCT ckey,
-           (('0x' || substr(md5(concat_ws('_', 'neg', ckey, pkey, draw)), 1, 8))::BIGINT
-            % (SELECT COUNT(*) FROM part)) + 1 AS pkey
+           (SELECT MIN(p_partkey) FROM part)
+           + (('0x' || substr(md5(concat_ws('_', 'neg', ckey, pkey, draw)), 1, 8))::BIGINT
+              % (SELECT COUNT(*) FROM part)) AS pkey
     FROM pos, (SELECT UNNEST(range(2)) AS draw) d
 ),
 neg AS (
@@ -522,9 +523,13 @@ def q_negative_pairs_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation is the bucketed no-global-sort form (traversals.
     _exact_n_by_hash) — identical output, and a pytest gate pins
     first-attempt sufficiency at both test SFs so the mirror can't
-    drift. Per-customer distribution note: draws are per-positive
-    (degree-proportional), not uniform over pairs — see the operator
-    docstring."""
+    drift. Drawn keys map into the part table's ACTUAL key range
+    [min(p_partkey), min+|P|) — every negative is a real product (r11;
+    the old 1..|P| mapping minted a phantom key on 0-based corpora).
+    Per-customer distribution (decided r11): draws are per-positive
+    (degree-proportional) BY DESIGN — every training customer is
+    guaranteed negatives; ``uniform=True`` opts into the reference's
+    uniform pair draw — see the operator docstring."""
     t = load_tables(spark, sf_dir, names=("orders", "lineitem", "part"))
     return trav.pair_ids(
         trav.negative_pair_keys_linear(
