@@ -126,12 +126,22 @@ def _host_canary() -> dict:
     return {"host_canary_gemm_sec": round(gemm, 3), "host_canary_py_sec": round(py, 3)}
 
 
-#: quiet-window gemm baseline on this VM class (~0.61-0.67 s measured r9);
-#: a pre-flight read above 1.5x this means the hypervisor is stealing
-#: cycles and every wall in the record will be uniformly pessimistic
-#: (BENCH_r09 landed in a 2.343 s window and read ~30% slow).
+#: quiet-window gemm baseline on the r9/r10 VM class (~0.61-0.67 s
+#: measured); a pre-flight read above 1.5x the OPERATIVE baseline means
+#: the hypervisor is stealing cycles and every wall in the record will be
+#: uniformly pessimistic (BENCH_r09 landed in a 2.343 s window and read
+#: ~30% slow). r11 (ADVICE): this constant is one VM class's figure, not
+#: a law — the preflight derives the operative baseline from its own
+#: reads when the host is STEADILY slower (a different hardware class
+#: reads high with low spread; genuine throttle is erratic), and
+#: SPARK_GRAFT_CANARY_QUIET_GEMM overrides both. The record stamps the
+#: baseline and its source so cross-round walls compare like for like.
 CANARY_QUIET_GEMM_SEC = 0.65
 CANARY_PREFLIGHT_MAX_WAIT_SEC = 240
+#: reads within this factor of each other are "steady" — measured
+#: throttle windows on this host swing >1.6x within a minute, while
+#: back-to-back quiet reads sit within ~10%
+CANARY_STEADY_SPREAD = 1.25
 
 
 def _canary_preflight() -> dict:
@@ -140,27 +150,56 @@ def _canary_preflight() -> dict:
     flagged but nothing acted on). Re-reads the canary every ~30 s until
     the gemm wall drops under 1.5x the quiet baseline or the wait budget
     (4 min) runs out; always proceeds — the stamped canary fields let a
-    reader discount a record that had to run throttled."""
+    reader discount a record that had to run throttled.
+
+    Baseline resolution (r11, ADVICE): env override wins; otherwise the
+    hardcoded r9-class constant — EXCEPT when three back-to-back opening
+    reads all sit above the constant's threshold with a steady spread
+    (<1.25x), which is a slower hardware class, not throttle (throttle is
+    erratic); then the min of those reads becomes the operative baseline
+    and the gate neither burns the full wait nor stamps a steady host
+    'quiet=false'. If the wait loop runs and never finds quiet but its
+    reads were steady throughout, the same derivation applies at exit."""
+    env = os.environ.get("SPARK_GRAFT_CANARY_QUIET_GEMM")
+    baseline, source = (
+        (float(env), "env") if env else (CANARY_QUIET_GEMM_SEC, "constant")
+    )
+    reads = [_host_canary()]
+    if source == "constant" and reads[0]["host_canary_gemm_sec"] > 1.5 * baseline:
+        # distinguish slower-class from throttle before burning the wait
+        reads += [_host_canary(), _host_canary()]
+        gs = [r["host_canary_gemm_sec"] for r in reads]
+        if min(gs) > 1.5 * baseline and max(gs) / min(gs) <= CANARY_STEADY_SPREAD:
+            baseline, source = min(gs), "derived-floor"
     deadline = time.monotonic() + CANARY_PREFLIGHT_MAX_WAIT_SEC
     attempts = 0
-    canary = _host_canary()
-    while (
-        canary["host_canary_gemm_sec"] > 1.5 * CANARY_QUIET_GEMM_SEC
-        and time.monotonic() < deadline
-    ):
+    canary = reads[-1]
+    while canary["host_canary_gemm_sec"] > 1.5 * baseline and time.monotonic() < deadline:
         attempts += 1
         print(
             f"[bench] host throttled (canary gemm {canary['host_canary_gemm_sec']}s "
-            f"vs quiet ~{CANARY_QUIET_GEMM_SEC}s); waiting for a quiet window "
+            f"vs quiet ~{baseline}s [{source}]); waiting for a quiet window "
             f"(attempt {attempts})",
             file=sys.stderr,
         )
         time.sleep(30)
         canary = _host_canary()
+        reads.append(canary)
+    gs = [r["host_canary_gemm_sec"] for r in reads]
+    if (
+        source == "constant"
+        and canary["host_canary_gemm_sec"] > 1.5 * baseline
+        and len(gs) >= 3
+        and max(gs) / min(gs) <= CANARY_STEADY_SPREAD
+    ):
+        baseline, source = min(gs), "derived-floor"
     canary["canary_preflight_waits"] = attempts
     canary["canary_preflight_quiet"] = bool(
-        canary["host_canary_gemm_sec"] <= 1.5 * CANARY_QUIET_GEMM_SEC
+        canary["host_canary_gemm_sec"] <= 1.5 * baseline
     )
+    canary["host_canary_quiet_baseline_sec"] = round(baseline, 3)
+    canary["canary_baseline_source"] = source
+    canary["host_canary_gemm_min_sec"] = round(min(gs), 3)
     return canary
 
 
