@@ -54,6 +54,38 @@ def purchased_pairs(tables: dict) -> DataFrame:
     )
 
 
+def shared_purchased_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memo-shared distinct purchase pairs for the serving family — the
+    SAME checkpoint as ``registry.shared_positive_pairs`` (identical
+    relation; the serving queries just use the relational column names).
+    The build closure and tag mirror registry.shared_positive_pairs
+    exactly so whichever side builds first, both families read one
+    materialization (r11 verify-wall consolidation: 7 serving queries
+    each re-derived the orders⋈lineitem distinct per query)."""
+    from ..operators import traversals as trav
+    from ._memo import memo
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
+        return trav.positive_pair_keys(t["orders"], t["lineitem"])
+
+    pos = memo(spark, ("positive_pair_keys", sf_dir), build)
+    return pos.select(F.col("ckey").alias("c_custkey"), F.col("pkey").alias("p_partkey"))
+
+
+def shared_scored_valid_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memo-shared scored valid-product relation (part-sized: |P| rows).
+    Seven serving queries derive the identical lineitem prod-stats
+    aggregate + part join; one checkpoint serves them all (r11)."""
+    from ._memo import memo
+
+    def build() -> DataFrame:
+        t = load_tables(spark, sf_dir, names=("part", "lineitem"))
+        return scored_valid_products(t)
+
+    return memo(spark, ("scored_valid_products", sf_dir), build)
+
+
 def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     """Top-k diverse recommendations per customer.
 

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..operators import topk as tk
 from ..sources.tables import load_tables
-from .flagship import purchased_pairs, scored_valid_products
+from .flagship import shared_purchased_pairs, shared_scored_valid_products
 from .registry import register
 
 SERVE_TABLES = ("customer", "orders", "lineitem", "part")
@@ -40,10 +40,13 @@ def _candidates(spark: SparkSession, sf_dir: str, prune: tuple[str, int] | None 
       samplers genuinely need every candidate; the cohort is |C|/100, so
       this is a shuffle join at scale, not a broadcast).
     """
-    t = load_tables(spark, sf_dir, names=SERVE_TABLES)
+    t = load_tables(spark, sf_dir, names=("customer", "part"))
     cohort = t["customer"].filter(F.pmod(F.col("c_custkey"), F.lit(100)) == 0).select("c_custkey")
-    valid = scored_valid_products(t)
-    purchased = purchased_pairs(t)
+    # memo-shared across the 7 serving consumers (r11): one checkpoint of
+    # the scored-product relation and one of the distinct purchase pairs
+    # (the latter the SAME materialization the positive-pair family reads)
+    valid = shared_scored_valid_products(spark, sf_dir)
+    purchased = shared_purchased_pairs(spark, sf_dir)
     cohort_purchased = purchased.join(cohort, "c_custkey")
 
     if prune is not None:
