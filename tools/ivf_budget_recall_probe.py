@@ -19,7 +19,31 @@ n_clusters=64 follows the 70k fixture's density (cluster population
 KNN is exact, so every approximation default owes a quality number
 where it binds).
 
-Usage: python tools/ivf_budget_recall_probe.py [n] [n_clusters] [n_sample]
+Usage: python tools/ivf_budget_recall_probe.py [n] [n_clusters] [n_sample] [mode]
+
+``mode``:
+
+- ``topk`` (default) — the inline all-auto ``ivf_pq_topk`` over the full
+  corpus (every vector is a query). At 200k UNIQUE vectors the per-query
+  ADC window moves ~800M incompressible skinny rows through one local
+  disk (~10 B/row × spill generations) — fine on a cluster where the
+  exchange is distributed, but it filled this host's 56 GB free on the
+  first attempt (the r10 COST probe at the same shape survived because
+  its corpus was 100×-replicated sf0.1 vectors: 2k distinct embeddings
+  compress ~100× in the shuffle).
+- ``search`` — the serve path: ``ivf_pq_train`` (all-auto cells) on the
+  corpus, then ``ivf_pq_search`` of ONLY the sampled queries against the
+  stored index with ``index_vectors`` = the corpus. The auto resolution
+  (cells, capped probes, co-scaled rerank) is computed against the
+  STORED index's n, so it binds identically to the inline path, and the
+  deterministic codebook/coarse-quantizer convention makes per-query
+  output IDENTICAL to ivf_pq_topk's rows for those queries (the
+  designed store-roundtrip property, ivf_pq_train docstring) — verified
+  empirically by ``check`` below. Candidate volume is |Q|·budget.
+- ``check`` — run BOTH paths at a small n and assert the sampled-query
+  rows are identical (query_id, neighbor_id, cosine), then print recall
+  for each. Run this once at n=4096 before trusting a large ``search``.
+
 Prints one JSON line per step; the SCALE.md row is written by hand.
 """
 
@@ -43,6 +67,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     n_clusters = int(sys.argv[2]) if len(sys.argv) > 2 else 64
     n_sample = int(sys.argv[3]) if len(sys.argv) > 3 else 512
+    mode = sys.argv[4] if len(sys.argv) > 4 else "topk"
 
     import pandas as pd
 
@@ -100,24 +125,56 @@ def main() -> None:
     emb = spark.createDataFrame(pdf, "vec_id long, embedding array<double>").repartition(64)
     emb = emb.localCheckpoint(eager=True)
 
-    t0 = time.perf_counter()
-    res = sim.ivf_pq_topk(emb, k=K)  # all-auto: the budget binds 28 -> 9
     qset = set(int(i) for i in ids[qidx])
-    rows = res.where(res["query_id"].isin(list(qset))).collect()
-    wall = round(time.perf_counter() - t0, 1)
 
-    got: dict[int, set] = {}
-    for r in rows:
-        got.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
-    hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
-    recall = hits / (K * len(truth))
+    def run_topk():
+        res = sim.ivf_pq_topk(emb, k=K)  # all-auto: the budget binds 28 -> 9
+        return res.where(res["query_id"].isin(list(qset))).collect()
+
+    def run_search():
+        index = sim.ivf_pq_train(emb)  # all-auto sqrt-n cells
+        queries = emb.where(emb["vec_id"].isin(list(qset))).localCheckpoint(eager=True)
+        return sim.ivf_pq_search(queries, index, k=K, index_vectors=emb).collect()
+
+    def recall_of(rows):
+        got: dict[int, set] = {}
+        for r in rows:
+            got.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+        hits = sum(len(got.get(q, set()) & t) for q, t in truth.items())
+        return hits / (K * len(truth))
+
+    if mode == "check":
+        rows_t = run_topk()
+        rows_s = run_search()
+        set_t = {(int(r["query_id"]), int(r["neighbor_id"]), r["cosine"]) for r in rows_t}
+        set_s = {(int(r["query_id"]), int(r["neighbor_id"]), r["cosine"]) for r in rows_s}
+        print(
+            json.dumps(
+                {
+                    "paths_identical": set_t == set_s,
+                    "only_topk": len(set_t - set_s),
+                    "only_search": len(set_s - set_t),
+                    "recall_topk": round(recall_of(rows_t), 4),
+                    "recall_search": round(recall_of(rows_s), 4),
+                    **cfg,
+                }
+            ),
+            flush=True,
+        )
+        if set_t != set_s:
+            raise SystemExit("PATH MISMATCH: search-derived recall is NOT a valid proxy")
+        return
+
+    t0 = time.perf_counter()
+    rows = run_topk() if mode == "topk" else run_search()
+    wall = round(time.perf_counter() - t0, 1)
     print(
         json.dumps(
             {
-                "ivf_pq_all_auto_capped": {
+                f"ivf_pq_all_auto_capped_{mode}": {
                     "search_plus_sample_collect_sec": wall,
                     "sampled_queries": len(truth),
-                    "recall_at_5": round(recall, 4),
+                    "recall_at_5": round(recall_of(rows), 4),
                     **cfg,
                 }
             }
