@@ -373,6 +373,12 @@ def main() -> None:
         else:
             os.environ["SPARK_GRAFT_STORE_DIR"] = prior_store
     _memo.clear()
+    # the train-cold section runs ~15 min after the preflight canary, in a
+    # window the preflight reading says nothing about (r11: a preflight-
+    # quiet record carried a train-cold section that measured ~20% high;
+    # the isolated re-measure read canary 1.4 at that hour) — stamp its
+    # own canary so queries_train_cold is interpretable on its own
+    train_cold_canary = _host_canary()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -384,6 +390,7 @@ def main() -> None:
         "queries_cold": cold,
         "value_train_cold": round(sum(train_cold.values()), 3),
         "queries_train_cold": train_cold,
+        "train_cold_host_canary_gemm_sec": train_cold_canary["host_canary_gemm_sec"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # host-noise sentinel (round-4 verdict #8): >0 other JVMs or a
         # load average near/above host_cpus at start means the timings
