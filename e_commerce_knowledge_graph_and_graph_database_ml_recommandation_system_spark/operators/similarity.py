@@ -322,7 +322,18 @@ def _lsh_buckets(
                 )
             yield pd.concat(frames, ignore_index=True)
 
-    return emb.select(id_col, vec_col).mapInPandas(
+    # spread the bucketizer across cores (r11, the brute_topk_blas r10 fix
+    # applied to the LSH path): a dim-table-scale corpus often sits in ONE
+    # parquet row group, so without this the projection gemm AND the 8×
+    # per-table frame construction run as a single task — measured as the
+    # whole ann_lsh_topk critical path (a 1.7 s one-task stage at sf0.1).
+    # The shuffle moves |N| input rows once (the groupBy(bucket) right
+    # after moves the n_tables× expanded rows regardless); per-row output
+    # is partitioning-independent, so results are byte-identical.
+    src = emb.select(id_col, vec_col).repartition(
+        emb.sparkSession.sparkContext.defaultParallelism
+    )
+    return src.mapInPandas(
         bucketize, schema="vid long, bucket string, v array<double>, norm double"
     )
 

@@ -743,6 +743,11 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffling 23M string-keyed rows through a sort-merge join. No hint:
     # at 100× the positive set outgrows broadcast and AQE shuffles, which
     # is then correct.
+    # NOTE (r11): deliberately NOT the shared_positive_pairs checkpoint —
+    # this consumer probes the relation from the 23M-row sampled-pair side,
+    # and feeding the probe join from a localCheckpoint scan measured a
+    # consistent 2-4x wall regression (A/B, same window: 1.5-3.2s inline vs
+    # 3.5-7.9s checkpointed), where aggregate-only consumers win from it.
     orders, lineitem = tables["orders"], tables["lineitem"]
     pos_num = (
         orders.select("o_orderkey", "o_custkey")

@@ -300,8 +300,24 @@ def q_rec_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"), F.col("o_orderdate").alias("d"))
     )
     cutoff = F.lit(_EVAL_CUTOFF).cast("date")
-    train = purch.filter(F.col("d") < cutoff).select("c", "p").distinct().cache()
-    test = purch.filter(F.col("d") >= cutoff).select("c", "p").distinct()
+    # ONE pass over the purchase join for BOTH splits (r11): the old form
+    # scanned orders⋈lineitem and paid a distinct shuffle separately for
+    # train (then cached it partition-frozen) and for test — 3 scans + 3
+    # distinct exchanges per run. A pair is in train iff ANY of its
+    # purchases predates the cutoff (and symmetrically for test), so one
+    # groupBy(c, p) with two max(flag) aggregates produces the identical
+    # split sets; the checkpoint replaces the cache (AQE-coalesced blocks,
+    # no 32-partition frozen cache layout, nothing to unpersist).
+    pairs = (
+        purch.groupBy("c", "p")
+        .agg(
+            F.max((F.col("d") < cutoff).cast("int")).alias("in_train"),
+            F.max((F.col("d") >= cutoff).cast("int")).alias("in_test"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    train = pairs.filter(F.col("in_train") == 1).select("c", "p")
+    test = pairs.filter(F.col("in_test") == 1).select("c", "p")
     top10 = (
         train.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("p"))
@@ -347,5 +363,4 @@ def q_rec_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("mrr").cast("double") / F.count(F.lit(1)), 6).alias("mrr_at_5"),
         F.round(F.sum("ndcg").cast("double") / F.count(F.lit(1)), 6).alias("ndcg_at_5"),
     ).localCheckpoint(eager=True)
-    train.unpersist()
     return out

@@ -13,7 +13,7 @@ from ..graph.build import build_edges, build_nodes, snapshot
 from ..operators import traversals as trav
 from ..sources.tables import load_tables
 from ._memo import memo
-from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges, shared_positive_pairs
 
 
 def capped_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -26,11 +26,11 @@ def capped_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     intermediate table."""
 
     def build() -> DataFrame:
-        t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-        basket0 = (
-            t["orders"].join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
-            .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-            .distinct()
+        # basket0 IS the memo-shared positive-pair relation (r11
+        # consolidation): one orders⋈lineitem+distinct materialization now
+        # serves the traversal, serving AND market-basket families
+        basket0 = shared_positive_pairs(spark, sf_dir).select(
+            F.col("ckey").alias("c"), F.col("pkey").alias("p")
         )
         hot = basket0.groupBy("c").agg(F.count(F.lit(1)).alias("b")).filter(F.col("b") > 200)
         return basket0.join(hot.select("c"), "c", "left_anti")

@@ -19,7 +19,7 @@ from ..operators import similarity as sim
 from ..operators import text_analysis as ta
 from ..operators.dedup import MINHASH_PRIME, _A, _B
 from ..sources.tables import load_table
-from .registry import register, shared_sim_graph
+from .registry import register, shared_positive_pairs, shared_sim_graph
 
 # ---------------------------------------------------------------------------
 # dedup: exact
@@ -281,15 +281,12 @@ def q_skew_cap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries run with. All-zero rows are the audit's PASS state at test SF;
     at 100 TB this is the query an operator runs before trusting a dedup
     or market-basket result."""
-    from ..sources.tables import load_tables
-
     docs = load_table(spark, "documents", sf_dir)
-    t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-    basket = (
-        t["orders"]
-        .join(t["lineitem"], t["orders"].o_orderkey == t["lineitem"].l_orderkey)
-        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
+    # the distinct (customer, product) purchase incidence IS the memo-shared
+    # positive-pair relation (r11 consolidation: this audit was the last
+    # consumer re-deriving the identical orders⋈lineitem+distinct per run)
+    basket = shared_positive_pairs(spark, sf_dir).select(
+        F.col("ckey").alias("c"), F.col("pkey").alias("p")
     )
 
     def _cap_row(keyed: DataFrame, cap: str, threshold: int) -> DataFrame:
@@ -1505,10 +1502,26 @@ FROM assign m LEFT JOIN pairs p USING (vec_id)
 GROUP BY m.vec_id, m.cell
 """,
 )
+def _semdedup_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One semdedup(threshold=0.4, n_cells=16) relation per (app, sf_dir):
+    semdedup_prune and corpus_curation_semantic run the IDENTICAL
+    quantizer-assignment + per-cell gemm pipeline (r11 consolidation —
+    the assignment's centroid-cosine array expression was each query's
+    single most expensive stage); same rows, same schema, plan audits
+    capture with the memo disabled."""
+    from ._memo import memo
+
+    return memo(
+        spark,
+        ("semdedup_t04_c16", sf_dir),
+        lambda: sim.semdedup(load_table(spark, "embeddings", sf_dir), threshold=0.4, n_cells=16),
+    )
+
+
 def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): within-cluster embedding near-dup
     pruning over the deterministic md5-sampled coarse quantizer."""
-    return sim.semdedup(load_table(spark, "embeddings", sf_dir), threshold=0.4, n_cells=16)
+    return _semdedup_shared(spark, sf_dir)
 
 
 _SEMDEDUP_KEPT_CTE = """
@@ -1593,13 +1606,12 @@ def q_corpus_curation_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     banded pair joins, pointer-jumping CC, per-cell gemms — no new
     all-pairs or driver-bound step is introduced by the composition."""
     docs = load_table(spark, "documents", sf_dir)
-    emb = load_table(spark, "embeddings", sf_dir)
     clusters = _clusters_shared(spark, sf_dir)
     kept = cc.canonical_docs(clusters, ta.quality_scores(docs)).filter(
         F.col("quality_score") >= 0.7
     )
     sem_kept = (
-        sim.semdedup(emb, threshold=0.4, n_cells=16)
+        _semdedup_shared(spark, sf_dir)
         .filter(F.col("pruned") == 0)
         .select(F.col("vec_id").alias("doc_id"))
     )
