@@ -43,17 +43,6 @@ def scored_valid_products(tables: dict) -> DataFrame:
     )
 
 
-def purchased_pairs(tables: dict) -> DataFrame:
-    """Distinct (c_custkey, p_partkey) purchases via the 2-hop join (J1)."""
-    orders, lineitem = tables["orders"], tables["lineitem"]
-    return (
-        orders.select("o_orderkey", "o_custkey")
-        .join(lineitem.select("l_orderkey", "l_partkey"), orders.o_orderkey == lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
-        .distinct()
-    )
-
-
 def shared_purchased_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memo-shared distinct purchase pairs for the serving family — the
     SAME checkpoint as ``registry.shared_positive_pairs`` (identical
@@ -95,21 +84,21 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     the only big shuffles are the two purchase-pair aggregates (c_max and
     the positions fold) and the final per-customer window.
     """
-    t = load_tables(spark, sf_dir, names=("customer", "orders", "lineitem", "part"))
+    t = load_tables(spark, sf_dir, names=("customer", "part"))
     customer, part = t["customer"], t["part"]
-    valid = scored_valid_products(t)
-    # RAW (non-distinct) purchase pairs: the mex formulation dedups
-    # inherently (collect_set positions / countDistinct keys), so neither
-    # consumer needs the global distinct shuffle — nor the checkpoint that
-    # existed to keep that distinct from recomputing. orders⋈lineitem is a
-    # map-side broadcast join at this scale; its two consumers each rescan,
-    # which is cheaper than materializing 600k deduped rows once.
-    orders, lineitem = t["orders"], t["lineitem"]
-    purchased_raw = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(lineitem.select("l_orderkey", "l_partkey"), orders.o_orderkey == lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
-    )
+    # memo-shared prefixes (r11 optimization round): the scored-product
+    # relation and the DISTINCT purchase-pair checkpoint are the same
+    # materializations ~10 other registry consumers (serving family,
+    # traversal family, market-basket family) already read — flagship was
+    # the last query re-deriving both per run (two orders⋈lineitem rescans
+    # plus a lineitem prod-stats aggregate per execution). On the distinct
+    # relation the per-(customer, category) product count is a plain
+    # count(*) — the raw-pair form needed countDistinct, which Spark
+    # expands into TWO exchanges keyed (c, cat, p) over all 600k raw rows.
+    # The mex positions fold is unchanged: collect_set over distinct pairs
+    # is the identical set.
+    valid = shared_scored_valid_products(spark, sf_dir)
+    purchased = shared_purchased_pairs(spark, sf_dir)
 
     # EXACT candidate pruning: the score is customer-independent, so a
     # customer's per-category winner (cat_rank=1 among their unpurchased
@@ -120,19 +109,16 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # (~4M rows) with PROVABLY identical output — the physical-plan analog
     # of the reference's 1500-2000 candidate cap, but lossless.
     # c_max is a SCALAR and the pruned prefix is |cats|·(c_max+1) rows —
-    # dim-table sized by construction. Materialize both eagerly (two small
-    # jobs) and feed the main plan literals/broadcasts: leaving the prefix
-    # lazy would recompute the lineitem prod-stats shuffle in each of its
-    # two broadcast consumers (Catalyst inlines shared subtrees).
-    # c_max stays a lazy 1-row aggregate broadcast into the prune filter
-    # (the serving pruner's pattern) so prefix derivation is ONE Spark job
-    # — a scalar collect would add a second driver barrier for nothing.
+    # dim-table sized by construction. c_max stays a lazy 1-row aggregate
+    # broadcast into the prune filter (the serving pruner's pattern) so
+    # prefix derivation is ONE Spark job — a scalar collect would add a
+    # second driver barrier for nothing.
     cmax_df = (
-        purchased_raw.join(
+        purchased.join(
             F.broadcast(part.select("p_partkey", F.col("p_type").alias("category"))), "p_partkey"
         )
         .groupBy("c_custkey", "category")
-        .agg(F.countDistinct("p_partkey").alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"))
         .agg(F.coalesce(F.max("n"), F.lit(0)).alias("c_max"))
     )
     w_prune = Window.partitionBy("category").orderBy(F.desc("score"), F.asc("p_partkey"))
@@ -160,7 +146,7 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # positions-array row per (customer, category) — array length ≤
     # c_max+1, bounded by construction — and computes the mex columnar.
     # Volume: |C|×|cats| + |prefix purchases|, never |C|×prefix.
-    pip = purchased_raw.join(F.broadcast(pruned.select("p_partkey", "category", "cat_pos")), "p_partkey")
+    pip = purchased.join(F.broadcast(pruned.select("p_partkey", "category", "cat_pos")), "p_partkey")
     mex = (
         pip.groupBy("c_custkey", "category")
         .agg(F.sort_array(F.collect_set("cat_pos")).alias("pos_arr"))
