@@ -205,4 +205,17 @@ def greedy_diverse_topk_exact(
         out["rank"] = range(1, len(out) + 1)
         return out[[*schema_cols, "rank"]]
 
-    return scored.groupBy("customer_id").applyInPandas(pick, schema=out_schema)
+    # pre-partition by the group key at core-count granularity (r11): the
+    # grouped-map's own exchange is AQE-coalesced by BYTES, and per-group
+    # Python cost is not byte-proportional — at dim-scale candidate volume
+    # AQE folds every customer into ONE partition and the whole greedy pass
+    # runs serially in a single Python worker (measured: a 1.3 s one-task
+    # stage was serve_greedy's critical path). An explicit keyed repartition
+    # is honored as-is (hash on customer_id satisfies the grouped-map's
+    # clustering requirement, so no second exchange appears); at cluster
+    # scale defaultParallelism = total executor cores — the right floor for
+    # a Python-bound per-group stage.
+    par = scored.sparkSession.sparkContext.defaultParallelism
+    return scored.repartition(par, "customer_id").groupBy("customer_id").applyInPandas(
+        pick, schema=out_schema
+    )

@@ -59,13 +59,22 @@ def _candidates(spark: SparkSession, sf_dir: str, prune: tuple[str, int] | None 
         # funneling through one task (round-4 judge item: a column bound
         # defeats the rewrite — 2M-row single-task sort at 100×). Cost: one
         # extra tiny driver barrier per serving query.
+        # the two prefix bounds are k-INDEPENDENT scalars over the shared
+        # cohort-purchase relation; four serving queries each paid this
+        # driver-barrier job per run — memoize per (app, sf_dir) like the
+        # relations they derive from (r11; memo stores non-DataFrame
+        # artifacts as-is)
+        from ._memo import memo
+
         mode, k = prune
         if mode == "global":
-            p_max = (
-                cohort_purchased.groupBy("c_custkey")
+            p_max = memo(
+                spark,
+                ("serve_prune_pmax", sf_dir),
+                lambda: cohort_purchased.groupBy("c_custkey")
                 .agg(F.count("*").alias("n"))
                 .agg(F.coalesce(F.max("n"), F.lit(0)).alias("p_max"))
-                .first()["p_max"]
+                .first()["p_max"],
             )
             w = Window.orderBy(F.desc("score"), F.asc("p_partkey"))
             valid = (
@@ -75,12 +84,14 @@ def _candidates(spark: SparkSession, sf_dir: str, prune: tuple[str, int] | None 
             )
         else:  # per-category prefix
             part_cat = t["part"].select("p_partkey", F.col("p_type").alias("category"))
-            c_max = (
-                cohort_purchased.join(F.broadcast(part_cat), "p_partkey")
+            c_max = memo(
+                spark,
+                ("serve_prune_cmax", sf_dir),
+                lambda: cohort_purchased.join(F.broadcast(part_cat), "p_partkey")
                 .groupBy("c_custkey", "category")
                 .agg(F.count("*").alias("n"))
                 .agg(F.coalesce(F.max("n"), F.lit(0)).alias("c_max"))
-                .first()["c_max"]
+                .first()["c_max"],
             )
             w = Window.partitionBy("category").orderBy(F.desc("score"), F.asc("p_partkey"))
             valid = (
