@@ -418,7 +418,15 @@ def hll_distinct_sketch(
     two53 = float(1 << 53)
     alpha = "(0.7213 / (1.0 + 1.079 / {m}.0)) * {m}.0 * {m}.0 * {two53}"
 
-    d = df.select(*group_cols, F.col(value_col).alias("v")).distinct().cache()
+    # localCheckpoint, not cache (r11): the old cache was unpersisted at
+    # PLAN-BUILD time, so at execution its InMemoryRelation recomputed the
+    # child per consumer — the tokenize+distinct subtree ran three times
+    # (regs, exact, merged_exact), each a fused single-task scan stage on
+    # a one-row-group corpus. The checkpoint materializes the distinct
+    # relation once; all three consumers read blocks.
+    d = df.select(*group_cols, F.col(value_col).alias("v")).distinct().localCheckpoint(
+        eager=True
+    )
     hexed = d.withColumn("hex", F.md5(F.concat(F.lit("hll_"), F.col("v").cast("string"))))
     hb = hexed.select(
         *group_cols,
@@ -473,5 +481,4 @@ def hll_distinct_sketch(
             g, F.lit("__all__")
         )
         out = out.unionByName(_estimate(merged_regs, merged_exact, [g]))
-    d.unpersist()
     return out

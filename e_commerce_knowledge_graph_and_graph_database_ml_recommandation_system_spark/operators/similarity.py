@@ -327,12 +327,12 @@ def _lsh_buckets(
     # parquet row group, so without this the projection gemm AND the 8×
     # per-table frame construction run as a single task — measured as the
     # whole ann_lsh_topk critical path (a 1.7 s one-task stage at sf0.1).
-    # The shuffle moves |N| input rows once (the groupBy(bucket) right
-    # after moves the n_tables× expanded rows regardless); per-row output
-    # is partitioning-independent, so results are byte-identical.
-    src = emb.select(id_col, vec_col).repartition(
-        emb.sparkSession.sparkContext.defaultParallelism
-    )
+    # spread() no-ops when the input is already split at least core-wide,
+    # so no shuffle is added at production layouts; per-row output is
+    # partitioning-independent, so results are byte-identical either way.
+    from ..sources.tables import spread
+
+    src = spread(emb.select(id_col, vec_col))
     return src.mapInPandas(
         bucketize, schema="vid long, bucket string, v array<double>, norm double"
     )

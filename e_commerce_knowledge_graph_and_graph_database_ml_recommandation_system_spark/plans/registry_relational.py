@@ -429,9 +429,11 @@ def q_customer_spend_distribution(spark: SparkSession, sf_dir: str) -> DataFrame
     spend = orders.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("sp")
     )
-    r = global_rank_with_prefix(
-        spend, [F.desc("sp"), F.asc("customer_id")], "sp", n_parts=8
-    )
+    # n_parts defaults to defaultParallelism inside the operator (r11: the
+    # pinned 8 capped the local-window stage at 8 tasks on any cluster —
+    # output is partitioning-independent by construction, so the cap was
+    # pure lost parallelism)
+    r = global_rank_with_prefix(spend, [F.desc("sp"), F.asc("customer_id")], "sp")
     return r.select(
         "customer_id",
         F.round(F.col("sp") / 100.0, 2).alias("total_spend"),

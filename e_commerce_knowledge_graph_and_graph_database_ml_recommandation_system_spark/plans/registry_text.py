@@ -2389,20 +2389,39 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = docs.select("doc_id", F.explode(_words(F.col("text"))).alias("tok")).filter(
         F.col("tok") != ""
     )
-    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("dl"))
-    stats = dl.agg(
+    # ONE tokenize pass (r11): the dl/stats/tf/contrib split evaluated the
+    # tokenize+explode subtree FOUR times (Catalyst inlines shared
+    # subtrees; each was a back-to-back ~0.7 s fused scan stage). Document
+    # length and the per-query-term counts pivot into one groupBy(doc_id)
+    # aggregate — tf(doc, t) = SUM(tok = t) is the same integer as the old
+    # per-(doc, tok) COUNT(*), dl rides in the same row (no dl join), and
+    # the tiny checkpoint (|docs| rows) feeds stats/tf/df/contrib without
+    # re-tokenizing. Scoring expression and oracle unchanged.
+    per_doc = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("dl"),
+        *[
+            F.sum((F.col("tok") == t).cast("long")).cast("long").alias(f"_tf_{i}")
+            for i, t in enumerate(_BM25_TERMS)
+        ],
+    ).localCheckpoint(eager=True)
+    stats = per_doc.agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("dl").cast("long").alias("total_tokens"),
     )
+    term_structs = F.array(
+        *[
+            F.struct(F.lit(t).alias("tok"), F.col(f"_tf_{i}").alias("tf"))
+            for i, t in enumerate(_BM25_TERMS)
+        ]
+    )
     tf = (
-        tok.filter(F.col("tok").isin(*_BM25_TERMS))
-        .groupBy("doc_id", "tok")
-        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        per_doc.select("doc_id", "dl", F.explode(term_structs).alias("_s"))
+        .select("doc_id", "dl", F.col("_s.tok").alias("tok"), F.col("_s.tf").alias("tf"))
+        .filter(F.col("tf") > 0)
     )
     df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("df"))
     contrib = (
         tf.join(F.broadcast(df), "tok")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

@@ -67,6 +67,22 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
+    """Round-robin repartition ONLY when the source yields fewer partitions
+    than the session's parallelism. A dim-table-scale parquet file is often
+    ONE row group, so every fused scan-side stage (tokenize+explode+partial
+    aggregate, gemm, codec) runs as a single task regardless of cluster
+    size — the defect class behind the r10 ann_brute fix. At production
+    layouts (many splits) the condition is false and this is a structural
+    no-op, so no gratuitous shuffle is added at scale; rows are unchanged
+    either way (round-robin repartition, no keyed semantics)."""
+    spark = df.sparkSession
+    par = min_parallelism or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names=TABLES) -> dict[str, DataFrame]:
     """Load several tables at once: ``{name: DataFrame}``."""
     return {name: load_table(spark, name, sf_dir) for name in names}
