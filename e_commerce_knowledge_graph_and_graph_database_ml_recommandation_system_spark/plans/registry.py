@@ -181,6 +181,24 @@ def shared_sim_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The undirected node-degree relation over the built property graph,
+    materialized once per (app, sf_dir): five registry entries
+    (node_degrees, degree_assortativity, community_degree_features,
+    feature_writeback, louvain community features) each re-ran the
+    explode+groupBy over the 920k-half-edge relation per run (r11). Node-
+    count-sized output (18.5k rows at sf0.1); every consumer uses it as
+    the small/build side of a join or returns it directly. Same rows,
+    same schema; plan audits capture with the memo disabled."""
+    from ._memo import memo
+
+    return memo(
+        spark,
+        ("node_degrees", sf_dir),
+        lambda: deg_ops.node_degrees(shared_edges(spark, sf_dir)),
+    )
+
+
 def shared_positive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distinct (ckey, pkey) positive-pair relation, checkpointed once
     per (app, sf_dir): four registry entries (positive_pairs,
@@ -276,8 +294,7 @@ SELECT id, COUNT(*) AS degree FROM both_ends GROUP BY id
 """,
 )
 def q_node_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = shared_edges(spark, sf_dir)
-    return deg_ops.node_degrees(edges)
+    return shared_node_degrees(spark, sf_dir)
 
 
 @register(

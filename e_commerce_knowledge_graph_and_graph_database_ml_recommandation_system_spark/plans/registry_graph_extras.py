@@ -13,7 +13,7 @@ from ..graph.build import build_edges, build_nodes
 from ..operators import topk as tk
 from ..operators.degrees import community_degree_features, degree_histogram, node_degrees
 from ..sources.tables import load_tables
-from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges, shared_node_degrees
 
 # ---------------------------------------------------------------------------
 # A2: global degree moments
@@ -100,8 +100,7 @@ def q_community_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+W2: per-community degree mean/std/z-score/percentile (reference
     ``degree_analysis.py:92-126``), with nation-segment communities."""
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    edges = shared_edges(spark, sf_dir)
-    deg = node_degrees(edges)
+    deg = shared_node_degrees(spark, sf_dir)
     members = tables["customer"].select(
         F.concat_ws("_", F.lit("cust"), F.col("c_custkey")).alias("id"),
         F.concat_ws("_", F.lit("seg"), F.col("c_nationkey")).alias("community_id"),
@@ -210,7 +209,7 @@ def q_feature_writeback(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").alias("old_balance_feature"),
         F.lit(-1).cast("long").alias("degree_feature"),
     )
-    deg = node_degrees(edges)
+    deg = shared_node_degrees(spark, sf_dir)
     return features.join(deg, features.node_id == deg.id, "left").select(
         "node_id",
         "old_balance_feature",

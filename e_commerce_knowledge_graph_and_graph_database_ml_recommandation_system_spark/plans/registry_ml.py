@@ -20,7 +20,7 @@ from ..operators import similarity as sim
 from ..operators.aggregates import knn_aggregates
 from ..sources.tables import load_table, load_tables
 from ._memo import memo
-from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges, shared_sim_graph
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges, shared_node_degrees, shared_sim_graph
 
 # ---------------------------------------------------------------------------
 # Shared heavyweight artifacts (one computation per process — VERDICT r3 #1/#2:
@@ -532,11 +532,10 @@ def q_louvain_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4+W2 on X8 output: per-community degree moments/z/percentile with
     LOUVAIN communities (reference feeds best_partition's communityId into
     the feature pipeline, ``xgboost_training_for_big_data.py:126-128``)."""
-    from ..operators.degrees import community_degree_features, node_degrees
+    from ..operators.degrees import community_degree_features
 
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
-    edges = shared_edges(spark, sf_dir)
-    deg = node_degrees(edges)
+    deg = shared_node_degrees(spark, sf_dir)
     comm = alg.louvain(
         shared_sim_graph(spark, sf_dir),
         weight_col="similarity",

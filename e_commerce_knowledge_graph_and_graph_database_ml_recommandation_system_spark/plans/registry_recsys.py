@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from ..graph.build import build_edges
 from ..operators.degrees import node_degrees
 from ..sources.tables import load_tables
-from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges
+from .registry import GRAPH_EDGES_CTE, GRAPH_TABLES, register, shared_edges, shared_node_degrees
 from .registry_relational import capped_basket
 
 # ---------------------------------------------------------------------------
@@ -160,7 +160,7 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the textbook two-pass corr() needs the means first; the algebraic
     form shuffles once)."""
     edges = shared_edges(spark, sf_dir)
-    deg = node_degrees(edges)
+    deg = shared_node_degrees(spark, sf_dir)
     ends = (
         edges.select("src", "dst")
         .join(deg.select(F.col("id").alias("src"), F.col("degree").alias("x")), "src")
