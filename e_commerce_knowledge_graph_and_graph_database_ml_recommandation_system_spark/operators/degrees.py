@@ -69,7 +69,12 @@ def degree_feature_stats(d: DataFrame) -> DataFrame:
     """W1-W3 statistics layer over a prepared (id, label, degree) frame —
     shared by the generic explode path (degree_features) and source-pushdown
     degree derivations (plans/registry.q_degree_features)."""
-    # tiny histogram of (label, degree)
+    # tiny histogram of (label, degree). Deliberately NOT checkpointed
+    # (r11 optimization round, measured): the three stats consumers look
+    # like repeated subtree evaluations, but AQE's ReusedExchange dedupes
+    # them at execution — an eager checkpoint here measured consistently
+    # SLOWER (1.85s -> 2.27s steady, same window) because the extra job
+    # barrier outweighs the reuse it duplicates.
     hist = d.groupBy("label", "degree").agg(F.count("*").alias("cnt"))
 
     # global cumulative distribution over the histogram (tiny input)
