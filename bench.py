@@ -23,6 +23,14 @@ regressions, and cross-round comparisons must be same-protocol):
 ``queries``/``value`` carry the steady min — the headline metric, protocol-
 identical to BENCH_r03 — and ``queries_cold``/``value_cold`` carry each
 query's first (rep-0) execution in this JVM.
+
+r11 (optimization round, guide §1.4): ``queries_noop``/``value_noop`` ADD a
+third, warm single-shot protocol that drains each query through the noop
+sink (``df.write.format("noop")``), which computes EVERY column of every
+row — count() lets Catalyst prune terminal projections (e.g. the string-id
+concats on pair relations), so the noop figures are the stricter
+full-materialization walls. The count() protocols above are UNCHANGED and
+remain the cross-round comparables back to BENCH_r03.
 """
 
 from __future__ import annotations
@@ -349,6 +357,18 @@ def main() -> None:
             best = min(best, dt)
         times[name] = round(best, 3)
 
+    # noop-sink protocol (r11, guide §1.4): one warm pass per query that
+    # materializes every column of every row — the strictest drain; runs
+    # after the steady loop so plans/JIT/memos are warm, mirroring the
+    # steady protocol's intent
+    noop: dict[str, float] = {}
+    for name in HEADLINE:
+        spark.sparkContext.setJobDescription(f"noop:{name}")
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        noop[name] = round(time.perf_counter() - t0, 3)
+    spark.sparkContext.setJobDescription(None)
+
     # train-cold protocol: fresh artifact-store dir + cleared memo per
     # query, so every model on the path actually retrains
     import tempfile
@@ -388,6 +408,8 @@ def main() -> None:
         "queries": times,
         "value_cold": round(sum(cold.values()), 3),
         "queries_cold": cold,
+        "value_noop": round(sum(noop.values()), 3),
+        "queries_noop": noop,
         "value_train_cold": round(sum(train_cold.values()), 3),
         "queries_train_cold": train_cold,
         "train_cold_host_canary_gemm_sec": train_cold_canary["host_canary_gemm_sec"],
