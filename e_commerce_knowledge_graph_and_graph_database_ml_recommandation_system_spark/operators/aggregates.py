@@ -95,7 +95,12 @@ def target_rates(positives: DataFrame, n_customers_col: str, n_products: int) ->
 
 
 def kfold_target_encoding(
-    df: DataFrame, key: str, label_col: str, id_col: str, n_folds: int = 5
+    df: DataFrame,
+    key: str,
+    label_col: str,
+    id_col: str,
+    n_folds: int = 5,
+    per_kf: DataFrame | None = None,
 ) -> DataFrame:
     """A10: K-fold (leakage-free) target encoding of ``key``.
 
@@ -106,11 +111,19 @@ def kfold_target_encoding(
     (key, fold) aggregate + window arithmetic: leave-one-fold-out mean =
     (sum_all - sum_fold) / (cnt_all - cnt_fold), i.e. NO per-fold self-join
     — a single shuffle on key regardless of n_folds.
+
+    ``per_kf``: optional pre-computed (key, fold, s, c) label sums/counts.
+    Without it the fold aggregate re-evaluates the input subtree a second
+    time (once here, once as the probe side of the final join) — a caller
+    whose input derives from a generated relation can often compute the
+    identical counts from dim-sized histograms instead (see
+    registry.q_kfold_target_encoding) and skip the duplicate pass.
     """
     with_fold = df.withColumn("fold", F.pmod(F.col(id_col).cast("long"), F.lit(n_folds)))
-    per_kf = with_fold.groupBy(key, "fold").agg(
-        F.sum(label_col).alias("s"), F.count("*").alias("c")
-    )
+    if per_kf is None:
+        per_kf = with_fold.groupBy(key, "fold").agg(
+            F.sum(label_col).alias("s"), F.count("*").alias("c")
+        )
     w_key = Window.partitionBy(key)
     # the empty-partition window runs over per_kf — |keys|×n_folds rows,
     # dim-sized for a categorical encoding key, so the single task is fine;
@@ -125,32 +138,48 @@ def kfold_target_encoding(
         ((F.sum("s").over(w_key) - F.col("s")) / F.nullif(F.sum("c").over(w_key) - F.col("c"), F.lit(0))).alias("loo_mean"),
         ((F.sum("s").over(w_all) - F.col("s")) / (F.sum("c").over(w_all) - F.col("c"))).alias("global_loo_mean"),
     )
+    # broadcast: enc is |keys|×n_folds rows (dim-sized for a categorical
+    # key — the same contract as the window above); without the hint the
+    # planner estimated the windowed aggregate conservatively and shuffled
+    # the FULL input by (key, fold) for a sort-merge join (r12 profile:
+    # a 52 MB exchange + sort on the 6.1M-row training side at sf0.1)
     return (
-        with_fold.join(enc, [key, "fold"], "left")
+        with_fold.join(F.broadcast(enc), [key, "fold"], "left")
         .withColumn("target_enc", F.coalesce("loo_mean", "global_loo_mean"))
         .drop("loo_mean", "global_loo_mean")
     )
 
 
-def threshold_sweep(scored: DataFrame, prob_col: str, label_col: str, grid=None) -> DataFrame:
+def threshold_sweep(
+    scored: DataFrame,
+    prob_col: str,
+    label_col: str,
+    grid=None,
+    weight_col: str | None = None,
+) -> DataFrame:
     """W8: F1/precision/recall across a threshold grid in ONE pass.
 
     Reference iterates thresholds in Python recomputing predictions each time
     (``xgboost_training_for_big_data.py:662-691``); here the grid is exploded
     against the scored rows (9× row multiplier, map-side) and one groupBy
     computes TP/FP/FN counts per threshold.
+
+    ``weight_col``: each input row counts as ``weight_col`` observations —
+    callers whose score has bounded distinct values pre-aggregate to a
+    (p, y, count) histogram so the grid explode and the three conditional
+    sums run over |distinct scores|×2 rows instead of every scored row
+    (tp/fp/fn are sums of the same integers either way).
     """
     grid = grid or [round(0.1 * i, 1) for i in range(1, 10)]
-    # the explode looks expensive but the groupBy(threshold) partial-
-    # aggregates map-side to |grid| rows per task before any shuffle — a
-    # pre-aggregated (p,y)-histogram variant measured ~3x SLOWER at sf0.1
-    # (extra exchange beats the free map-side combine)
     g = F.explode(F.array(*[F.lit(t) for t in grid])).alias("threshold")
-    e = scored.select(F.col(prob_col).alias("p"), F.col(label_col).alias("y"), g)
+    wt = F.col(weight_col) if weight_col else F.lit(1)
+    e = scored.select(
+        F.col(prob_col).alias("p"), F.col(label_col).alias("y"), wt.alias("wt"), g
+    )
     agg = e.groupBy("threshold").agg(
-        F.sum(F.when((F.col("p") >= F.col("threshold")) & (F.col("y") == 1), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when((F.col("p") >= F.col("threshold")) & (F.col("y") == 0), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when((F.col("p") < F.col("threshold")) & (F.col("y") == 1), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when((F.col("p") >= F.col("threshold")) & (F.col("y") == 1), F.col("wt")).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("p") >= F.col("threshold")) & (F.col("y") == 0), F.col("wt")).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("p") < F.col("threshold")) & (F.col("y") == 1), F.col("wt")).otherwise(0)).alias("fn"),
     )
     prec = F.col("tp") / F.nullif(F.col("tp") + F.col("fp"), F.lit(0))
     rec = F.col("tp") / F.nullif(F.col("tp") + F.col("fn"), F.lit(0))

@@ -341,13 +341,28 @@ def duplicate_span_coverage(docs: DataFrame, n: int = 8) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("gh")
     )
+    # r12 (§2.3 shuffle fewer bytes): the covered-token count is the size
+    # of the union of intervals [pos, pos+n-1]; instead of exploding each
+    # duplicated instance into its n positions and paying a distinct
+    # exchange on (doc, tpos) (n× the instance rows), collect the per-doc
+    # start positions (unique per doc by posexplode construction) and sum
+    # min(gap, n) over the sorted array — |∪[p_i, p_i+n-1]| =
+    # Σ min(p_{i+1}−p_i, n) + n. One exchange keyed doc_id, start
+    # positions only; per-doc array is bounded by the document's length.
     covered = (
         grams.filter(F.col("gh").isNotNull())
         .join(dup, "gh", "left_semi")
-        .select("doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(n - 1))).alias("tpos"))
-        .distinct()
         .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("dup_tokens"))
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+        .select(
+            "doc_id",
+            F.expr(
+                f"aggregate(zip_with(slice(ps, 1, size(ps) - 1),"
+                f" slice(ps, 2, size(ps) - 1),"
+                f" (a, b) -> least(b - a, {n})), 0L, (acc, x) -> acc + x)"
+                f" + {n}"
+            ).alias("dup_tokens"),
+        )
     )
     base = w.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
     return (

@@ -352,68 +352,89 @@ def q_degree_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust, orders, li, part = t["customer"], t["orders"], t["lineitem"], t["part"]
     nation, region = t["nation"], t["region"]
 
-    o_per_cust = orders.groupBy(F.col("o_custkey").alias("k")).agg(F.count("*").alias("n"))
-    li_per_order = li.groupBy(F.col("l_orderkey").alias("k")).agg(F.count("*").alias("n"))
-    li_per_part = li.groupBy(F.col("l_partkey").alias("k")).agg(F.count("*").alias("n"))
-    ship_per_nation = (
-        orders.join(F.broadcast(cust.select("c_custkey", "c_nationkey")), orders.o_custkey == F.col("c_custkey"))
-        .groupBy(F.col("c_nationkey").alias("k"))
-        .agg(F.count("*").alias("n"))
-    )
-    # an order's SHIPPED_TO edge exists iff its customer row exists
-    has_cust = cust.select(F.col("c_custkey").alias("k")).distinct().withColumn("ship", F.lit(1))
+    # r12 (§2.4 one exchange where five were; §5 fewer job barriers): the
+    # old assembly computed FIVE per-label degree aggregates (each its own
+    # exchange) and re-attached them to the node tables through five
+    # left joins (each its own broadcast-build job) — ~25 sub-250 ms
+    # stages whose wall was scheduling latency, not compute (r12 profile:
+    # <1 s total executor time under a >2 s wall). Every per-label degree
+    # is a SUM over half-edge/offset rows, so ONE union of narrow
+    # (tag, key, weight) rows + ONE groupBy computes all five degree
+    # relations — node-presence rows carry the left-join zero/+1 offsets
+    # (customer w=0; order w=1+ship; product w=1 BELONGS_TO; location
+    # w=0; category w=1 per part = the old count). Key sets are identical
+    # under the source tables' referential integrity (every l_orderkey is
+    # an order, every o_custkey a customer, every c_nationkey a nation —
+    # the same FK contract the edge CTE itself assumes).
+    lngN = F.lit(None).cast("long")
+    strN = F.lit(None).cast("string")
 
-    def lab(df, prefix, label):
+    def he(df, tag, kl, w):
         return df.select(
-            F.concat_ws("_", F.lit(prefix), F.col("k")).alias("id"),
-            F.lit(label).alias("label"),
-            F.col("degree"),
+            F.lit(tag).alias("tag"),
+            kl.cast("long").alias("kl"),
+            strN.alias("ks"),
+            w.alias("w"),
         )
 
-    d_cust = lab(
-        cust.select(F.col("c_custkey").alias("k"))
-        .join(o_per_cust, "k", "left")
-        .select("k", F.coalesce("n", F.lit(0)).alias("degree")),
-        "cust",
-        "Customer",
+    # an order's SHIPPED_TO edge exists iff its customer row exists
+    has_cust = (
+        cust.select(F.col("c_custkey").alias("o_custkey")).distinct().withColumn("ship", F.lit(1))
     )
-    d_order = lab(
-        orders.select(F.col("o_orderkey").alias("k"), F.col("o_custkey"))
-        .join(li_per_order, "k", "left")
-        .join(F.broadcast(has_cust.withColumnRenamed("k", "o_custkey")), "o_custkey", "left")
-        .select(
-            "k",
-            (F.lit(1) + F.coalesce("n", F.lit(0)) + F.coalesce("ship", F.lit(0))).alias("degree"),
-        ),
-        "order",
-        "Order",
+    order_cust = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_nationkey")),
+        orders.o_custkey == F.col("c_custkey"),
     )
-    d_prod = lab(
-        part.select(F.col("p_partkey").alias("k"))
-        .join(li_per_part, "k", "left")
-        .select("k", (F.coalesce("n", F.lit(0)) + F.lit(1)).alias("degree")),
-        "prod",
-        "Product",
+    rows = (
+        he(orders, 0, F.col("o_custkey"), F.lit(1))  # PURCHASED per order
+        .unionByName(he(cust, 0, F.col("c_custkey"), F.lit(0)))  # customer presence
+        .unionByName(
+            he(
+                orders.join(F.broadcast(has_cust), "o_custkey", "left"),
+                1,
+                F.col("o_orderkey"),
+                F.lit(1) + F.coalesce("ship", F.lit(0)),
+            )
+        )  # order presence (+PURCHASED +SHIPPED_TO ends)
+        .unionByName(he(li, 1, F.col("l_orderkey"), F.lit(1)))  # CONTAINS per lineitem
+        .unionByName(he(li, 2, F.col("l_partkey"), F.lit(1)))  # CONTAINS per lineitem
+        .unionByName(he(part, 2, F.col("p_partkey"), F.lit(1)))  # product presence (+BELONGS_TO)
+        .unionByName(he(order_cust, 3, F.col("c_nationkey"), F.lit(1)))  # SHIPPED_TO per order
+        .unionByName(
+            he(
+                nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey),
+                3,
+                F.col("n_nationkey"),
+                F.lit(0),
+            )
+        )  # location presence
+        .unionByName(
+            part.select(
+                F.lit(4).alias("tag"), lngN.alias("kl"), F.col("p_type").alias("ks"), F.lit(1).alias("w")
+            )
+        )  # BELONGS_TO per part = category degree
     )
-    d_loc = lab(
-        nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .select(F.col("n_nationkey").alias("k"))
-        .join(ship_per_nation, "k", "left")
-        .select("k", F.coalesce("n", F.lit(0)).alias("degree")),
-        "loc",
-        "Location",
+    deg = rows.groupBy("tag", "kl", "ks").agg(F.sum("w").alias("degree"))
+    tag = F.col("tag")
+    prefix = (
+        F.when(tag == 0, "cust")
+        .when(tag == 1, "order")
+        .when(tag == 2, "prod")
+        .when(tag == 3, "loc")
+        .otherwise("cat")
     )
-    d_cat = lab(
-        part.select(F.col("p_type").alias("k"))
-        .groupBy("k")
-        .agg(F.count("*").alias("degree")),
-        "cat",
-        "Category",
+    label = (
+        F.when(tag == 0, "Customer")
+        .when(tag == 1, "Order")
+        .when(tag == 2, "Product")
+        .when(tag == 3, "Location")
+        .otherwise("Category")
     )
-
-    d = d_cust
-    for x in (d_prod, d_order, d_loc, d_cat):
-        d = d.unionByName(x)
+    d = deg.select(
+        F.concat_ws("_", prefix, F.coalesce(F.col("kl").cast("string"), F.col("ks"))).alias("id"),
+        label.alias("label"),
+        F.col("degree"),
+    )
     df = deg_ops.degree_feature_stats(d)
     return df.select(
         "id",
@@ -700,7 +721,68 @@ def q_kfold_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = pos.unionByName(neg)
     part_dim = pa.select(F.col("p_partkey").alias("pkey"), F.col("p_type").alias("category"))
     tf = train.join(F.broadcast(part_dim), "pkey")
-    enc = agg_ops.kfold_target_encoding(tf, key="category", label_col="label", id_col="pkey")
+    # r12 (§1.2 don't compute twice): the (category, fold) label sums and
+    # counts that feed the leave-one-fold-out encoding used to be a SECOND
+    # full aggregate over the 6.1M-row train relation (the negative
+    # generation + anti-join subtree evaluated once for the encoding
+    # table and once as the probe side of the final join — two 13 s-CPU
+    # stages at sf0.1). The identical integers derive from dim-sized
+    # histograms: s = |pos| per (category, fold); c = |pos| + |neg| where
+    # |neg| = |sample| − |pos ∩ sample|, and the modular-bucket sample
+    # count per part is just the customer count of its matching residue
+    # class (the same bucket expressions as trav.negative_pair_keys, so
+    # membership is decided by the identical arithmetic).
+    fold5 = F.pmod(F.col("p_partkey").cast("long"), F.lit(5)).alias("fold")
+    pd_f = pa.select(
+        F.col("p_partkey").alias("pkey"),
+        F.col("p_type").alias("category"),
+        fold5,
+        F.pmod(
+            F.lit(50) - F.pmod(F.col("p_partkey") * F.lit(7919), F.lit(50)), F.lit(50)
+        ).alias("bucket"),
+    )
+    pos_h = (
+        shared_pos.join(F.broadcast(pd_f.select("pkey", "category", "fold")), "pkey")
+        .groupBy("category", "fold")
+        .agg(F.count(F.lit(1)).alias("c_pos"))
+    )
+    cust_h = cu.groupBy(
+        F.pmod(F.col("c_custkey") * F.lit(131), F.lit(50)).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n_c"))
+    samp_h = (
+        pd_f.join(F.broadcast(cust_h), "bucket", "left")
+        .groupBy("category", "fold")
+        .agg(F.sum(F.coalesce(F.col("n_c"), F.lit(0))).alias("c_samp"))
+    )
+    posin_h = (
+        shared_pos.filter(
+            F.pmod(F.col("ckey") * F.lit(131), F.lit(50))
+            == F.pmod(
+                F.lit(50) - F.pmod(F.col("pkey") * F.lit(7919), F.lit(50)), F.lit(50)
+            )
+        )
+        .join(F.broadcast(pd_f.select("pkey", "category", "fold")), "pkey")
+        .groupBy("category", "fold")
+        .agg(F.count(F.lit(1)).alias("c_posin"))
+    )
+    per_kf = (
+        pos_h.join(samp_h, ["category", "fold"], "full")
+        .join(posin_h, ["category", "fold"], "left")
+        .select(
+            "category",
+            "fold",
+            F.coalesce("c_pos", F.lit(0)).cast("long").alias("s"),
+            (
+                F.coalesce("c_pos", F.lit(0))
+                + F.coalesce("c_samp", F.lit(0))
+                - F.coalesce("c_posin", F.lit(0))
+            ).cast("long").alias("c"),
+        )
+        .filter(F.col("c") > 0)
+    )
+    enc = agg_ops.kfold_target_encoding(
+        tf, key="category", label_col="label", id_col="pkey", per_kf=per_kf
+    )
     return trav.pair_ids(enc).select(
         "customer_id",
         "product_id",
@@ -799,7 +881,15 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("hit"), F.lit(0)).alias("y"),
         )
     )
-    out = agg_ops.threshold_sweep(scored, "p", "y")
+    # r12 (§2.3 aggregate-before-shuffle): p has ≤1000 distinct values by
+    # construction (pmod 1000), so the sweep's grid explode + three
+    # conditional sums run over a ≤2000-row (p, y, cnt) histogram instead
+    # of 9× the 23M sampled pairs — the partial agg collapses each task's
+    # rows map-side; tp/fp/fn are sums of the same integers (noop drain
+    # 8.7 s → the histogram cost; count() drain previously hid the sums by
+    # pruning them).
+    hist = scored.groupBy("p", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    out = agg_ops.threshold_sweep(hist, "p", "y", weight_col="cnt")
     return out.select(
         F.round("threshold", 1).alias("threshold"),
         "tp",
