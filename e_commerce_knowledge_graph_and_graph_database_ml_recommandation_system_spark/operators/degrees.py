@@ -70,49 +70,54 @@ def degree_feature_stats(d: DataFrame) -> DataFrame:
     shared by the generic explode path (degree_features) and source-pushdown
     degree derivations (plans/registry.q_degree_features)."""
     # tiny histogram of (label, degree). Deliberately NOT checkpointed
-    # (r11 optimization round, measured): the three stats consumers look
+    # (r11 optimization round, measured): the stats consumers look
     # like repeated subtree evaluations, but AQE's ReusedExchange dedupes
     # them at execution — an eager checkpoint here measured consistently
     # SLOWER (1.85s -> 2.27s steady, same window) because the extra job
     # barrier outweighs the reuse it duplicates.
     hist = d.groupBy("label", "degree").agg(F.count("*").alias("cnt"))
 
-    # global cumulative distribution over the histogram (tiny input)
+    # single-partition stats pass (r12, §2.4/§5 fewer barriers): every
+    # statistic below is an exact integer (long) sum over the dim-sized
+    # (label, degree) histogram, so ONE task computes the global cume
+    # distribution, the global moments AND the per-label moments as
+    # window functions over the same single partition — SinglePartition
+    # satisfies both the empty and the per-label clustering requirement,
+    # so the three window specs plan with no further exchange. This
+    # replaces the r11 shape (a groupBy(degree) exchange + a 1-row total,
+    # a 1-row global-moment and a per-label-moment aggregate, each its own
+    # broadcast job barrier) with one stage + one broadcast; the sums are
+    # longs, so every derived double is bit-identical to the old form.
     w_cume = Window.orderBy("degree").rangeBetween(Window.unboundedPreceding, 0)
-    gtotal = hist.agg(F.sum("cnt").alias("n_total"))
-    cume = (
-        hist.groupBy("degree").agg(F.sum("cnt").alias("dcnt"))
-        .withColumn("cume_cnt", F.sum("dcnt").over(w_cume))
-        .crossJoin(F.broadcast(gtotal))
-        .select("degree", (F.col("cume_cnt") / F.col("n_total")).alias("degree_percentile"))
-    )
+    w_all = Window.partitionBy()
+    w_lab = Window.partitionBy("label")
 
-    # global + per-label moments from the histogram
-    gmom = hist.agg(
-        (F.sum(F.col("degree") * F.col("cnt")) / F.sum("cnt")).alias("g_mean"),
-        F.sqrt(
+    def _mom(w):
+        mean = F.sum(F.col("degree") * F.col("cnt")).over(w) / F.sum("cnt").over(w)
+        std = F.sqrt(
             F.greatest(
                 F.lit(0.0),
-                F.sum(F.col("cnt") * F.col("degree") * F.col("degree")) / F.sum("cnt")
-                - F.pow(F.sum(F.col("degree") * F.col("cnt")) / F.sum("cnt"), 2),
+                F.sum(F.col("cnt") * F.col("degree") * F.col("degree")).over(w)
+                / F.sum("cnt").over(w)
+                - F.pow(mean, 2),
             )
-        ).alias("g_std"),
-    )
-    lmom = hist.groupBy("label").agg(
-        (F.sum(F.col("degree") * F.col("cnt")) / F.sum("cnt")).alias("l_mean"),
-        F.sqrt(
-            F.greatest(
-                F.lit(0.0),
-                F.sum(F.col("cnt") * F.col("degree") * F.col("degree")) / F.sum("cnt")
-                - F.pow(F.sum(F.col("degree") * F.col("cnt")) / F.sum("cnt"), 2),
-            )
-        ).alias("l_std"),
+        )
+        return mean, std
+
+    g_mean, g_std = _mom(w_all)
+    l_mean, l_std = _mom(w_lab)
+    stats = hist.repartition(1).select(
+        "label",
+        "degree",
+        (F.sum("cnt").over(w_cume) / F.sum("cnt").over(w_all)).alias("degree_percentile"),
+        g_mean.alias("g_mean"),
+        g_std.alias("g_std"),
+        l_mean.alias("l_mean"),
+        l_std.alias("l_std"),
     )
 
     return (
-        d.join(F.broadcast(cume), "degree", "left")
-        .crossJoin(F.broadcast(gmom))
-        .join(F.broadcast(lmom), "label", "left")
+        d.join(F.broadcast(stats), ["label", "degree"], "left")
         .select(
             "id",
             "label",

@@ -167,13 +167,26 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("id").alias("dst"), F.col("degree").alias("y")), "dst")
         .select("x", "y")
     )
-    sym = ends.union(ends.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    # r12 (§1.2 don't compute twice): the symmetrizing union evaluated the
+    # `ends` join subtree TWICE (broadcast joins leave no exchange for AQE
+    # to reuse — the 920k-edge probe ran once per branch). The symmetric
+    # moments are exact decimal algebra over ONE pass: n = 2·cnt,
+    # sx_sym = Σx + Σy, sxx_sym = Σx² + Σy², sxy_sym = 2·Σxy — the same
+    # integers the union produced, in the same DECIMAL arithmetic.
     dec = "decimal(19,0)"
-    s = sym.agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum(F.col("x").cast(dec)).alias("sx"),
-        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("sxx"),
-        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("sxy"),
+    e = ends.agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum(F.col("x").cast(dec)).alias("ex"),
+        F.sum(F.col("y").cast(dec)).alias("ey"),
+        F.sum(F.col("x").cast(dec) * F.col("x").cast(dec)).alias("exx"),
+        F.sum(F.col("y").cast(dec) * F.col("y").cast(dec)).alias("eyy"),
+        F.sum(F.col("x").cast(dec) * F.col("y").cast(dec)).alias("exy"),
+    )
+    s = e.select(
+        (F.col("cnt") * 2).alias("n"),
+        (F.col("ex") + F.col("ey")).alias("sx"),
+        (F.col("exx") + F.col("eyy")).alias("sxx"),
+        (F.col("exy") * 2).alias("sxy"),
     )
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
