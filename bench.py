@@ -401,18 +401,15 @@ def main() -> None:
     train_cold_canary = _host_canary()
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # key ORDER is deliberate (r11 verdict #2): the driver's tail capture
+    # can clip the FRONT of this (long) one-line record — r10's steady
+    # `queries` dict sat first and was lost, killing the round-over-round
+    # comparison. The headline comparables (`value`, `queries`) are
+    # therefore the LAST keys, preceded by the secondary protocols in
+    # increasing importance; json.dumps preserves dict insertion order.
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
-        "value_cold": round(sum(cold.values()), 3),
-        "queries_cold": cold,
-        "value_noop": round(sum(noop.values()), 3),
-        "queries_noop": noop,
-        "value_train_cold": round(sum(train_cold.values()), 3),
-        "queries_train_cold": train_cold,
-        "train_cold_host_canary_gemm_sec": train_cold_canary["host_canary_gemm_sec"],
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # host-noise sentinel (round-4 verdict #8): >0 other JVMs or a
         # load average near/above host_cpus at start means the timings
@@ -422,6 +419,15 @@ def main() -> None:
         "load_1m_at_start": round(load_start, 2),
         "load_1m_at_end": round(os.getloadavg()[0], 2),
         **canary,
+        "train_cold_host_canary_gemm_sec": train_cold_canary["host_canary_gemm_sec"],
+        "value_train_cold": round(sum(train_cold.values()), 3),
+        "queries_train_cold": train_cold,
+        "value_noop": round(sum(noop.values()), 3),
+        "queries_noop": noop,
+        "value_cold": round(sum(cold.values()), 3),
+        "queries_cold": cold,
+        "value": round(sum(times.values()), 3),
+        "queries": times,
     }
     line = json.dumps(out)
     # the driver captures stdout through a pipe that Spark progress bars

@@ -47,8 +47,17 @@ def _spread(df: DataFrame) -> DataFrame:
     single-task at sf0.1 on 32 idle cores). The shuffle moves doc-id-sized
     rows — noise next to the per-row codec work — and every downstream
     mapInPandas inherits the spread; per-row outputs are
-    partitioning-independent, so oracle hashes are unchanged."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    partitioning-independent, so oracle hashes are unchanged.
+
+    Delegates to sources.tables.spread (r11 ADVICE): the conditional
+    helper round-robins ONLY when the scan yields fewer partitions than
+    the session parallelism, so at production multi-split layouts this is
+    a structural no-op instead of an unconditional shuffle. Codec-chain
+    heads are raw document scans, the scan-head contract spread()
+    documents."""
+    from ..sources.tables import spread
+
+    return spread(df)
 
 
 def attach_binary(docs: DataFrame) -> DataFrame:

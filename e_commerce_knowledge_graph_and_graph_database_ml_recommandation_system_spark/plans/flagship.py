@@ -47,18 +47,14 @@ def shared_purchased_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memo-shared distinct purchase pairs for the serving family — the
     SAME checkpoint as ``registry.shared_positive_pairs`` (identical
     relation; the serving queries just use the relational column names).
-    The build closure and tag mirror registry.shared_positive_pairs
-    exactly so whichever side builds first, both families read one
-    materialization (r11 verify-wall consolidation: 7 serving queries
-    each re-derived the orders⋈lineitem distinct per query)."""
-    from ..operators import traversals as trav
-    from ._memo import memo
+    Delegates to the registry builder (r11 ADVICE: a mirrored build
+    closure + hard-coded duplicate tag string could silently fork the
+    'one shared materialization' into two if either side drifted); the
+    import is function-local to avoid the registry→flagship module
+    cycle."""
+    from .registry import shared_positive_pairs
 
-    def build() -> DataFrame:
-        t = load_tables(spark, sf_dir, names=("orders", "lineitem"))
-        return trav.positive_pair_keys(t["orders"], t["lineitem"])
-
-    pos = memo(spark, ("positive_pair_keys", sf_dir), build)
+    pos = shared_positive_pairs(spark, sf_dir)
     return pos.select(F.col("ckey").alias("c_custkey"), F.col("pkey").alias("p_partkey"))
 
 

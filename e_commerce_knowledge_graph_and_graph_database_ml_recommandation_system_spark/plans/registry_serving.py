@@ -63,14 +63,17 @@ def _candidates(spark: SparkSession, sf_dir: str, prune: tuple[str, int] | None 
         # cohort-purchase relation; four serving queries each paid this
         # driver-barrier job per run — memoize per (app, sf_dir) like the
         # relations they derive from (r11; memo stores non-DataFrame
-        # artifacts as-is)
+        # artifacts as-is). The tag carries the cohort identifier
+        # ('mod100' = the c_custkey%100 serving cohort) so a future caller
+        # with a different cohort or purchase source cannot read a stale
+        # scalar (r11 ADVICE).
         from ._memo import memo
 
         mode, k = prune
         if mode == "global":
             p_max = memo(
                 spark,
-                ("serve_prune_pmax", sf_dir),
+                ("serve_prune_pmax", sf_dir, "mod100"),
                 lambda: cohort_purchased.groupBy("c_custkey")
                 .agg(F.count("*").alias("n"))
                 .agg(F.coalesce(F.max("n"), F.lit(0)).alias("p_max"))
@@ -86,7 +89,7 @@ def _candidates(spark: SparkSession, sf_dir: str, prune: tuple[str, int] | None 
             part_cat = t["part"].select("p_partkey", F.col("p_type").alias("category"))
             c_max = memo(
                 spark,
-                ("serve_prune_cmax", sf_dir),
+                ("serve_prune_cmax", sf_dir, "mod100"),
                 lambda: cohort_purchased.join(F.broadcast(part_cat), "p_partkey")
                 .groupBy("c_custkey", "category")
                 .agg(F.count("*").alias("n"))

@@ -75,7 +75,14 @@ def spread(df: DataFrame, min_parallelism: int | None = None) -> DataFrame:
     size — the defect class behind the r10 ann_brute fix. At production
     layouts (many splits) the condition is false and this is a structural
     no-op, so no gratuitous shuffle is added at scale; rows are unchanged
-    either way (round-robin repartition, no keyed semantics)."""
+    either way (round-robin repartition, no keyed semantics).
+
+    SCAN HEADS ONLY (r11 ADVICE): the ``df.rdd.getNumPartitions()`` probe
+    converts the plan to an RDD a second time and reads the PRE-AQE
+    partition count — correct for a raw file scan (the split count is
+    fixed by the file layout), but on a shuffled/derived DataFrame it can
+    both mis-read the post-AQE layout and pay a redundant planning pass.
+    Apply it to freshly-loaded tables, never to join/aggregate outputs."""
     spark = df.sparkSession
     par = min_parallelism or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:

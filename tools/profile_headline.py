@@ -104,6 +104,13 @@ def main() -> None:
     ap.add_argument("--queries", default="")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--no-plans", action="store_true")
+    ap.add_argument(
+        "--drain",
+        default="count",
+        choices=("count", "noop"),
+        help="timed action: count() (bench comparable) or the noop sink "
+        "(full materialization — guide §1.4; r12 noop-wall work)",
+    )
     args = ap.parse_args()
 
     from bench import HEADLINE, _host_canary, _warm
@@ -131,7 +138,10 @@ def main() -> None:
             spark.sparkContext.setJobDescription(f"{name} rep{rep}")
             before = _stage_ids(spark)
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).count()
+            if args.drain == "noop":
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            else:
+                fn(spark, SF_DIR).count()
             dt = round(time.perf_counter() - t0, 3)
             runs.append(dt)
             stages_last = _stages_between(spark, before)
