@@ -836,23 +836,15 @@ FROM agg
 def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     tables = load_tables(spark, sf_dir, names=GRAPH_TABLES)
     # positives NUMERICALLY (the identical pair set as the graph 2-hop:
-    # PURCHASED edges come from orders, CONTAINS from lineitem) — the 1/13
-    # candidate sample is |C|×|P|/13 ≈ 23M rows at sf0.1, and left-joining
-    # it on two longs lets AQE broadcast the positive side instead of
-    # shuffling 23M string-keyed rows through a sort-merge join. No hint:
-    # at 100× the positive set outgrows broadcast and AQE shuffles, which
-    # is then correct.
-    # NOTE (r11): deliberately NOT the shared_positive_pairs checkpoint —
-    # this consumer probes the relation from the 23M-row sampled-pair side,
-    # and feeding the probe join from a localCheckpoint scan measured a
-    # consistent 2-4x wall regression (A/B, same window: 1.5-3.2s inline vs
-    # 3.5-7.9s checkpointed), where aggregate-only consumers win from it.
-    orders, lineitem = tables["orders"], tables["lineitem"]
-    pos_num = (
-        orders.select("o_orderkey", "o_custkey")
-        .join(lineitem.select("l_orderkey", "l_partkey"), orders.o_orderkey == lineitem.l_orderkey)
-        .select(F.col("o_custkey").alias("c_custkey"), F.col("l_partkey").alias("p_partkey"))
-        .distinct()
+    # PURCHASED edges come from orders, CONTAINS from lineitem). r11 had
+    # avoided the shared_positive_pairs checkpoint because this query then
+    # PROBED it from the 23M-row sampled-pair side (a stats-less
+    # LogicalRDD probe degraded join planning 2-4x). r12 removed that
+    # probe join entirely — the positives now feed ONE tiny filtered
+    # aggregate (pos_h below), the exact consumer shape the checkpoint is
+    # good at — so the memo-shared materialization is back.
+    pos_num = shared_positive_pairs(spark, sf_dir).select(
+        F.col("ckey").alias("c_custkey"), F.col("pkey").alias("p_partkey")
     )
     # (7c + p) % 13 == 0 as an equi-join on modular buckets (see
     # traversals.negative_pairs): generates the 1/13 sample directly
@@ -866,29 +858,53 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket key has only 13 distinct values, so a shuffle join would cap
     # parallelism at 13 tasks (and the customer parquet is one split) —
     # broadcasting part_b makes pair generation map-side with parallelism
-    # = customer partitions, so the 23M-row expansion + the 9× grid
-    # aggregation pipeline across every core in one stage.
+    # = customer partitions, so the 23M-row expansion + its score
+    # histogram pipeline across every core in one stage.
     cp = cust_b.repartition(spark.sparkContext.defaultParallelism).join(
         F.broadcast(part_b), "bucket"
     )
-    scored = (
-        cp.join(pos_num.withColumn("hit", F.lit(1)), ["c_custkey", "p_partkey"], "left")
-        .select(
-            (
-                F.pmod(F.col("c_custkey") * 131 + F.col("p_partkey") * 7919, F.lit(1000))
-                / F.lit(1000.0)
-            ).alias("p"),
-            F.coalesce(F.col("hit"), F.lit(0)).alias("y"),
-        )
+    # r12 (§1.2 algorithm first, §2.3 aggregate-before-shuffle): the sweep
+    # needs COUNTS per (score bucket, y), and those decompose — so the
+    # 23M-row sample⋈positives left join disappears entirely (it executed
+    # as a real SortMergeJoin: 23M rows shuffled AND sorted on the pair
+    # key, ~4.5 s of the old noop wall; AQE did not convert it).
+    #   hist(pi, y=1) = positives that fall in the 1/13 sample, bucketed
+    #                   by score — an aggregate over the 118k-row distinct
+    #                   pair relation;
+    #   hist(pi, y=0) = all sample pairs bucketed by score (no join, pure
+    #                   map-side aggregate over the generated pairs) minus
+    #                   the positive histogram.
+    # tp/fp/fn are then sums of the same integers over ≤2000 weighted
+    # histogram rows instead of 9× 23M exploded rows. Scale posture: both
+    # aggregates are map-side combinable; nothing is broadcast or joined
+    # at pair scale.
+    pi_of = F.pmod(F.col("c_custkey") * 131 + F.col("p_partkey") * 7919, F.lit(1000)).cast(
+        "int"
     )
-    # r12 (§2.3 aggregate-before-shuffle): p has ≤1000 distinct values by
-    # construction (pmod 1000), so the sweep's grid explode + three
-    # conditional sums run over a ≤2000-row (p, y, cnt) histogram instead
-    # of 9× the 23M sampled pairs — the partial agg collapses each task's
-    # rows map-side; tp/fp/fn are sums of the same integers (noop drain
-    # 8.7 s → the histogram cost; count() drain previously hid the sums by
-    # pruning them).
-    hist = scored.groupBy("p", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    total_h = cp.select(pi_of.alias("pi")).groupBy("pi").agg(F.count(F.lit(1)).alias("n_tot"))
+    # sample membership decided by the IDENTICAL bucket arithmetic the
+    # generator uses (cust bucket == part bucket ⟺ 7c + p ≡ 0 mod 13)
+    pos_h = (
+        pos_num.filter(
+            F.pmod(F.col("c_custkey") * 7, F.lit(13))
+            == F.pmod(F.lit(13) - F.pmod(F.col("p_partkey"), F.lit(13)), F.lit(13))
+        )
+        .select(pi_of.alias("pi"))
+        .groupBy("pi")
+        .agg(F.count(F.lit(1)).alias("n_pos"))
+    )
+    joined_h = total_h.join(pos_h, "pi", "left").select(
+        "pi", F.coalesce("n_pos", F.lit(0)).alias("n_pos"), "n_tot"
+    )
+    hist = (
+        joined_h.select("pi", F.lit(1).alias("y"), F.col("n_pos").alias("cnt"))
+        .unionByName(
+            joined_h.select(
+                "pi", F.lit(0).alias("y"), (F.col("n_tot") - F.col("n_pos")).alias("cnt")
+            )
+        )
+        .select((F.col("pi") / F.lit(1000.0)).alias("p"), "y", "cnt")
+    )
     out = agg_ops.threshold_sweep(hist, "p", "y", weight_col="cnt")
     return out.select(
         F.round("threshold", 1).alias("threshold"),

@@ -321,6 +321,10 @@ def q_rec_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # groupBy(c, p) with two max(flag) aggregates produces the identical
     # split sets; the checkpoint replaces the cache (AQE-coalesced blocks,
     # no 32-partition frozen cache layout, nothing to unpersist).
+    # ckpt kept by measurement (r12 A/B, matched window): without it the
+    # four consumers re-derive the groupBy — steady 2.50 → 3.05 s (AQE
+    # exchange reuse does NOT dedupe across this plan's subquery
+    # boundaries the way the block-scan does).
     pairs = (
         purch.groupBy("c", "p")
         .agg(
@@ -331,24 +335,36 @@ def q_rec_eval_popularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train = pairs.filter(F.col("in_train") == 1).select("c", "p")
     test = pairs.filter(F.col("in_test") == 1).select("c", "p")
+    # no ckpt on the 10-row list (r12): it has ONE consumer (the broadcast
+    # crossJoin below), so an eager checkpoint is a pure extra job barrier
     top10 = (
         train.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("p"))
         .limit(10)
         .withColumn("pop_rank", F.row_number().over(Window.orderBy(F.desc("cnt"), F.asc("p"))))
         .select("p", "pop_rank")
-        .localCheckpoint(eager=True)
     )
     eval_cust = test.groupBy("c").agg(F.count(F.lit(1)).alias("n_test"))
+    # ONE restricted scan for both the purchased-exclusion and the hit
+    # lookup (r12 §2.3): every candidate involves one of the 10 popular
+    # products, so join the pair relation to the broadcast top10 once and
+    # read BOTH flags from it — in_train=1 reproduces the old anti-join
+    # drop set, in_test=1 the old test hit join — instead of scanning the
+    # checkpoint separately for each (pairs is unique on (c, p) by
+    # construction, so the left join cannot duplicate candidates).
+    top_pairs = pairs.join(F.broadcast(top10.select("p")), "p").select(
+        "c", "p", "in_train", "in_test"
+    )
     recs0 = (
         eval_cust.crossJoin(F.broadcast(top10))
-        .join(train, ["c", "p"], "left_anti")
+        .join(top_pairs, ["c", "p"], "left")
+        .filter(F.coalesce(F.col("in_train"), F.lit(0)) == 0)
     )
     w = Window.partitionBy("c").orderBy(F.asc("pop_rank"))
     recs = recs0.withColumn("rec_rank", F.row_number().over(w)).filter(
         F.col("rec_rank") <= _EVAL_K
     )
-    hits = recs.join(test, ["c", "p"]).groupBy("c").agg(
+    hits = recs.filter(F.col("in_test") == 1).groupBy("c").agg(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("rec_rank").alias("first_hit"),
         F.sum(_case_col(F.col("rec_rank"), _DISC).cast("decimal(26,12)")).alias("dcg"),
