@@ -275,8 +275,16 @@ def near_dup_lsh(
         ai, bi = np.where((ids[None, :] > ids[:, None]) & (sims >= threshold))
         return pd.DataFrame({"vec_a": ids[ai], "vec_b": ids[bi], "cosine": sims[ai, bi]})
 
+    # explicit keyed repartition before the grouped-map (r12, the r11
+    # serve_greedy rule): AQE coalesces the grouped-map exchange by BYTES
+    # and the per-bucket gemm cost is not byte-proportional — profiled 5
+    # post-coalesce tasks serving every bucket. Hash clustering on the
+    # group key satisfies the grouped-map's distribution, so this replaces
+    # (not doubles) its exchange.
+    par = u.sparkSession.sparkContext.defaultParallelism
     return (
-        u.groupBy("bucket")
+        u.repartition(par, "bucket")
+        .groupBy("bucket")
         .applyInPandas(bucket_pairs, schema="vec_a long, vec_b long, cosine double")
         .groupBy("vec_a", "vec_b")
         .agg(F.max("cosine").alias("cosine"))
@@ -567,8 +575,13 @@ def lsh_topk(
                 out_c.extend(row[order])
         return pd.DataFrame({"query_id": out_q, "neighbor_id": out_n, "cosine": out_c})
 
+    # explicit keyed repartition before the grouped-map (r12, the r11
+    # serve_greedy rule): AQE coalesces the grouped-map exchange by BYTES
+    # and the per-bucket gemm cost is not byte-proportional — profiled 5
+    # post-coalesce tasks serving every bucket on 32 idle cores.
     pairs = (
-        u.groupBy("bucket")
+        u.repartition(u.sparkSession.sparkContext.defaultParallelism, "bucket")
+        .groupBy("bucket")
         .applyInPandas(bucket_pairs, schema="query_id long, neighbor_id long, cosine double")
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("cosine").alias("cosine"))
@@ -749,9 +762,16 @@ def semdedup(
             "pruned": (n_dups > 0).astype("int32"),
         })
 
-    return indexed.groupBy("cell").applyInPandas(
-        cell_stats,
-        f"vec_id {id_type}, cell int, n_lower_dups long, max_lower_cos double, pruned int",
+    # explicit keyed repartition before the grouped-map (r12, the r11
+    # serve_greedy rule): AQE coalesces the grouped-map exchange by BYTES,
+    # serializing the per-cell gemms through a couple of Python workers.
+    return (
+        indexed.repartition(indexed.sparkSession.sparkContext.defaultParallelism, "cell")
+        .groupBy("cell")
+        .applyInPandas(
+            cell_stats,
+            f"vec_id {id_type}, cell int, n_lower_dups long, max_lower_cos double, pruned int",
+        )
     )
 
 
