@@ -109,27 +109,36 @@ def flagship(spark: SparkSession, sf_dir: str, k: int = 3) -> DataFrame:
     # broadcast into the prune filter (the serving pruner's pattern) so
     # prefix derivation is ONE Spark job — a scalar collect would add a
     # second driver barrier for nothing.
-    cmax_df = (
-        purchased.join(
-            F.broadcast(part.select("p_partkey", F.col("p_type").alias("category"))), "p_partkey"
+    def _build_prune() -> DataFrame:
+        cmax_df = (
+            purchased.join(
+                F.broadcast(part.select("p_partkey", F.col("p_type").alias("category"))), "p_partkey"
+            )
+            .groupBy("c_custkey", "category")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.coalesce(F.max("n"), F.lit(0)).alias("c_max"))
         )
-        .groupBy("c_custkey", "category")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.coalesce(F.max("n"), F.lit(0)).alias("c_max"))
-    )
-    w_prune = Window.partitionBy("category").orderBy(F.desc("score"), F.asc("p_partkey"))
-    prune_df = (
-        valid.withColumn("cat_pos", F.row_number().over(w_prune))
-        .crossJoin(F.broadcast(cmax_df))
-        .filter(F.col("cat_pos") <= F.col("c_max") + 1)
-        .drop("c_max")
-    )
-    # materialize the shared prefix ONCE, executor-side (it feeds two
-    # broadcast consumers below): localCheckpoint keeps the |cats|·(c_max+1)
-    # rows in executor block storage instead of round-tripping them through
-    # the driver (r3 advice — under category-density skew c_max grows with
-    # the densest customer, so driver memory must not be on that path)
-    pruned = prune_df.localCheckpoint(eager=True)
+        w_prune = Window.partitionBy("category").orderBy(F.desc("score"), F.asc("p_partkey"))
+        return (
+            valid.withColumn("cat_pos", F.row_number().over(w_prune))
+            .crossJoin(F.broadcast(cmax_df))
+            .filter(F.col("cat_pos") <= F.col("c_max") + 1)
+            .drop("c_max")
+        )
+
+    # materialize the shared prefix ONCE per (app, sf_dir), executor-side
+    # (it feeds two broadcast consumers below; k-independent by
+    # construction — c_max+1 bounds ANY k's winner). r12: the prefix used
+    # to be a per-EXECUTION localCheckpoint, re-deriving the c_max
+    # aggregate chain + the |P| prune window and paying a job barrier on
+    # every run; the memo makes it one materialization per app like the
+    # scored-product/purchase-pair prefixes it derives from. Executor
+    # block storage, not a driver round-trip (r3 advice — under
+    # category-density skew c_max grows with the densest customer, so
+    # driver memory must not be on that path).
+    from ._memo import memo
+
+    pruned = memo(spark, ("flagship_prune_prefix", sf_dir), _build_prune)
 
     # Per-(customer, category) winner WITHOUT expanding candidates (J6/J7
     # fused): the winner (best unpurchased product, score desc / p_partkey
