@@ -896,15 +896,17 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined_h = total_h.join(pos_h, "pi", "left").select(
         "pi", F.coalesce("n_pos", F.lit(0)).alias("n_pos"), "n_tot"
     )
-    hist = (
-        joined_h.select("pi", F.lit(1).alias("y"), F.col("n_pos").alias("cnt"))
-        .unionByName(
-            joined_h.select(
-                "pi", F.lit(0).alias("y"), (F.col("n_tot") - F.col("n_pos")).alias("cnt")
+    # one explode instead of a self-union (a union re-evaluates the joined
+    # histogram subtree per branch)
+    hist = joined_h.select(
+        (F.col("pi") / F.lit(1000.0)).alias("p"),
+        F.explode(
+            F.array(
+                F.struct(F.lit(1).alias("y"), F.col("n_pos").alias("cnt")),
+                F.struct(F.lit(0).alias("y"), (F.col("n_tot") - F.col("n_pos")).alias("cnt")),
             )
-        )
-        .select((F.col("pi") / F.lit(1000.0)).alias("p"), "y", "cnt")
-    )
+        ).alias("s"),
+    ).select("p", F.col("s.y").alias("y"), F.col("s.cnt").alias("cnt"))
     out = agg_ops.threshold_sweep(hist, "p", "y", weight_col="cnt")
     return out.select(
         F.round("threshold", 1).alias("threshold"),
