@@ -372,6 +372,11 @@ def duplicate_span_coverage(docs: DataFrame, n: int = 8) -> DataFrame:
             ).alias("dup_tokens"),
         )
     )
+    # base deliberately re-tokenizes from `w` rather than riding the grams
+    # branch (r12 A/B): deriving it from the gram rows saved ~0.3 s of the
+    # full-materialization drain but forced the count()-drain to evaluate
+    # the whole gram explode it otherwise prunes (steady 0.40 → 0.99 s) —
+    # a bad trade both ways.
     base = w.select("doc_id", F.size("ws").cast("long").alias("n_tokens"))
     return (
         base.join(covered, "doc_id", "left")
