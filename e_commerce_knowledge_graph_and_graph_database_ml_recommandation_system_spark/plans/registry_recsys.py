@@ -159,6 +159,15 @@ def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     double expression — no row-scale float accumulation, no second pass
     (the textbook two-pass corr() needs the means first; the algebraic
     form shuffles once)."""
+    # NOTE (r12, terminal): a full numeric-key pushdown (end-degrees
+    # re-derived per edge family from the source tables on long keys, no
+    # string edge relation) was built, oracle-verified, and A/B'd in
+    # adjacent windows: count 1.01/noop 1.13 s here vs ~0.9-1.2 s
+    # canary-adjusted for the pushdown — a wash at best, because THIS form
+    # amortizes the degree build across five registry consumers via the
+    # shared memos while the pushdown recomputes five aggregates per
+    # execution. Closed; do not re-try without removing the memo sharing
+    # first.
     edges = shared_edges(spark, sf_dir)
     deg = shared_node_degrees(spark, sf_dir)
     ends = (
