@@ -2473,3 +2473,103 @@ def test_ivf_refine_zero_norm_parity(spark, monkeypatch):
         zrows = df.filter((F.col("query_id") == 999) | (F.col("neighbor_id") == 999))
         assert zrows.count() > 0
         assert zrows.filter(F.col("cosine") != 0.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# r12 optimization-round gates: operator internals changed for the noop-wall
+# work keep their exact output contracts
+# ---------------------------------------------------------------------------
+
+
+def test_threshold_sweep_weighted_histogram_identity(spark):
+    """The weight_col path (r12: callers pre-aggregate bounded scores into a
+    (p, y, cnt) histogram) returns the identical rows as the per-row path."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.aggregates import (
+        threshold_sweep,
+    )
+
+    rows = [(round(0.001 * ((i * 131) % 1000), 3), i % 2) for i in range(500)]
+    scored = spark.createDataFrame(rows, "p double, y int")
+    hist = scored.groupBy("p", "y").agg(F.count(F.lit(1)).alias("cnt"))
+    plain = {r["threshold"]: r for r in threshold_sweep(scored, "p", "y").collect()}
+    weighted = {
+        r["threshold"]: r
+        for r in threshold_sweep(hist, "p", "y", weight_col="cnt").collect()
+    }
+    assert set(plain) == set(weighted) and len(plain) == 9
+    for t, r in plain.items():
+        w = weighted[t]
+        assert (r["tp"], r["fp"], r["fn"]) == (w["tp"], w["fp"], w["fn"])
+        assert (r["prec"], r["rec"], r["f1"]) == (w["prec"], w["rec"], w["f1"])
+
+
+def test_kfold_per_kf_override_identity(spark):
+    """Passing a pre-computed per_kf (r12: derived from dim-sized histograms
+    in the registry) yields the identical encoding as the default in-operator
+    fold aggregate."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.aggregates import (
+        kfold_target_encoding,
+    )
+
+    rows = [(f"cat{i % 7}", (i * 13) % 3 == 0 and 1 or 0, i) for i in range(300)]
+    df = spark.createDataFrame(rows, "category string, label int, pkey long")
+    with_fold = df.withColumn("fold", F.pmod(F.col("pkey").cast("long"), F.lit(5)))
+    per_kf = with_fold.groupBy("category", "fold").agg(
+        F.sum("label").alias("s"), F.count("*").alias("c")
+    )
+    base = kfold_target_encoding(df, key="category", label_col="label", id_col="pkey")
+    ovr = kfold_target_encoding(
+        df, key="category", label_col="label", id_col="pkey", per_kf=per_kf
+    )
+    key = lambda r: (r["pkey"],)
+    b = sorted(base.collect(), key=key)
+    o = sorted(ovr.collect(), key=key)
+    assert len(b) == len(o) == 300
+    for rb, ro in zip(b, o):
+        assert rb.asDict() == ro.asDict()
+
+
+def test_degree_feature_stats_single_pass_values(spark):
+    """The single-partition window stats pass (r12) reproduces the brute
+    definitions of percentile and z-scores exactly (integer-sum arithmetic)."""
+    import math
+
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.degrees import (
+        degree_feature_stats,
+    )
+
+    rows = [(f"n{i}", "A" if i % 3 else "B", (i * 7) % 5 + 1) for i in range(60)]
+    d = spark.createDataFrame(rows, "id string, label string, degree long")
+    got = {r["id"]: r for r in degree_feature_stats(d).collect()}
+    degs = [r[2] for r in rows]
+    n = len(degs)
+    g_mean = sum(degs) / n
+    g_std = math.sqrt(sum(x * x for x in degs) / n - g_mean**2)
+    for rid, lab, deg in rows:
+        ldegs = [x[2] for x in rows if x[1] == lab]
+        l_mean = sum(ldegs) / len(ldegs)
+        l_std = math.sqrt(sum(x * x for x in ldegs) / len(ldegs) - l_mean**2)
+        r = got[rid]
+        assert abs(r["degree_percentile"] - sum(1 for x in degs if x <= deg) / n) < 1e-12
+        assert abs(r["degree_zscore"] - (deg - g_mean) / g_std) < 1e-9
+        assert abs(r["type_degree_zscore"] - (deg - l_mean) / l_std) < 1e-9
+
+
+def test_duplicate_span_overlapping_grams_union(spark):
+    """Overlapping duplicated grams count each covered position once (r12
+    interval-union rewrite): a 9-token shared run = two overlapping 8-grams
+    -> exactly 9 covered positions, not 16."""
+    from e_commerce_knowledge_graph_and_graph_database_ml_recommandation_system_spark.operators.text_analysis import (
+        duplicate_span_coverage,
+    )
+
+    shared = " ".join(f"s{i}" for i in range(9))
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " taila tailb tailc"),
+            (2, shared + " otha othb othc"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in duplicate_span_coverage(docs, n=8).collect()}
+    assert got[1]["dup_tokens"] == 9 and got[2]["dup_tokens"] == 9
